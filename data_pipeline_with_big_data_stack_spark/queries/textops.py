@@ -1,0 +1,397 @@
+"""Text-analysis & deduplication surface over the ``documents`` table.
+
+Large-scale training-data operators (beyond the reference's own surface,
+per the build brief): exact dedup, n-gram Jaccard near-dup, MinHash+LSH,
+token counting, quality scoring, language-ID, document fingerprinting.
+
+Cross-engine determinism trick: every hash used here is ``md5`` (identical
+hex output in Spark and DuckDB), and MinHash takes the lexicographic MIN
+of salted md5 hex strings — a valid uniform hash family that both engines
+compute bit-identically, with no dependency on engine-specific hash
+functions. At 100 TB the same plans hold: shingling explodes rows but the
+band-bucket join shuffles only (band_key) pairs, and exact dedup is a
+single hash-partitioned groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.queries import query
+from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.tables import load_table
+
+# Tiny in-query stopword sets for the language-ID heuristic. Real corpora
+# would load a broadcast table; inline literals keep the oracle expressible.
+_STOP = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "de", "et", "que"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Token counting + basic text stats (whitespace tokenizer).
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                               AS n_docs,
+           round(avg(len(string_split(text, ' '))), 4)            AS avg_tokens,
+           round(avg(n_chars), 4)                                 AS avg_chars,
+           sum(len(string_split(text, ' ')))                      AS total_tokens,
+           max(len(string_split(text, ' ')))                      AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(ntok).alias("total_tokens"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / distinct-token ratio / stopword ratio — the
+# heuristics a pretraining filter pipeline applies per document.
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(text, ' ') AS toks
+      FROM documents)
+    SELECT doc_id, lang,
+           len(toks)                                          AS n_tokens,
+           len(list_distinct(toks))                           AS n_distinct,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                                                              AS distinct_ratio,
+           round(CAST(len(list_filter(toks,
+                 w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / len(toks), 4)                              AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(toks), 4)      AS avg_token_len,
+           CASE WHEN len(toks) BETWEEN 10 AND 2000
+                 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1
+                THEN 1 ELSE 0 END                             AS passes_filter
+    FROM t
+    """,
+)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    d = d.withColumn("toks", toks)
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    stop = F.array(*[F.lit(w) for w in _STOP["en"]])
+    n_stop = F.size(F.filter("toks", lambda w: F.array_contains(stop, w)))
+    distinct_ratio = F.round(n_distinct.cast("double") / n_tokens, 4)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.when(
+            n_tokens.between(10, 2000)
+            & (n_distinct.cast("double") / n_tokens > 0.1),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_filter"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID: n-gram/stopword-hit heuristic with deterministic argmax.
+# --------------------------------------------------------------------------
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return f"len(list_filter(toks, w -> w IN ({words})))"
+
+
+@query(
+    "q_doc_language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {_hits_sql('en')} AS en_hits,
+             {_hits_sql('es')} AS es_hits,
+             {_hits_sql('de')} AS de_hits,
+             {_hits_sql('fr')} AS fr_hits
+      FROM t)
+    SELECT doc_id, lang AS actual_lang, en_hits, es_hits, de_hits, fr_hits,
+           CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+                WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+                WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    def hit_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter("toks", lambda w: F.array_contains(arr, w)))
+
+    hits = {lang: hit_count(words) for lang, words in _STOP.items()}
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+    )
+    best = F.greatest("en_hits", "es_hits", "de_hits", "fr_hits")
+    predicted = (
+        F.when(best == 0, "unknown")
+        .when(F.col("en_hits") >= F.greatest("es_hits", "de_hits", "fr_hits"), "en")
+        .when(F.col("es_hits") >= F.greatest("de_hits", "fr_hits"), "es")
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 content hash + a cheap structural
+# fingerprint (first/last token + length) for blocking.
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                     AS content_hash,
+           concat(string_split(text, ' ')[1], ':',
+                  string_split(text, ' ')[-1], ':',
+                  CAST(len(string_split(text, ' ')) AS VARCHAR)) AS struct_key
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+        F.concat_ws(
+            ":",
+            toks.getItem(0),
+            F.element_at(toks, -1),
+            F.size(toks).cast("string"),
+        ).alias("struct_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized content. At 100 TB this is ONE
+# shuffle on a 128-bit key with partial aggregation map-side.
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           count(*)               AS n_copies,
+           min(doc_id)            AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) >= 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup: word-set Jaccard over blocked candidate pairs.
+# Blocking key = (lang, token-count bucket) so the self-join is narrow;
+# at scale the block bound keeps the pair explosion O(block²), and a
+# MinHash-LSH pass (below) replaces it when blocks are still too big.
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) // 20 AS len_bucket,
+             list_distinct(string_split(text, ' ')) AS words
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.split("text", " ")) / F.lit(20)).cast("int").alias("len_bucket"),
+        F.array_distinct(F.split("text", " ")).alias("words"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures: k=6 salted-md5 min-hash over the distinct word set.
+# min(md5(salt || w)) is computed identically by both engines (hex strings
+# compare lexicographically) — no engine-specific hash needed.
+# --------------------------------------------------------------------------
+_SALTS = ("s0", "s1", "s2", "s3", "s4", "s5")
+
+
+def _mh_sql(salt: str) -> str:
+    return f"list_min([md5('{salt}' || w) for w in words])"
+
+
+@query(
+    "q_minhash_signatures",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents)
+    SELECT doc_id,
+           {_mh_sql('s0')} AS mh0, {_mh_sql('s1')} AS mh1,
+           {_mh_sql('s2')} AS mh2, {_mh_sql('s3')} AS mh3,
+           {_mh_sql('s4')} AS mh4, {_mh_sql('s5')} AS mh5
+    FROM t
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+
+    def minhash(salt: str):
+        # NB: the transform lambda must take exactly one arg — a two-arg
+        # lambda is interpreted by Spark as (element, index).
+        return F.array_min(
+            F.transform("words", lambda w: F.md5(F.concat(F.lit(salt), w)))
+        )
+
+    cols = [minhash(salt).alias(f"mh{i}") for i, salt in enumerate(_SALTS)]
+    return t.select("doc_id", *cols)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH candidate pairs: 3 bands × 2 rows; band key = md5 of the
+# concatenated row signatures; docs sharing any band key are candidates.
+# The only shuffle is on band_key — the classic shingle→minhash→band→
+# bucket-join pipeline, linear in corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_mh_sql('s0')} AS mh0, {_mh_sql('s1')} AS mh1,
+             {_mh_sql('s2')} AS mh2, {_mh_sql('s3')} AS mh3,
+             {_mh_sql('s4')} AS mh4, {_mh_sql('s5')} AS mh5
+      FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+            FROM documents)),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS band_key FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = None
+    for band, (x, y) in enumerate([("mh0", "mh1"), ("mh2", "mh3"), ("mh4", "mh5")]):
+        piece = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(F.concat(F.col(x), F.col(y))).alias("band_key"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source profile (A5 analogue on documents — GROUP BY source_file
+# profile, GOES_PIPELINE_REPORT.md:275-283).
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_source_profile",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_doc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

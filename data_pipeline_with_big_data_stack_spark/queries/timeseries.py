@@ -1,0 +1,315 @@
+"""Time-series query surface over the ``events`` table.
+
+These re-express the reference's Druid SQL dashboard/report queries
+(SURVEY §2.4 A4-A8: ``README.md:173-193``, ``M/GOES_PIPELINE_REPORT.md:
+275-314``) and the ingest-side time semantics (timestampSpec posix parse,
+queryGranularity floor — ``M/druid-goes-satellite-datasource.json:21-24,80``)
+on the driver's ``events`` fixture.
+
+Timestamp parity note: ``events.ts`` is nanosecond-precision parquet.
+Spark truncates to microseconds on read while DuckDB keeps TIMESTAMP_NS,
+so every emitted timestamp is floored to an exact second/minute/hour on
+BOTH sides, and time anchors derive from ``date_trunc('second', max(ts))``
+rather than wall clock (driver determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.queries import query
+from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# A4: time-bucketed aggregate — the hourly dashboard query
+# (`SELECT TIME_FLOOR(__time,'PT1H'), AVG(x), COUNT(*) ... GROUP BY 1`,
+# README.md:173-182).
+# --------------------------------------------------------------------------
+@query(
+    "q_events_hourly_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*)                 AS n,
+           round(avg(value), 4)     AS avg_value,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 daily-max variant (GOES_PIPELINE_REPORT.md:306-314).
+# --------------------------------------------------------------------------
+@query(
+    "q_events_daily_max",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(max(value), 2) AS max_value,
+           round(min(value), 2) AS min_value,
+           count(*)             AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: per-dimension profile (GROUP BY source_file: COUNT, MIN(__time),
+# MAX(__time) ORDER BY count DESC — GOES_PIPELINE_REPORT.md:275-283).
+# --------------------------------------------------------------------------
+@query(
+    "q_events_type_profile",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS first_seen,
+           CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_seen,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.date_trunc("second", F.min("ts")).alias("first_seen"),
+        F.date_trunc("second", F.max("ts")).alias("last_seen"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: validation count over a trailing window (README.md:318). The anchor
+# is data-derived (second-floored max ts) instead of CURRENT_TIMESTAMP so
+# both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_trailing_24h_count",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE ts >= (SELECT date_trunc('second', max(ts)) - INTERVAL 24 HOUR FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_events_trailing_24h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    anchor = e.agg(
+        (F.date_trunc("second", F.max("ts")) - F.expr("INTERVAL 24 HOURS")).alias("lo")
+    )
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("lo"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: storage-growth metrics — global agg + linear projections
+# (goes_satellite_etl.py:415-489; output schema druid-goes-storage-metrics).
+# `value` plays the role of file_size_mb.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_storage_metrics",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS current_files_processed,
+             sum(value) AS total, avg(value) AS avg_v,
+             count(*) / greatest(date_diff('day', min(ts), max(ts)), 1) AS files_per_day,
+             avg(value) * (count(*) / greatest(date_diff('day', min(ts), max(ts)), 1))
+               AS daily_mb
+      FROM events)
+    SELECT current_files_processed,
+           round(total, 2)                  AS current_storage_mb,
+           round(daily_mb, 4)               AS projected_daily_growth_mb,
+           round(daily_mb * 7, 4)           AS projected_weekly_growth_mb,
+           round(daily_mb * 30, 4)          AS projected_monthly_growth_mb,
+           round(daily_mb * 7 / 1024, 6)    AS projected_weekly_growth_gb,
+           round(daily_mb * 30 / 1024, 6)   AS projected_monthly_growth_gb
+    FROM s
+    """,
+)
+def q_events_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    agg = e.agg(
+        F.count(F.lit(1)).alias("current_files_processed"),
+        F.sum("value").alias("total"),
+        F.avg("value").alias("avg_v"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    files_per_day = F.col("current_files_processed") / F.greatest(
+        F.datediff("max_ts", "min_ts"), F.lit(1)
+    )
+    daily = F.col("avg_v") * files_per_day
+    return agg.select(
+        "current_files_processed",
+        F.round("total", 2).alias("current_storage_mb"),
+        F.round(daily, 4).alias("projected_daily_growth_mb"),
+        F.round(daily * 7, 4).alias("projected_weekly_growth_mb"),
+        F.round(daily * 30, 4).alias("projected_monthly_growth_mb"),
+        F.round(daily * 7 / 1024, 6).alias("projected_weekly_growth_gb"),
+        F.round(daily * 30 / 1024, 6).alias("projected_monthly_growth_gb"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5: the change_24h semantic the reference imports pre-computed
+# (real_data_etl.py:48) re-expressed as a lag window per entity.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_value_change_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec,
+           round(value, 2) AS value,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 2) AS change_prev,
+           round(100.0 * (value - lag(value) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+                 / nullif(lag(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id), 0), 4)
+             AS change_pct
+    FROM events
+    """,
+)
+def q_events_value_change_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("ts_sec"),
+        F.round("value", 2).alias("value"),
+        F.round(F.col("value") - prev, 2).alias("change_prev"),
+        F.round(100.0 * (F.col("value") - prev) / F.nullif(prev, F.lit(0)), 4).alias(
+            "change_pct"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8: rollup=true ingestion semantics — queryGranularity MINUTE floor plus
+# dimension grouping with count/sum metrics
+# (druid-goes-satellite-datasource.json:80-81).
+# --------------------------------------------------------------------------
+@query(
+    "q_events_minute_grain_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_minute_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+# --------------------------------------------------------------------------
+# F2: JSON field extraction from the `props` payload column (the
+# from_json/get_json_object path — real_data_etl.py:86-94 nested access).
+# --------------------------------------------------------------------------
+@query(
+    "q_events_json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           count(*)             AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gap-based sessions (30 min) via lag + cumulative sum.
+# Streaming twin: session_window(ts, '30 minutes') in streaming/ingest.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    marked = e.select("user_id", "ts", "event_id", new_session.alias("new_session"))
+    sessions = marked.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,81 @@
+"""Session factory with scale-aware defaults.
+
+The reference enables AQE explicitly for its one Spark job
+(``M/app_airflow/app/dags/demoSpark.py:16-21``); we adopt that and add the
+settings that matter for a 1000-executor / 100 TB deployment: adaptive
+coalescing + skew-join handling, Arrow for the (rare) pandas-UDF path, UTC
+session time so event-time semantics are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also re-assert on externally provided sessions
+# (the driver harness hands us its own SparkSession).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. the events fixture) are
+    # rejected by Spark 4 by default; read them as epoch-nano longs and
+    # let the table loader convert to TimestampType (micro truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "data_pipeline_with_big_data_stack_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Local test/bench mode: ``local[$SPARK_GRAFT_CPUS]`` (default 32). On a
+    real cluster the caller passes ``master=None`` and spark-submit confs
+    win; nothing here assumes single-node.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local mode: ~cores. Cluster deployments override via spark-submit
+        # (or rely on AQE coalescing from a higher initial value).
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Assert engine-critical runtime confs on an externally built session.
+
+    Every conf here is runtime-settable. UTC session time in particular is
+    required for event-time parity with the DuckDB oracle (duckdb
+    timestamps are UTC-naive).
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - non-settable conf on some builds
+            pass
+    return spark
