@@ -232,90 +232,73 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N-gram Jaccard near-dup: word-set Jaccard over blocked candidate pairs.
-# Blocking key = (lang, token-count bucket) so the self-join is narrow;
-# at scale the block bound keeps the pair explosion O(block²), and a
-# MinHash-LSH pass (below) replaces it when blocks are still too big.
+# Shingling: token 3-grams (the n-gram unit for fuzzy dedup). Unigrams
+# degenerate on small vocabularies — every doc shares most words — while
+# trigram shingles separate documents sharply, which keeps MinHash bands
+# selective and LSH buckets small at scale.
 # --------------------------------------------------------------------------
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, lang, len(string_split(text, ' ')) // 20 AS len_bucket,
-             list_distinct(string_split(text, ' ')) AS words
-      FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
-    FROM t a JOIN t b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
-    """,
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SHINGLES_SPARK = """
+    CASE WHEN size(words) >= 3
+         THEN array_distinct(transform(sequence(0, size(words) - 3),
+              i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
+         ELSE array(concat_ws(' ', words)) END
+"""
+
+_SHINGLES_DUCK = """
+    CASE WHEN len(words) >= 3
+         THEN list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                             for i in range(1, len(words) - 1)])
+         ELSE [array_to_string(words, ' ')] END
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    t = d.select(
-        "doc_id",
-        "lang",
-        (F.size(F.split("text", " ")) / F.lit(20)).cast("int").alias("len_bucket"),
-        F.array_distinct(F.split("text", " ")).alias("words"),
+    return d.withColumn("words", F.split("text", " ")).withColumn(
+        "shingles", F.expr(_SHINGLES_SPARK)
     )
-    a = t.alias("a")
-    b = t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
-    jac = inter.cast("double") / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
-    )
+
+
+# q_dedup_ngram_jaccard is defined AFTER the MinHash/LSH block below — it
+# verifies LSH candidate pairs with exact n-gram-set Jaccard (candidate
+# generation + verification, the production fuzzy-dedup pipeline shape).
 
 
 # --------------------------------------------------------------------------
-# MinHash signatures: k=6 salted-md5 min-hash over the distinct word set.
-# min(md5(salt || w)) is computed identically by both engines (hex strings
-# compare lexicographically) — no engine-specific hash needed.
+# MinHash signatures: k=6 salted-md5 min-hash over the trigram-shingle
+# set. min(md5(salt || s)) is computed identically by both engines (hex
+# strings compare lexicographically) — no engine-specific hash needed.
 # --------------------------------------------------------------------------
 _SALTS = ("s0", "s1", "s2", "s3", "s4", "s5")
 
 
 def _mh_sql(salt: str) -> str:
-    return f"list_min([md5('{salt}' || w) for w in words])"
+    return f"list_min([md5('{salt}' || s) for s in sh])"
+
+
+_SIG_DUCK = f"""
+      SELECT doc_id,
+             {_mh_sql('s0')} AS mh0, {_mh_sql('s1')} AS mh1,
+             {_mh_sql('s2')} AS mh2, {_mh_sql('s3')} AS mh3,
+             {_mh_sql('s4')} AS mh4, {_mh_sql('s5')} AS mh5
+      FROM (SELECT doc_id, {_SHINGLES_DUCK} AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents))
+"""
 
 
 @query(
     "q_minhash_signatures",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
-      FROM documents)
-    SELECT doc_id,
-           {_mh_sql('s0')} AS mh0, {_mh_sql('s1')} AS mh1,
-           {_mh_sql('s2')} AS mh2, {_mh_sql('s3')} AS mh3,
-           {_mh_sql('s4')} AS mh4, {_mh_sql('s5')} AS mh5
-    FROM t
-    """,
+    oracle=f"WITH sig AS ({_SIG_DUCK}) SELECT * FROM sig",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+    t = _shingled(spark, sf_dir).select("doc_id", F.col("shingles").alias("sh"))
 
     def minhash(salt: str):
         # NB: the transform lambda must take exactly one arg — a two-arg
         # lambda is interpreted by Spark as (element, index).
         return F.array_min(
-            F.transform("words", lambda w: F.md5(F.concat(F.lit(salt), w)))
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(salt), s)))
         )
 
     cols = [minhash(salt).alias(f"mh{i}") for i, salt in enumerate(_SALTS)]
@@ -328,37 +311,41 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The only shuffle is on band_key — the classic shingle→minhash→band→
 # bucket-join pipeline, linear in corpus size.
 # --------------------------------------------------------------------------
-@query(
-    "q_dedup_minhash_lsh",
-    oracle=f"""
-    WITH sig AS (
-      SELECT doc_id,
-             {_mh_sql('s0')} AS mh0, {_mh_sql('s1')} AS mh1,
-             {_mh_sql('s2')} AS mh2, {_mh_sql('s3')} AS mh3,
-             {_mh_sql('s4')} AS mh4, {_mh_sql('s5')} AS mh5
-      FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
-            FROM documents)),
+_LSH_DUCK = f"""
+    sig AS ({_SIG_DUCK}),
     bands AS (
       SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS band_key FROM sig
       UNION ALL
       SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS band_key FROM sig
       UNION ALL
-      SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS band_key FROM sig)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
-)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+      SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS band_key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+"""
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, band) with the band's bucket key. Built with a
+    single posexplode so the signature pipeline is computed ONCE per plan
+    branch — a 3-way union of per-band selects re-evaluates the minhash
+    subtree per band (observed 10× slower at sf0.1)."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = None
-    for band, (x, y) in enumerate([("mh0", "mh1"), ("mh2", "mh3"), ("mh4", "mh5")]):
-        piece = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.md5(F.concat(F.col(x), F.col(y))).alias("band_key"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.md5(F.concat("mh0", "mh1")),
+                F.md5(F.concat("mh2", "mh3")),
+                F.md5(F.concat("mh4", "mh5")),
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _lsh_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -370,6 +357,55 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"WITH {_LSH_DUCK} SELECT doc_a, doc_b FROM cand",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_candidate_pairs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup: exact trigram-shingle-set Jaccard computed on
+# the LSH candidate pairs (generation via LSH bands, verification via
+# exact set Jaccard — the production fuzzy-dedup pipeline). The verify
+# join is two hash joins on doc_id; the pair list is tiny relative to the
+# corpus, so the expensive set intersection runs only on candidates.
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_LSH_DUCK},
+    sh AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).select("doc_id", F.col("shingles").alias("sh"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+    union = F.size(F.array_union(F.col("x.sh"), F.col("y.sh")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
