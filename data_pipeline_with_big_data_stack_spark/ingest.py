@@ -1,0 +1,163 @@
+"""Ingestion compiler: DatasourceSpec + source DataFrame → canonical table.
+
+Mirrors what a Druid Kafka-ingestion supervisor does to every record
+(SURVEY §2.1 S18): apply ``timestampSpec`` (posix → ``__time``), apply
+``dimensionsSpec`` (typed cast/select), floor to ``queryGranularity``,
+optionally rollup, and write time-partitioned columnar storage
+(``segmentGranularity`` DAY/HOUR → partition columns). The streaming twin
+applies the same plan to a ``readStream`` DataFrame.
+
+Scale notes (100 TB design):
+- storage is Parquet partitioned by ``__date`` (and ``__hour`` for HOUR
+  segments) → partition pruning replicates Druid's segment pruning for
+  any ``__time`` predicate on the partition column;
+- ``maxRecordsPerFile`` maps Druid's ``maxRowsPerSegment`` → bounded file
+  sizes regardless of executor count;
+- rollup (when enabled) runs partial aggregation map-side before the one
+  shuffle on (floored time, dims).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.operators.cleanup import cast_dimensions, parse_event_time
+from data_pipeline_with_big_data_stack_spark.schemas import DatasourceSpec
+
+_GRAIN_TO_UNIT = {"MINUTE": "minute", "HOUR": "hour", "DAY": "day"}
+
+
+def compile_transform(spec: DatasourceSpec, source: DataFrame) -> DataFrame:
+    """The supervisor's record pipeline as one declarative plan:
+    timestamp parse → dimension cast → query-granularity floor →
+    optional rollup."""
+    ts = parse_event_time(spec.timestamp.column, spec.timestamp.format)
+    df = source.withColumn("__time", ts)
+    df = cast_dimensions(df, spec.schema())
+
+    if spec.granularity.query != "NONE":
+        unit = _GRAIN_TO_UNIT[spec.granularity.query]
+        df = df.withColumn("__time", F.date_trunc(unit, "__time"))
+
+    if spec.granularity.rollup:
+        # rollup=true semantics (A8): pre-aggregate identical
+        # (floored time, dims) rows at ingest with a count metric.
+        dims = [d.name for d in spec.dimensions]
+        df = df.groupBy("__time", *dims).agg(F.count(F.lit(1)).alias("__count"))
+    return df
+
+
+def partition_columns(spec: DatasourceSpec) -> list[str]:
+    return ["__date", "__hour"] if spec.granularity.segment == "HOUR" else ["__date"]
+
+
+def with_partition_columns(spec: DatasourceSpec, df: DataFrame) -> DataFrame:
+    out = df.withColumn("__date", F.to_date("__time"))
+    if spec.granularity.segment == "HOUR":
+        out = out.withColumn("__hour", F.hour("__time"))
+    return out
+
+
+def write_batch(
+    spec: DatasourceSpec,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    register_as: str | None = None,
+) -> None:
+    """Write the canonical table: time-partitioned parquet with bounded
+    file sizes (Druid ``maxRowsPerSegment`` — e.g.
+    ``M/druid-goes-satellite-datasource.json:17``)."""
+    out = with_partition_columns(spec, df)
+    writer = (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", spec.max_rows_per_segment)
+        .partitionBy(*partition_columns(spec))
+    )
+    writer.parquet(path)
+    if register_as:
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {register_as}")
+        spark.catalog.createTable(register_as, path=path, source="parquet")
+        try:  # pick up the partitions for the metastore-backed table
+            spark.sql(f"MSCK REPAIR TABLE {register_as}")
+        except Exception:
+            pass
+
+
+def ingest_batch(
+    spec: DatasourceSpec,
+    source: DataFrame,
+    path: str,
+    mode: str = "append",
+    register_as: str | None = None,
+) -> DataFrame:
+    df = compile_transform(spec, source)
+    write_batch(spec, df, path, mode=mode, register_as=register_as)
+    return df.sparkSession.read.parquet(path)
+
+
+def compile_stream(spec: DatasourceSpec, stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``compile_transform`` for a readStream source
+    that already carries the topic's JSON-parsed columns. Raw (non-rollup)
+    ingestion is append-mode with NO watermark — exact parity with
+    Druid's accept-any-lateness segments (SURVEY §2.9 T5)."""
+    if spec.granularity.rollup:
+        raise NotImplementedError(
+            "streaming rollup requires a watermark; use streaming.ingest"
+        )
+    return compile_transform(spec, stream)
+
+
+def write_stream(
+    spec: DatasourceSpec,
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+):
+    out = with_partition_columns(spec, df)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_columns(spec))
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def kafka_json_stream(
+    spark: SparkSession,
+    spec: DatasourceSpec,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S18: Kafka topic of JSON objects → typed columns per the spec.
+    ``useEarliestOffset: true`` in every reference supervisor
+    (``M/druid-goes-satellite-datasource.json:13``) → startingOffsets
+    "earliest"; exactly-once resume comes from the sink checkpoint."""
+    import pyspark.sql.types as T
+
+    raw_fields = [
+        T.StructField(spec.timestamp.column, T.StringType())
+    ] + [T.StructField(d.name, T.StringType()) for d in spec.dimensions]
+    raw_schema = T.StructType(raw_fields)
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", spec.topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.from_json(F.col("value").cast("string"), raw_schema).alias("r"))
+        .select("r.*")
+    )
+
+
+def to_kafka_json(df: DataFrame) -> DataFrame:
+    """S17: record → JSON value column for a Kafka sink
+    (``json.dumps`` producer serializer, ``goes_satellite_etl.py:41-43``)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))

@@ -1,0 +1,170 @@
+"""NetCDF scientific-array reader (SURVEY §2.1 S2-S4) — the flagship
+ingest path: satellite files → one flat record per timestep.
+
+Architecture (Spark-first): a ``binaryFile`` scan distributes whole files
+across executors; a ``mapInPandas`` batch parser turns each file's bytes
+into N long-form rows (one per timestep) with the reference's semantics:
+
+- time decode: ``units``-attribute offset + per-step seconds
+  (``goes_satellite_etl.py:243-255``);
+- variable-synonym resolution: first present of the candidate names
+  (``:218-234``), missing variables zero-filled (``:236-238``);
+- NaN → 0.0 (``:277-289``);
+- per-file provenance: ``source_file``, ``file_size_mb``,
+  ``extraction_timestamp`` (``:267-274``).
+
+The *container* for this build has no netCDF4/h5py, so the binary decode
+step is pluggable: real NetCDF bytes (magic ``CDF``/``\\x89HDF``) raise
+``NotImplementedError`` unless a real parser lib is importable, while the
+test fixture format (``FAKENC1`` + JSON payload) decodes deterministically.
+All Spark-side plumbing — scan, schema, batching, partition parallelism —
+is real and tested. Many-small-files (187 KB each) are handled by the scan
+packing many files per task (``maxPartitionBytes``) and the parser looping
+files within one Arrow batch.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# canonical science variables ← synonym candidates, in priority order
+# (goes_satellite_etl.py:218-226 and the sunpy remap :328-339)
+SYNONYMS: dict[str, tuple[str, ...]] = {
+    "irradiance_xrsa1": ("irradiance_xrsa1", "xrsa1", "xrsa_short"),
+    "irradiance_xrsa2": ("irradiance_xrsa2", "xrsa2"),
+    "irradiance_xrsb1": ("irradiance_xrsb1", "xrsb1", "xrsb_long"),
+    "irradiance_xrsb2": ("irradiance_xrsb2", "xrsb2"),
+    "primary_xrsb": ("primary_xrsb", "xrsb_primary", "primary_chan"),
+    "dispersion_angle": ("dispersion_angle", "disp_angle"),
+    "integration_time": ("integration_time", "int_time"),
+}
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.LongType()),
+        T.StructField("product_time", T.StringType()),
+        T.StructField("solar_array_current_channel_index_label", T.StringType()),
+        T.StructField("irradiance_xrsa1", T.DoubleType()),
+        T.StructField("irradiance_xrsa2", T.DoubleType()),
+        T.StructField("irradiance_xrsb1", T.DoubleType()),
+        T.StructField("irradiance_xrsb2", T.DoubleType()),
+        T.StructField("primary_xrsb", T.DoubleType()),
+        T.StructField("dispersion_angle", T.DoubleType()),
+        T.StructField("integration_time", T.DoubleType()),
+        T.StructField("source_file", T.StringType()),
+        T.StructField("file_size_mb", T.DoubleType()),
+        T.StructField("extraction_timestamp", T.LongType()),
+    ]
+)
+
+FAKE_MAGIC = b"FAKENC1\n"
+
+
+def _decode_units(units: str, offsets) -> list[int]:
+    """``seconds since 2000-01-01 12:00:00`` + offsets → epoch seconds
+    (the time-units decode of goes_satellite_etl.py:243-255)."""
+    ref_str = units.split("since", 1)[1].strip()
+    ref = datetime.fromisoformat(ref_str).replace(tzinfo=timezone.utc)
+    return [int((ref + timedelta(seconds=float(o))).timestamp()) for o in offsets]
+
+
+def _parse_one(path: str, content: bytes, extraction_ts: int) -> "object":
+    """bytes → pandas.DataFrame of flat records for one file."""
+    import numpy as np
+    import pandas as pd
+
+    if content.startswith(FAKE_MAGIC):
+        payload = json.loads(content[len(FAKE_MAGIC):])
+        variables = payload["variables"]
+        units = payload.get("units", "seconds since 1970-01-01 00:00:00")
+    elif content[:3] == b"CDF" or content[:4] == b"\x89HDF":
+        try:  # real parser only if a NetCDF lib is available
+            import netCDF4  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - lib absent here
+            raise NotImplementedError(
+                "real NetCDF decode requires netCDF4/h5py, not present in "
+                "this container; plumbing is exercised via the FAKENC1 "
+                "fixture format"
+            ) from exc
+        ds = netCDF4.Dataset("inmem", memory=content)  # pragma: no cover
+        variables = {k: ds.variables[k][:].tolist() for k in ds.variables}
+        units = getattr(ds.variables.get("time"), "units", "seconds since 1970-01-01 00:00:00")
+    else:
+        raise ValueError(f"unrecognized file format for {path!r}")
+
+    if "time" in variables:
+        times = _decode_units(units, variables["time"])
+    else:
+        # S4 sunpy-fallback shape: no time var; synthesize a 10 s cadence
+        # ending at extraction (goes_satellite_etl.py:306-355).
+        n = max(len(v) for v in variables.values()) if variables else 0
+        times = [extraction_ts - 10 * (n - 1 - i) for i in range(n)]
+
+    n = len(times)
+    name = path.rsplit("/", 1)[-1]
+    parts = name.split("_")
+    product_time = parts[3] if len(parts) > 3 else name
+    out = {
+        "time": times,
+        "product_time": [product_time] * n,
+        "solar_array_current_channel_index_label": [
+            f"channel_{i % 4}" for i in range(n)
+        ],
+        "source_file": [name] * n,
+        "file_size_mb": [round(len(content) / 1024 / 1024, 6)] * n,
+        "extraction_timestamp": [extraction_ts] * n,
+    }
+    for canonical, candidates in SYNONYMS.items():
+        series = None
+        for cand in candidates:
+            if cand in variables:
+                series = [float(v) for v in variables[cand]]
+                break
+        if series is None:
+            series = [0.0] * n  # zero-fill missing variable
+        series = [(0.0 if v is None or np.isnan(v) else v) for v in series]
+        series += [0.0] * (n - len(series))  # index-overrun → 0.0
+        out[canonical] = series[:n]
+    return pd.DataFrame(out)
+
+
+def read_netcdf_directory(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.nc",
+    extraction_ts: int = 1_700_000_000,
+) -> DataFrame:
+    """S3: distributed NetCDF scan → long-form records. One ``binaryFile``
+    scan (files packed into tasks by size) feeding an Arrow-batched
+    parser; no driver-side file loop."""
+    binary = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+    def parse_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            frames = [
+                _parse_one(row.path, row.content, extraction_ts)
+                for row in pdf.itertuples(index=False)
+            ]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return binary.select("path", "content").mapInPandas(parse_batches, RECORD_SCHEMA)
+
+
+def discover_manifest(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S2: a discovery step (WebDAV/HTTP listing in the reference —
+    ``test_citic_download_v2.py:344-438``) reduced to its engine-side
+    form: a manifest DataFrame of file URLs to scan, deduplicated and
+    sorted (F19 semantics)."""
+    df = spark.createDataFrame([(p,) for p in paths], ["path"])
+    return df.filter(F.col("path").endswith(".nc")).distinct().orderBy("path")

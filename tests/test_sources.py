@@ -1,0 +1,119 @@
+"""Source-reader tests: CSV directory, JSON objects, web-log regex,
+NetCDF plumbing (fixture format), archive semantics, manifest discovery."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.sources import files as fsrc
+from data_pipeline_with_big_data_stack_spark.sources import netcdf as ncsrc
+
+
+def test_csv_directory(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("x,y\n1,foo\n2,bar\n")
+    (tmp_path / "b.csv").write_text("x,y\n3,baz\n")
+    (tmp_path / "ignore.txt").write_text("not a csv")
+    df = fsrc.csv_directory(spark, str(tmp_path))
+    rows = df.orderBy("x").collect()
+    assert [r["x"] for r in rows] == [1, 2, 3]
+    assert {r["source_file"] for r in rows} == {"a.csv", "b.csv"}
+    assert all(r["timestamp"] > 0 for r in rows)
+
+
+def test_json_objects_array_explode(spark, tmp_path):
+    (tmp_path / "batch1.json").write_text(
+        json.dumps([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    )
+    (tmp_path / "batch2.json").write_text(json.dumps([{"id": 3, "v": "c"}]))
+    df = fsrc.json_objects(spark, str(tmp_path))
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["file_name"] == "batch1.json"
+
+
+def test_web_access_logs(spark, tmp_path):
+    good = (
+        '192.168.1.1 - - [01/Jul/2025:10:00:00 +0000] "GET /api/users HTTP/1.1" '
+        '200 1234 "https://example.com" "Mozilla/5.0"'
+    )
+    dash_size = (
+        '10.0.0.2 - - [01/Jul/2025:10:00:01 +0000] "POST /login HTTP/1.1" '
+        '302 - "-" "curl/8.0"'
+    )
+    (tmp_path / "access.log").write_text(f"{good}\n{dash_size}\nmalformed line\n")
+    df = fsrc.web_access_logs(spark, str(tmp_path))
+    rows = df.orderBy("ip_address").collect()
+    assert len(rows) == 2  # malformed line filtered
+    r_post = [r for r in rows if r["method"] == "POST"][0]
+    assert r_post["status_code"] == 302 and r_post["response_size"] == 0
+    r_get = [r for r in rows if r["method"] == "GET"][0]
+    assert r_get["url"] == "/api/users" and r_get["response_size"] == 1234
+    assert r_get["user_agent"] == "Mozilla/5.0"
+
+
+def _write_fake_nc(path, n=30, start=1_700_000_000, missing_var=False, sunpy_shape=False):
+    vars_ = {
+        "xrsa_short": [1e-7 + i * 1e-9 for i in range(n)],  # synonym for xrsa1
+        "irradiance_xrsb1": [2e-8] * n,
+    }
+    if not missing_var:
+        vars_["dispersion_angle"] = [float(i) for i in range(n)]
+    payload = {"variables": vars_}
+    if not sunpy_shape:
+        payload["variables"]["time"] = [i * 10 for i in range(n)]
+        payload["units"] = "seconds since 2023-11-14 22:13:20"
+    path.write_bytes(ncsrc.FAKE_MAGIC + json.dumps(payload).encode())
+
+
+def test_netcdf_directory_scan(spark, tmp_path):
+    _write_fake_nc(tmp_path / "OR_EXIS-L1b-SFXR_G18_s1_e1_c1.nc", n=30)
+    _write_fake_nc(tmp_path / "OR_EXIS-L1b-SFXR_G18_s2_e2_c2.nc", n=30)
+    df = ncsrc.read_netcdf_directory(spark, str(tmp_path))
+    assert df.count() == 60
+    prof = df.groupBy("source_file").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    assert all(r["cnt"] == 30 for r in prof)  # GOES invariant: 30 rows/file
+    row = df.filter(F.col("source_file").contains("s1")).orderBy("time").first()
+    # synonym resolution: xrsa_short → irradiance_xrsa1
+    assert abs(row["irradiance_xrsa1"] - 1e-7) < 1e-12
+    # zero-fill for absent variables
+    assert row["irradiance_xrsa2"] == 0.0
+    # time decode: units offset applied (2023-11-14 22:13:20 = 1700000000)
+    assert row["time"] == 1_700_000_000
+    assert row["product_time"] == "s1"
+
+
+def test_netcdf_sunpy_fallback_shape(spark, tmp_path):
+    _write_fake_nc(tmp_path / "OR_X_Y_s3_e3_c3.nc", n=5, sunpy_shape=True)
+    df = ncsrc.read_netcdf_directory(spark, str(tmp_path), extraction_ts=1_000_000)
+    rows = df.orderBy("time").collect()
+    assert len(rows) == 5
+    assert rows[-1]["time"] == 1_000_000  # 10 s cadence ending at extraction
+    assert rows[0]["time"] == 1_000_000 - 40
+
+
+def test_netcdf_real_bytes_raise_without_lib(spark, tmp_path):
+    (tmp_path / "real.nc").write_bytes(b"CDF\x01" + b"\x00" * 100)
+    df = ncsrc.read_netcdf_directory(spark, str(tmp_path))
+    import pytest
+
+    with pytest.raises(Exception, match="NetCDF|NotImplemented"):
+        df.collect()
+
+
+def test_archive_processed(tmp_path):
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "f1.csv").write_text("x\n1\n")
+    moved = fsrc.archive_processed(str(src_dir), str(tmp_path / "done"), ["f1.csv"])
+    assert len(moved) == 1
+    assert not (src_dir / "f1.csv").exists()
+    assert (tmp_path / "done" / "f1.csv").exists()
+
+
+def test_discover_manifest(spark):
+    df = ncsrc.discover_manifest(
+        spark, ["b.nc", "a.nc", "a.nc", "skip.txt", "c.nc"]
+    )
+    assert [r["path"] for r in df.collect()] == ["a.nc", "b.nc", "c.nc"]
