@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
+
+pickle_by_value(__name__)  # the mapInPandas parser ships by value
+
 # canonical science variables ← synonym candidates, in priority order
 # (goes_satellite_etl.py:218-226 and the sunpy remap :328-339)
 SYNONYMS: dict[str, tuple[str, ...]] = {
