@@ -1,0 +1,157 @@
+"""Multimodal (image/audio/video) column operators.
+
+Design for a 100 TB training-data pipeline: media are opaque ``binary``
+columns with a typed metadata struct riding alongside; decode /
+feature-extract / frame-sample run distributed, Arrow-batched. The
+reference has no media path (its closest analogue is the opaque NetCDF
+binary ingest, ``goes_satellite_etl.py:133-388``) — this module is part
+of the engine's extended training-data surface.
+
+Container note: no image/audio libs are installed here, so the *pixel*
+decode step is pluggable exactly like the NetCDF parser: real media
+magics (PNG/JPEG/RIFF) raise ``NotImplementedError`` unless PIL is
+importable, while synthetic media (deterministic bytes derived from
+``md5`` of a seed column — reproducible in any engine) flow through a
+deterministic byte-level feature extractor. Everything Spark-side —
+schema, batch shape, partitioning, UDF signatures — is real and tested.
+
+Scale notes:
+- synthetic media and all metadata derivation are native column
+  expressions (JVM, whole-stage codegen) — no Python in those paths;
+- feature extraction is ``mapInPandas`` (one Arrow batch of blobs in,
+  one batch of fixed-width feature rows out) — the same shape a real
+  CLIP/whisper embedding stage would use;
+- frame sampling is pure ``substring``/``posexplode`` arithmetic on the
+  binary column — no UDF, explodes to at most ``n_frames/k`` rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
+
+pickle_by_value(__name__)  # feature extractors ship by value to workers
+
+N_HIST_BINS = 16
+
+# Real-media magics → required decoder. PNG/JPEG/GIF/RIFF(WAV-AVI).
+_REAL_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF")
+
+
+def _nibble(col: Column | str, i: int) -> Column:
+    """i-th hex nibble of md5(col) as an int (0-15) — cross-engine
+    deterministic (DuckDB: strpos('0123..f', substr(md5(c),i+1,1))-1)."""
+    return (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(col), i + 1, 1)) - 1
+    ).cast("int")
+
+
+def synth_media(seed_col: str, n_repeat: int = 8) -> Column:
+    """Deterministic fake media bytes: ``unhex(repeat(md5(seed), n))`` —
+    16*n bytes, identical in any md5-capable engine, no Python."""
+    return F.unhex(F.repeat(F.md5(F.col(seed_col)), n_repeat))
+
+
+def attach_image(df: DataFrame, seed_col: str = "text", n_repeat: int = 8) -> DataFrame:
+    """Add ``media`` (binary) + ``media_meta`` (typed struct) columns.
+
+    Metadata is derived deterministically from the seed's md5 so oracles
+    can recompute it: width/height in 64..184 step 8, 3 channels, format
+    cycling over a small set.
+    """
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp"), F.lit("bmp")),
+        _nibble(seed_col, 0) % 4 + 1,
+    )
+    meta = F.struct(
+        (F.lit(64) + _nibble(seed_col, 1) * 8).alias("width"),
+        (F.lit(64) + _nibble(seed_col, 2) * 8).alias("height"),
+        F.lit(3).alias("channels"),
+        fmt.alias("format"),
+    )
+    return df.withColumn("media", synth_media(seed_col, n_repeat)).withColumn(
+        "media_meta", meta
+    )
+
+
+def attach_video(df: DataFrame, seed_col: str = "text", frame_bytes: int = 16,
+                 n_repeat: int = 64) -> DataFrame:
+    """Video twin: binary is a concatenation of fixed-size frames;
+    metadata carries fps and the frame geometry needed to slice without
+    decoding."""
+    n_frames = (F.lit(n_repeat * 16) / frame_bytes).cast("int")
+    meta = F.struct(
+        (F.lit(12) + _nibble(seed_col, 3) % 4 * 6).alias("fps"),
+        n_frames.alias("n_frames"),
+        F.lit(frame_bytes).alias("frame_bytes"),
+    )
+    return df.withColumn("media", synth_media(seed_col, n_repeat)).withColumn(
+        "video_meta", meta
+    )
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched byte-level feature extraction over the ``media``
+    column: n_bytes, mean byte value, and a 16-bin byte histogram.
+
+    Real encoded images (PNG/JPEG/... magics) require PIL; without it
+    they raise ``NotImplementedError`` (clearly-marked stub). Synthetic
+    media always decode deterministically.
+    """
+    schema = (
+        f"{id_col} long, n_bytes int, mean_byte double, "
+        f"hist array<int>"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        try:
+            from PIL import Image  # noqa: F401 - real decoder, absent here
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        for pdf in batches:
+            ids, n_bytes, means, hists = [], [], [], []
+            for _id, blob in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                b = bytes(blob)
+                if b[:4].startswith(_REAL_MAGICS) and not have_pil:
+                    raise NotImplementedError(
+                        "real image decode requires PIL; container ships "
+                        "none — synthetic media exercise the full path"
+                    )
+                arr = np.frombuffer(b, dtype=np.uint8)
+                ids.append(_id)
+                n_bytes.append(len(b))
+                means.append(float(arr.mean()) if len(arr) else 0.0)
+                hists.append(
+                    np.bincount(arr >> 4, minlength=N_HIST_BINS).astype("int32")
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": n_bytes, "mean_byte": means,
+                 "hist": hists}
+            )
+
+    return df.select(id_col, "media").mapInPandas(extract, schema)
+
+
+def sample_frames(df: DataFrame, every_k: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling without decode: every k-th fixed-size frame sliced
+    out of the binary by ``substring`` arithmetic (1-based). Pure native
+    expressions — at scale this is a narrow map, no shuffle."""
+    nf = F.col("video_meta.n_frames")
+    fb = F.col("video_meta.frame_bytes")
+    idx = F.explode(F.sequence(F.lit(0), nf - 1, F.lit(every_k))).alias("frame_idx")
+    out = df.select(id_col, "media", "video_meta", idx)
+    return out.select(
+        id_col,
+        F.col("frame_idx"),
+        F.substring(F.col("media"), (F.col("frame_idx") * fb + 1).cast("int"), fb)
+        .alias("frame"),
+    )
