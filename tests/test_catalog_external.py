@@ -1,0 +1,87 @@
+"""Catalog (S20) and external-source builder (S9-S12) tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark import catalog
+from data_pipeline_with_big_data_stack_spark.sources import external
+
+
+class TestCatalog:
+    def test_register_and_list(self, spark, tmp_path):
+        df = spark.range(10).withColumn("v", F.col("id") * 2)
+        p = str(tmp_path / "t1")
+        df.write.parquet(p)
+        catalog.register_parquet_table(spark, "cat_t1", p, comment="test table")
+        names = [e.name for e in catalog.list_tables(spark, "cat_*")]
+        assert "cat_t1" in names
+        assert spark.table("cat_t1").count() == 10
+        spark.sql("DROP TABLE IF EXISTS cat_t1")
+
+    def test_topic_filter_include_patterns(self):
+        topics = [
+            "goes_satellite_data", "real_crypto_prices", "weather_data",
+            "stock_prices", "spark_analytics", "demo", "goes_storage_metrics",
+            "__consumer_offsets", "internal.heartbeat",
+        ]
+        # the reference lists its seven topics explicitly; globs also work
+        got = catalog.filter_topics(topics, ["goes_*", "spark_analytics", "demo"])
+        assert got == ["demo", "goes_satellite_data", "goes_storage_metrics",
+                       "spark_analytics"]
+        assert "__consumer_offsets" not in got
+
+    def test_lineage_roundtrip(self, spark):
+        spark.sql("DROP TABLE IF EXISTS engine_lineage")
+        catalog.record_lineage(
+            spark,
+            [
+                ("kafka:goes_satellite_data", "table:goes_satellite", "ingest"),
+                ("http:citic", "kafka:goes_satellite_data", "etl_dag"),
+                ("table:goes_satellite", "dashboard:solar", "superset"),
+            ],
+        )
+        up = catalog.upstream_of(spark, "dashboard:solar")
+        assert up == [
+            "http:citic", "kafka:goes_satellite_data", "table:goes_satellite"
+        ]
+        spark.sql("DROP TABLE IF EXISTS engine_lineage")
+
+
+class TestExternalSources:
+    def test_jdbc_query_builder_configures_reader(self, spark):
+        r = external.jdbc_query(
+            spark, "jdbc:postgresql://h/db", "SELECT 1 AS x",
+            partition_column="x", lower_bound="0", upper_bound="100",
+            num_partitions=4,
+        )
+        # builder returns a lazily-configured reader; no connection yet
+        assert r is not None
+
+    def test_incremental_predicate_prunes(self, spark):
+        df = spark.range(10).withColumn(
+            "order_date",
+            F.current_timestamp() - F.expr("make_interval(0,0,0,0,id*1,0,0)"),
+        )  # rows 0..9 at now-0h..now-9h
+        got = df.filter(external.incremental_predicate("order_date", 3)).count()
+        assert got == 4  # 0h,1h,2h old + the row exactly on the 3h boundary
+
+    def test_object_store_json_provenance(self, spark, tmp_path):
+        d = tmp_path / "bucket" / "prefix"
+        os.makedirs(d)
+        (d / "a.json").write_text(json.dumps({"k": 1}) + "\n" + json.dumps({"k": 2}))
+        (d / "b.json").write_text(json.dumps({"k": 3}))
+        df = external.object_store_json(spark, str(d))
+        rows = df.select("k", "file_name").collect()
+        assert {(r["k"], r["file_name"]) for r in rows} == {
+            (1, "a.json"), (2, "a.json"), (3, "b.json")
+        }
+
+    def test_mongo_builder_no_connector_is_lazy(self, spark):
+        r = external.mongo_collection(
+            spark, "mongodb://h", "db", "coll", lookback_hours=2
+        )
+        assert r is not None  # .load() would need the connector jar
