@@ -36,8 +36,14 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
     "q_ann_cosine_topk",
     "q_ann_lsh_bucketed_topk",
+    "q_asof_purchase_to_click",
+    "q_range_join_value_bands",
+    "q_percentiles_by_event_type",
+    "q10_returned_item_revenue",
+    "q_media_frame_sample",
 ]
 
 

@@ -28,32 +28,57 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ==========================================================================
-# SimHash near-duplicate detection (dedup suite, 16-bit fingerprint).
+# SimHash near-duplicate detection — standard 64-bit fingerprint carried
+# as two 32-bit halves (hi/lo), hamming threshold 3.
 #
-# bit j of a shingle's hash = high bit of hex nibble j of md5(shingle);
-# the document's simhash bit j = sign of sum over shingles of (+1/-1).
-# Candidate pairs share at least one of 4 4-bit bands (pigeonhole: any
-# pair with hamming <= 3 shares a band); verification is bit_count(xor).
-# At scale: the band join shuffles on a tiny (band_idx, band_val) key and
-# the verify step is pure integer math — same shape as MinHash LSH.
+# Per shingle: a 64-bit hash from the md5 hex prefix. Per document, bit j
+# is the sign of the Σ(+1/-1) vote over shingles. The vote is an
+# EXPLODE + hash-aggregate with 64 conditional sums — whole-stage-codegen
+# columnar aggregation, not an interpreted higher-order lambda (measured
+# ~4× faster at sf0.1), and the partial aggregation makes the shuffle
+# carry only one 64-sum row per document.
+#
+# Candidates: 4 × 16-bit bands (pigeonhole guarantees any pair with
+# hamming <= 3 shares one); 16-bit bands keep buckets near-singleton at
+# any corpus size where 64-bit simhash is meaningful, so the Σ bucket²
+# pair explosion stays linear-ish — the property that matters at 100 TB.
 # ==========================================================================
-_N_BITS = 16
 _HAM_T = 3
 
 
-def _simhash_duck() -> str:
-    bit_sums = ", ".join(
-        f"list_sum([CASE WHEN strpos('0123456789abcdef', "
-        f"substr(md5(s), {j + 1}, 1)) > 8 THEN 1 ELSE -1 END for s in sh]) AS b{j}"
-        for j in range(_N_BITS)
+def _vote_sums_duck() -> str:
+    hi = ", ".join(
+        f"sum(CASE WHEN (hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS h{j}"
+        for j in range(32)
     )
-    value = " + ".join(f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(_N_BITS))
+    lo = ", ".join(
+        f"sum(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS l{j}"
+        for j in range(32)
+    )
+    return hi + ", " + lo
+
+
+def _sig_assemble_duck() -> tuple[str, str]:
+    hi = " + ".join(f"(CASE WHEN h{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    lo = " + ".join(f"(CASE WHEN l{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return hi, lo
+
+
+def _simhash_duck() -> str:
+    hi_expr, lo_expr = _sig_assemble_duck()
     return f"""
       WITH sh AS (
         SELECT doc_id, {_SHINGLES_DUCK} AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-      bits AS (SELECT doc_id, {bit_sums} FROM sh),
-      sig AS (SELECT doc_id, ({value})::BIGINT AS simhash FROM bits)
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      v AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+        FROM ex),
+      bits AS (SELECT doc_id, {_vote_sums_duck()} FROM v GROUP BY doc_id),
+      sig AS (SELECT doc_id, ({hi_expr})::BIGINT AS sig_hi,
+                             ({lo_expr})::BIGINT AS sig_lo FROM bits)
     """
 
 
@@ -61,65 +86,107 @@ _SIMHASH_PAIRS_ORACLE = (
     _simhash_duck()
     + f"""
     , bands AS (
-      SELECT doc_id, simhash, b.band_idx,
-             (simhash >> (b.band_idx * 4)) & 15 AS band_val
+      SELECT doc_id, sig_hi, sig_lo, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN (sig_hi >> 16) & 65535
+               WHEN 1 THEN sig_hi & 65535
+               WHEN 2 THEN (sig_lo >> 16) & 65535
+               ELSE sig_lo & 65535 END AS band_val
       FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_idx) b),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sig_a, b.simhash AS sig_b
+             a.sig_hi AS ahi, a.sig_lo AS alo,
+             b.sig_hi AS bhi, b.sig_lo AS blo
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
-           bit_count(xor(sig_a, sig_b)) AS hamming
+           bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
     FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= {_HAM_T}
+    WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= {_HAM_T}
     """
 )
 
 
 def _simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    d = d.withColumn("words", F.split("text", " ")).withColumn(
-        "sh", F.expr(_SHINGLES_SPARK)
+    # NB: explode is applied to the shingle expression INLINE — exploding a
+    # withColumn'd alias makes Catalyst splice the full expression into the
+    # generator's implicit `size(e) > 0 AND isnotnull(e)` filter, where it
+    # is re-evaluated (twice, interpreted) per input row: measured 12×
+    # slower at sf0.1.
+    ex = d.withColumn("words", F.split("text", " ")).select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s")
     )
-    sig = None
-    for j in range(_N_BITS):
-        vote = F.expr(
-            f"aggregate(transform(sh, s -> CASE WHEN instr('0123456789abcdef', "
-            f"substring(md5(s), {j + 1}, 1)) > 8 THEN 1 ELSE -1 END), "
-            f"0, (acc, x) -> acc + x)"
-        )
-        bit = F.when(vote >= 0, F.lit(1 << j)).otherwise(0)
-        sig = bit if sig is None else sig + bit
-    return d.select("doc_id", sig.cast("long").alias("simhash"))
+    v = ex.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("hi"),
+        F.expr("cast(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)").alias("lo"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(h), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"{h[0]}{j}")
+        for h in ("hi", "lo")
+        for j in range(32)
+    ]
+    bits = v.groupBy("doc_id").agg(*votes)
+    sig_hi = None
+    sig_lo = None
+    for j in range(32):
+        bh = F.when(F.col(f"h{j}") >= 0, F.lit(1 << j)).otherwise(0)
+        bl = F.when(F.col(f"l{j}") >= 0, F.lit(1 << j)).otherwise(0)
+        sig_hi = bh if sig_hi is None else sig_hi + bh
+        sig_lo = bl if sig_lo is None else sig_lo + bl
+    return bits.select(
+        "doc_id",
+        sig_hi.cast("long").alias("sig_hi"),
+        sig_lo.cast("long").alias("sig_lo"),
+    )
 
 
 @query("q_dedup_simhash", oracle=_SIMHASH_PAIRS_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_spark(spark, sf_dir)
+    # bucket-grouped pair generation (see textops._lsh_candidate_pairs):
+    # signatures computed once, one shuffle on the band key, pairs explode
+    # inside each (near-singleton, thanks to 16-bit bands) bucket
     bands = sig.select(
         "doc_id",
-        "simhash",
+        "sig_hi",
+        "sig_lo",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, band_idx * 4) & 15"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE band_idx WHEN 0 THEN shiftright(sig_hi, 16) & 65535 "
+            "WHEN 1 THEN sig_hi & 65535 "
+            "WHEN 2 THEN shiftright(sig_lo, 16) & 65535 "
+            "ELSE sig_lo & 65535 END"
+        ),
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "sig_hi", "sig_lo"))
+        ).alias("docs")
+    )
+    pairs = buckets.filter(F.size("docs") >= 2).select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(docs, (x, i) ->
+                    transform(slice(docs, i + 2, size(docs)), y ->
+                        struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                               x.sig_hi AS ahi, x.sig_lo AS alo,
+                               y.sig_hi AS bhi, y.sig_lo AS blo))))
+                """
+            )
+        ).alias("p")
+    )
+    cand = pairs.select("p.*").distinct()
+    ham = F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))) + F.bit_count(
+        F.col("alo").bitwiseXOR(F.col("blo"))
+    )
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= _HAM_T
     )

@@ -345,19 +345,30 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-grouped pair generation: ONE pass computes signatures, ONE
+    shuffle groups docs by (band, band_key), and pairs explode inside
+    each bucket (sorted doc list → i<j combinations). A self-join
+    formulation evaluates the whole signature subtree twice and shuffles
+    the table twice; this shape is linear in corpus size + Σ bucket², and
+    LSH keeps buckets tiny by construction — the correct scale behavior
+    at 100 TB (skewed mega-buckets would indicate a degenerate band
+    width, not a join-strategy problem)."""
     bands = _lsh_bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
+    pairs = buckets.filter(F.size("docs") >= 2).select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(docs, (x, i) ->
+                    transform(slice(docs, i + 2, size(docs)), y ->
+                        struct(x AS doc_a, y AS doc_b))))
+                """
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 @query(
