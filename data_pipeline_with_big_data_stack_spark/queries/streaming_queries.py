@@ -1,0 +1,151 @@
+"""Streaming operators surfaced through the query registry.
+
+Each query drives a REAL Structured Streaming pipeline: the events table
+is re-served as a file-source *stream* (parquet directory + schema),
+processed with the engine's streaming operators, drained with an
+``availableNow`` trigger into a memory sink, and returned as the final
+batch DataFrame. Because every event is currently-available, the drained
+result is deterministic and — for windowed aggregation — expressible in
+SQL, so these streaming operators get full value-hash oracles
+(``time_bucket`` on the DuckDB side == tumbling ``window()`` start).
+
+The stateful operator (running totals via ``applyInPandasWithState``)
+emits per-micro-batch cumulative rows whose batch boundaries depend on
+file chunking — genuinely non-SQL — so it reduces to its final per-key
+state, which IS deterministic, and keeps a full oracle too.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark import streaming
+from data_pipeline_with_big_data_stack_spark.queries import query
+from data_pipeline_with_big_data_stack_spark.session import prepare_session
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table re-served as a bounded stream: a parquet file
+    source over the fixture dir (glob-filtered to the events file) — the
+    same micro-batch machinery a Kafka topic would feed."""
+    prepare_session(spark)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # mirror load_table's nano→micro normalization when needed
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+@query(
+    "q_stream_hourly_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4)  AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _events_stream_dir(spark, sf_dir)
+    agg = streaming.tumbling_agg(
+        st,
+        "ts",
+        "1 hour",
+        dims=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+        watermark="2 hours",
+    )
+    out = streaming.run_available_now(
+        agg,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_hourly_"),
+        output_mode="complete",
+    )
+    return out.select("window_start", "event_type", "n_events", "total_value")
+
+
+@query(
+    "q_stream_running_totals_final",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           count(*)                 AS n_events,
+           round(sum(value), 4)     AS total,
+           round(max(value), 4)     AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _events_stream_dir(spark, sf_dir)
+    run = streaming.running_totals(st, "user_id", "value")
+    drained = streaming.run_available_now(
+        run,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_run_"),
+        output_mode="update",
+    )
+    # update-mode emissions are cumulative per key; the final state per
+    # key is the row with the max n_events
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "key",
+            "n_events",
+            F.round("total", 4).alias("total"),
+            F.round("max_value", 4).alias("max_value"),
+        )
+    )
+
+
+@query(
+    "q_stream_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id,
+           min(ts)                            AS session_start,
+           max(ts) + INTERVAL '30 minutes'    AS session_end,
+           count(*)                           AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (gap 30 min). Spark's session_window end
+    = last event + gap; the oracle reproduces that with a lag-based gap
+    sessionization — the two formulations must agree exactly."""
+    st = _events_stream_dir(spark, sf_dir)
+    agg = streaming.session_agg(
+        st, "ts", "30 minutes", dims=["user_id"], watermark="2 hours"
+    )
+    out = streaming.run_available_now(
+        agg,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_sess_"),
+        output_mode="complete",
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")

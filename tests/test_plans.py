@@ -1,0 +1,128 @@
+"""Physical-plan property tests — the scale contract.
+
+Correctness says WHAT each operator computes; these tests pin HOW: the
+plan shapes that keep working at 1000 executors / 100 TB. A regression
+that silently turns a broadcast join into a cartesian product, loses a
+parquet filter pushdown, or drops map-side partial aggregation would
+still pass value checks at test SF — these assertions catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+class TestNoCartesian:
+    """No registered query may degrade to an unconstrained cross product
+    (the broadcast ANN probes are bounded crossJoins by design)."""
+
+    BOUNDED_CROSS_OK = {"q_ann_cosine_topk", "q_media_frame_sample"}
+
+    @pytest.mark.parametrize(
+        "name",
+        sorted(
+            n
+            for n in QUERIES
+            if not n.startswith("q_stream")  # streaming queries execute eagerly
+        ),
+    )
+    def test_no_cartesian(self, spark, name):
+        plan = plan_of(spark, name)
+        if name in self.BOUNDED_CROSS_OK:
+            # must be a BROADCAST nested loop (probe side tiny), never a
+            # shuffle cartesian
+            assert "CartesianProduct" not in plan
+        else:
+            assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_parquet(self, spark):
+        # q6 filters on shipdate/discount/quantity — all must reach the scan
+        plan = plan_of(spark, "q6_forecast_revenue")
+        assert "PushedFilters: [" in plan
+        pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+        assert "l_shipdate" in pushed and "l_discount" in pushed
+
+    def test_column_pruning(self, spark):
+        # q1 touches 7 of lineitem's 11 columns; the scan must not read more
+        plan = plan_of(spark, "q1_pricing_summary")
+        read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert "l_orderkey" not in read_schema
+        assert "l_partkey" not in read_schema
+        assert "l_quantity" in read_schema
+
+    def test_events_time_filter_pushed(self, spark):
+        plan = plan_of(spark, "q_druid_hourly_dashboard")
+        # time-range dashboards must skip row groups via pushed ts filter
+        assert "PushedFilters: [" in plan
+
+
+class TestJoinStrategies:
+    def test_small_dims_broadcast(self, spark):
+        # q5 joins lineitem⋈orders⋈customer⋈supplier⋈nation⋈region —
+        # nation/region are broadcastable; no sort-merge for them
+        plan = plan_of(spark, "q5_local_supplier_volume")
+        assert "BroadcastHashJoin" in plan
+
+    def test_range_join_is_broadcast_nested_loop(self, spark):
+        plan = plan_of(spark, "q_range_join_value_bands")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_semi_join_for_exists(self, spark):
+        plan = plan_of(spark, "q4_late_shipment_priority")
+        assert "LeftSemi" in plan
+
+    def test_lsh_band_join_not_expanded(self, spark):
+        # fuzzy dedup must shuffle on band keys (hash agg), never
+        # self-join the corpus
+        plan = plan_of(spark, "q_dedup_minhash_lsh")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan or "band" in plan
+
+
+class TestAggregationShape:
+    def test_partial_aggregation_before_shuffle(self, spark):
+        # A1-shaped agg: map-side partial + reduce-side final
+        plan = plan_of(spark, "q_doc_source_profile")
+        assert plan.count("HashAggregate") >= 2
+
+    def test_topk_fuses_to_take_ordered(self, spark):
+        plan = plan_of(spark, "q_topk_orders_by_value")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_whole_stage_codegen_on_hot_path(self, spark):
+        # codegen spans only materialize in the AQE final plan — collect()
+        # executes this DF's own queryExecution (a write would spawn a new one)
+        df = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "*(" in plan  # whole-stage-codegen star markers on the agg/scan
+
+
+class TestGeneratorPitfall:
+    def test_no_interpreted_shingle_filter(self, spark):
+        """The explode-of-aliased-complex-array pitfall (re-evaluation of
+        the generator expression inside its implicit size>0 filter) must
+        not reappear in the simhash pipeline."""
+        plan = plan_of(spark, "q_dedup_simhash")
+        for line in plan.splitlines():
+            if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
+                assert "transform" not in line, (
+                    "shingle transform re-evaluated inside a Filter node"
+                )
