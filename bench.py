@@ -54,6 +54,31 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def ingest_throughput(spark, n_rows: int = 1_000_000) -> float:
+    """GOES-shaped ingest rows/s (BASELINE: Druid claims 100K+ events/s):
+    synthesize n rows, run the full spec pipeline (posix-ts parse, typed
+    dims, minute floor, date partition columns), write parquet."""
+    import shutil
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.ingest import compile_transform, with_partition_columns
+    from data_pipeline_with_big_data_stack_spark.schemas import GOES_SATELLITE
+    from data_pipeline_with_big_data_stack_spark.sources.generators import goes_sample_source
+
+    src = goes_sample_source(spark, n=n_rows, seed=11, cadence_seconds=1)
+    plan = with_partition_columns(
+        GOES_SATELLITE, compile_transform(GOES_SATELLITE, src)
+    )
+    out = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        t0 = time.perf_counter()
+        plan.write.mode("overwrite").partitionBy("__date").parquet(out)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return n_rows / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -70,6 +95,7 @@ def main() -> None:
         times[name] = round(run_query(spark, name, sf_dir), 3)
 
     total = round(sum(times.values()), 3)
+    rows_s = round(ingest_throughput(spark), 0)
     print(
         json.dumps(
             {
@@ -78,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "ingest_rows_per_sec": rows_s,
             }
         )
     )

@@ -29,15 +29,18 @@ def goes_sample_source(
     n: int = 100,
     anchor_epoch: int = 1_700_000_000,
     seed: int = 42,
+    cadence_seconds: int = 60,
 ) -> DataFrame:
-    """S14: GOES-shaped sample records — one per minute counting back
-    from the anchor, uniform-random irradiances in physical ranges,
-    ``channel_{i % 4}`` labels (``goes_satellite_etl.py:390-413``)."""
+    """S14: GOES-shaped sample records — one per ``cadence_seconds``
+    counting back from the anchor (reference: 1/min), uniform-random
+    irradiances in physical ranges, ``channel_{i % 4}`` labels
+    (``goes_satellite_etl.py:390-413``)."""
     df = spark.range(n)
+    step = F.col("id") * cadence_seconds
     return df.select(
-        (F.lit(anchor_epoch) - F.col("id") * 60).alias("time"),
+        (F.lit(anchor_epoch) - step).alias("time"),
         F.date_format(
-            F.timestamp_seconds(F.lit(anchor_epoch) - F.col("id") * 60),
+            F.timestamp_seconds(F.lit(anchor_epoch) - step),
             "yyyy-MM-dd'T'HH:mm:ss",
         ).alias("product_time"),
         F.concat(F.lit("channel_"), F.pmod("id", F.lit(4))).alias(
