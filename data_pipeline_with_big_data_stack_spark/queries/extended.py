@@ -473,3 +473,77 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ==========================================================================
+# Web-log regex parsing (S13/F11 — `database_etl.py:220-263`): combined-
+# log-format lines parsed back to structured records with regexp_extract
+# per field + int casts, then profiled by status. Lines are synthesized
+# deterministically from events so the oracle rebuilds the exact corpus.
+# ==========================================================================
+_LOG_PAT = r'^(\S+) \S+ \S+ \[([^\]]*)\] "(\S+) (\S+) [^"]*" (\d+) (\d+)'
+
+
+@query(
+    "q_weblog_parse_profile",
+    oracle=f"""
+    WITH lines AS (
+      SELECT printf('10.0.%d.%d - - [01/Jan/2024] "GET /page/%d HTTP/1.1" %d %d',
+                    (user_id % 250)::INT, (event_id % 250)::INT,
+                    (event_id % 40)::INT,
+                    CASE event_type WHEN 'error' THEN 500
+                         WHEN 'view' THEN 200 WHEN 'click' THEN 200
+                         WHEN 'purchase' THEN 201 ELSE 302 END,
+                    floor(value * 10)::INT) AS line
+      FROM events),
+    parsed AS (
+      SELECT regexp_extract(line, '{_LOG_PAT}', 1)        AS ip,
+             regexp_extract(line, '{_LOG_PAT}', 3)        AS method,
+             regexp_extract(line, '{_LOG_PAT}', 4)        AS url,
+             regexp_extract(line, '{_LOG_PAT}', 5)::INT   AS status,
+             regexp_extract(line, '{_LOG_PAT}', 6)::BIGINT AS size
+      FROM lines)
+    SELECT status, count(*) AS n_requests,
+           count(DISTINCT ip) AS n_ips,
+           count(DISTINCT url) AS n_urls,
+           sum(size) AS total_bytes
+    FROM parsed
+    WHERE method = 'GET'
+    GROUP BY status
+    """,
+)
+def q_weblog_parse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", 500)
+        .when(F.col("event_type").isin("view", "click"), 200)
+        .when(F.col("event_type") == "purchase", 201)
+        .otherwise(302)
+    )
+    lines = e.select(
+        F.format_string(
+            '10.0.%d.%d - - [01/Jan/2024] "GET /page/%d HTTP/1.1" %d %d',
+            (F.col("user_id") % 250).cast("int"),
+            (F.col("event_id") % 250).cast("int"),
+            (F.col("event_id") % 40).cast("int"),
+            status,
+            F.floor(F.col("value") * 10).cast("int"),
+        ).alias("line")
+    )
+    parsed = lines.select(
+        F.regexp_extract("line", _LOG_PAT, 1).alias("ip"),
+        F.regexp_extract("line", _LOG_PAT, 3).alias("method"),
+        F.regexp_extract("line", _LOG_PAT, 4).alias("url"),
+        F.regexp_extract("line", _LOG_PAT, 5).cast("int").alias("status"),
+        F.regexp_extract("line", _LOG_PAT, 6).cast("long").alias("size"),
+    )
+    return (
+        parsed.filter(F.col("method") == "GET")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("ip").alias("n_ips"),
+            F.countDistinct("url").alias("n_urls"),
+            F.sum("size").alias("total_bytes"),
+        )
+    )
