@@ -1,0 +1,87 @@
+"""Physical-layout operators (SURVEY §4's engine-specific decisions):
+bucketed tables for co-located joins, and small-file compaction.
+
+Druid's analogues: hash-partitioned segments and `maxRowsPerSegment`
+size targeting + auto-compaction (`M/druid-goes-satellite-datasource.json:17`).
+In Spark the same levers are ``bucketBy`` on the metastore table — both
+sides of an equi-join pre-hashed into the same bucket layout eliminates
+the join shuffle entirely — and a periodic compaction rewrite that
+coalesces a partition's many small files into size-targeted ones (the
+many-small-files risk called out in SURVEY §7 for 187 KB NetCDF drops).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed+sorted metastore table. Joins/aggregations
+    on ``bucket_cols`` between tables sharing (cols, n_buckets) read
+    bucket-to-bucket with NO Exchange — the shuffle happens once at
+    write, amortized over every subsequent query."""
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .format("parquet")
+    )
+    writer.saveAsTable(table)
+
+
+def table_files(spark: SparkSession, path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dir into ~target-size files. Returns the new
+    file count. The rewrite is one job: read (small files packed into
+    tasks by ``maxPartitionBytes``) → repartition to ceil(bytes/target)
+    → overwrite via a staging dir (readers of the old files are not
+    disturbed mid-rewrite; the swap is a directory rename)."""
+    files = table_files(spark, path)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compacting"
+    writer = df.repartition(int(n_out)).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    # atomic-ish swap (same filesystem)
+    backup = path.rstrip("/") + "__precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    import shutil
+
+    shutil.rmtree(backup, ignore_errors=True)
+    return len(table_files(spark, path))
+
+
+def skew_salt(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Salting helper for skewed keys: adds ``__salt`` (stable hash of
+    the full row spread over n_salts). GroupBys run (key, __salt) partial
+    then re-aggregate by key; joins replicate the small side per salt.
+    AQE's skew-join handling covers sort-merge joins automatically —
+    this is for aggregation hotspots it doesn't reach."""
+    return df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )

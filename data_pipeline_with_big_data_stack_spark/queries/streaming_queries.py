@@ -149,3 +149,46 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@query(
+    "q_stream_sliding_2h_1h",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+               AS window_start,
+             value
+      FROM events)
+    SELECT window_start,
+           window_start + INTERVAL '2 hours' AS window_end,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def q_stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2 h duration, 1 h slide — every event
+    lands in exactly two windows. The oracle expands each event into its
+    two window-start buckets and re-aggregates."""
+    st = _events_stream_dir(spark, sf_dir)
+    agg = streaming.sliding_agg(
+        st,
+        "ts",
+        "2 hours",
+        "1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            # sum not avg: avg's division creates half-ulp rounding-boundary
+            # flips between engines at any fixed precision
+            "total_value": F.round(F.sum("value"), 4),
+        },
+        watermark="4 hours",
+    )
+    out = streaming.run_available_now(
+        agg,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_slide_"),
+        output_mode="complete",
+    )
+    return out.select("window_start", "window_end", "n_events", "total_value")

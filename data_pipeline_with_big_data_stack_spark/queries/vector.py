@@ -236,3 +236,113 @@ def q_embed_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization into K cells (centroids = a fixed,
+# deterministic sample of the corpus — vec_id multiples of N/K — playing
+# the role of a trained codebook), probe searches its nprobe nearest
+# cells only. The inverted-file pattern at scale: the corpus is
+# partitioned by cell_id once at index build; a probe touches
+# nprobe/K of the data, and the cell assignment join broadcasts only
+# the K-row codebook.
+# --------------------------------------------------------------------------
+_K_CELLS = 8
+_NPROBE = 2
+
+
+def _ivf_cells_duck() -> str:
+    return f"""
+    cents AS (
+      SELECT (vec_id / 100)::BIGINT AS cell_id, embedding::DOUBLE[] AS c_emb
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_K_CELLS * 100}),
+    assigned AS (
+      SELECT t.vec_id, t.label, t.emb, a.cell_id
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) t
+      CROSS JOIN LATERAL (
+        SELECT cell_id FROM cents
+        ORDER BY list_distance(t.emb, c_emb), cell_id LIMIT 1) a),
+    probe_cells AS (
+      SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_distance(q.emb, c.c_emb), c.cell_id) AS rk
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            WHERE vec_id < {N_QUERY_VECS}) q CROSS JOIN cents c)
+    """
+
+
+_IVF_ORACLE = f"""
+    WITH {_ivf_cells_duck()}
+    , cand AS (
+      SELECT p.q_id, a.vec_id, a.cell_id,
+             round(list_dot_product(p.q_emb, a.emb)
+                   / (sqrt(list_dot_product(p.q_emb, p.q_emb))
+                      * sqrt(list_dot_product(a.emb, a.emb))), 6) AS cosine
+      FROM probe_cells p JOIN assigned a ON p.cell_id = a.cell_id
+      WHERE p.rk <= {_NPROBE} AND a.vec_id != p.q_id)
+    SELECT q_id, vec_id, cell_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM cand)
+    WHERE rn <= {TOP_K}
+"""
+
+
+@query("q_ann_ivf_topk", oracle=_IVF_ORACLE)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100))
+        .select(
+            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+            F.col("emb").alias("c_emb"),
+        )
+    )
+
+    def sqdist(a, b):
+        d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+    # assign: broadcast the K-row codebook, keep nearest cell per vector
+    w_assign = W.partitionBy("vec_id").orderBy("dist", "cell_id")
+    assigned = (
+        e.select("vec_id", "label", "emb")
+        .join(F.broadcast(cents))
+        .withColumn("dist", F.sqrt(sqdist(F.col("emb"), F.col("c_emb"))))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "emb", "cell_id")
+    )
+    # probes: nprobe nearest cells each
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+        .join(F.broadcast(cents))
+        .withColumn("dist", F.sqrt(sqdist(F.col("q_emb"), F.col("c_emb"))))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("q_id").orderBy("dist", "cell_id")),
+        )
+        .filter(F.col("rk") <= _NPROBE)
+        .select("q_id", "q_emb", "cell_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "cell_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "cell_id", "cosine")
+    )

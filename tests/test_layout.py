@@ -1,0 +1,86 @@
+"""Physical-layout tests: bucketed join shuffle elimination, compaction,
+salted aggregation equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.operators import layout
+from data_pipeline_with_big_data_stack_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def bucketed_pair(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    layout.write_bucketed(o, "b_orders", ["o_custkey"], n_buckets=8)
+    layout.write_bucketed(c, "b_customer", ["c_custkey"], n_buckets=8)
+    yield "b_orders", "b_customer"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_join_eliminates_shuffle(spark, bucketed_pair):
+    ot, ct = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table(ot)
+            .join(spark.table(ct), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # join itself must be exchange-free: the only allowed Exchange is
+        # the groupBy after it. SortMergeJoin reads bucketed scans directly.
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        # and results are right
+        total = j.agg(F.sum("n")).collect()[0][0]
+        assert total == spark.table(ot).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_uses_bucket_layout(spark, bucketed_pair):
+    ot, _ = bucketed_pair
+    agg = spark.table(ot).groupBy("o_custkey").agg(F.sum("o_totalprice").alias("t"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # bucket layout satisfies the clustering
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    p = str(tmp_path / "shards")
+    df = spark.range(20_000).withColumn("v", F.rand(5))
+    df.repartition(64).write.parquet(p)  # 64 small files
+    before_files = len(layout.table_files(spark, p))
+    before_rows = spark.read.parquet(p).count()
+    before_sum = spark.read.parquet(p).agg(F.sum("id")).collect()[0][0]
+    after_files = layout.compact_table(spark, p, target_file_bytes=10 * 1024 * 1024)
+    assert after_files < before_files
+    assert spark.read.parquet(p).count() == before_rows
+    assert spark.read.parquet(p).agg(F.sum("id")).collect()[0][0] == before_sum
+
+
+def test_skew_salt_two_phase_agg_equivalence(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    direct = {
+        (r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    }
+    salted = layout.skew_salt(e, "event_type", n_salts=16)
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("ps")
+    )
+    merged = {
+        (r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in partial.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("ps"), 6).alias("s"))
+        .collect()
+    }
+    assert direct == merged
