@@ -442,3 +442,85 @@ def q_doc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex tokenization (brief: "token counting — whitespace + a
+# BPE-ish regex"): lowercase runs / capitalized words / digit runs /
+# single punctuation — the pre-tokenizer split GPT-style BPE vocabularies
+# assume. Whitespace counting is q_doc_token_stats above.
+# --------------------------------------------------------------------------
+_BPE_PAT = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@query(
+    "q_doc_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(text, '{_BPE_PAT}') AS toks
+      FROM documents)
+    SELECT lang,
+           count(*)                                    AS n_docs,
+           sum(len(toks))                              AS total_tokens,
+           round(avg(len(toks)), 4)                    AS avg_tokens,
+           round(avg(len(list_distinct(toks))), 4)     AS avg_distinct,
+           max(len(toks))                              AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # F.lit pattern, not an F.expr SQL literal — Spark SQL string parsing
+    # would eat the backslash in \s and silently tokenize whitespace
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    d = d.withColumn("toks", toks)
+    n = F.size("toks")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+        F.round(F.avg(F.size(F.array_distinct("toks"))), 4).alias("avg_distinct"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash document fingerprint (brief: "document fingerprinting
+# (rolling hash)"): polynomial hash acc = (acc*31 + h(token)) mod p over
+# the token stream — order-sensitive (unlike the md5 content hash above),
+# so reordered-token docs get distinct fingerprints while identical
+# streams collide. h(token) is the usual cross-engine md5-prefix int.
+# --------------------------------------------------------------------------
+_MOD = 1_000_000_007
+
+
+@query(
+    "q_doc_rolling_hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(w), 1, 8))::BIGINT
+              for w in string_split(text, ' ')] AS hs
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, hs),
+                       (acc, x) -> (acc * 31 + x) % {_MOD}) AS fingerprint,
+           len(hs) AS n_tokens
+    FROM t
+    """,
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hs = F.expr(
+        "transform(split(text, ' '), "
+        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))"
+    )
+    fp = F.aggregate(
+        hs, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _MOD
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
