@@ -199,3 +199,54 @@ ALL_DATASOURCES: tuple[DatasourceSpec, ...] = (
 
 DATASOURCES_BY_NAME = {s.name: s for s in ALL_DATASOURCES}
 DATASOURCES_BY_TOPIC = {s.topic: s for s in ALL_DATASOURCES}
+
+
+# --- Druid supervisor-spec JSON compatibility ------------------------------
+
+def from_druid_json(spec: dict | str) -> DatasourceSpec:
+    """Load a Druid Kafka-ingestion supervisor spec (the reference's
+    ``druid-*-datasource.json`` format) into a :class:`DatasourceSpec`,
+    so existing spec files drive the Spark engine unmodified.
+
+    Reads: ``spec.ioConfig.topic``, ``spec.dataSchema.dataSource``,
+    ``timestampSpec{column,format}``, ``dimensionsSpec.dimensions``
+    (strings or ``{name,type}`` objects — Druid treats bare strings as
+    string dimensions), ``granularitySpec{segmentGranularity,
+    queryGranularity,rollup}``, and
+    ``tuningConfig.maxRowsPerSegment``.
+    """
+    import json as _json
+
+    if isinstance(spec, str):
+        spec = _json.loads(spec)
+    body = spec.get("spec", spec)
+    schema = body["dataSchema"]
+    io = body.get("ioConfig", {})
+    tuning = body.get("tuningConfig", {})
+
+    ts = schema.get("timestampSpec", {})
+    dims = []
+    for d in schema.get("dimensionsSpec", {}).get("dimensions", []):
+        if isinstance(d, str):
+            dims.append(Dimension(d, "string"))
+        else:
+            dims.append(Dimension(d["name"], d.get("type", "string").lower()))
+
+    gran = schema.get("granularitySpec", {})
+    q = gran.get("queryGranularity", "NONE")
+    if isinstance(q, dict):  # {"type": "none"} form
+        q = q.get("type", "NONE")
+    return DatasourceSpec(
+        name=schema["dataSource"],
+        topic=io.get("topic", schema["dataSource"]),
+        timestamp=TimestampSpec(
+            ts.get("column", "timestamp"), ts.get("format", "posix")
+        ),
+        dimensions=tuple(dims),
+        granularity=GranularitySpec(
+            segment=str(gran.get("segmentGranularity", "DAY")).upper(),
+            query=str(q).upper(),
+            rollup=bool(gran.get("rollup", False)),
+        ),
+        max_rows_per_segment=int(tuning.get("maxRowsPerSegment", 5_000_000)),
+    )
