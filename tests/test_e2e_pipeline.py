@@ -1,0 +1,155 @@
+"""End-to-end pipeline integration: the full reference workflow on Spark.
+
+Mirrors the reference's complete lifecycle (SURVEY §3.1/§3.3) in one
+test session: acquire (generators / fake-fetcher REST / fake NetCDF) →
+ingest per supervisor spec (typed dims, __time, date partitions) →
+register in the catalog with lineage → query through the Druid SQL
+dialect shim — the documented dashboard queries running verbatim against
+the ingested tables, exactly what a reference user would run after
+switching engines.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark import catalog, ingest
+from data_pipeline_with_big_data_stack_spark.plans.sql_shim import druid_sql
+from data_pipeline_with_big_data_stack_spark.schemas import (
+    GOES_SATELLITE,
+    REAL_CRYPTO,
+    SPARK_ANALYTICS,
+)
+from data_pipeline_with_big_data_stack_spark.sources import generators, netcdf, rest
+
+
+@pytest.fixture(scope="module")
+def pipeline_tables(spark, tmp_path_factory):
+    """Ingest three representative datasources end-to-end."""
+    base = tmp_path_factory.mktemp("warehouse")
+
+    # 1. GOES: fake NetCDF files → binaryFile scan → mapInPandas → spec
+    ncdir = base / "landing_nc"
+    ncdir.mkdir()
+    for i in range(4):
+        payload = {
+            "units": "seconds since 2023-04-26 00:00:00",
+            "variables": {
+                "time": [t * 10 for t in range(30)],
+                "xrsa1": [1e-7 + i * 1e-9 + t * 1e-10 for t in range(30)],
+                "xrsb1": [2e-8] * 30,
+            },
+        }
+        (ncdir / f"OR_EXIS-L1b-SFXR_G18_s{i}_e{i}_c{i}.nc").write_bytes(
+            b"FAKENC1\n" + json.dumps(payload).encode()
+        )
+    goes_raw = netcdf.read_netcdf_directory(spark, str(ncdir))
+    goes_path = str(base / "goes_satellite")
+    ingest.ingest_batch(GOES_SATELLITE, goes_raw, goes_path)
+    catalog.register_parquet_table(
+        spark, "goes_satellite_datasource", goes_path, comment="GOES EXIS/SFXR"
+    )
+
+    # 2. crypto: REST poll (fake fetcher) → spec
+    payload = {
+        c: {"usd": 10.0 * (i + 1), "usd_market_cap": 1000 * (i + 1),
+            "usd_24h_change": i - 1.5}
+        for i, c in enumerate(rest.COINS)
+    }
+    crypto_raw = rest.crypto_prices(spark, lambda u: payload, 1_700_000_000)
+    crypto_path = str(base / "real_crypto")
+    ingest.ingest_batch(REAL_CRYPTO, crypto_raw, crypto_path)
+    catalog.register_parquet_table(spark, "real_crypto_datasource", crypto_path)
+
+    # 3. sessions: seeded generator → spec
+    sess_raw = generators.sessions_source(spark, n=500, seed=3)
+    sess_path = str(base / "spark_analytics")
+    ingest.ingest_batch(SPARK_ANALYTICS, sess_raw, sess_path)
+    catalog.register_parquet_table(spark, "spark_analytics_datasource", sess_path)
+
+    catalog.record_lineage(
+        spark,
+        [
+            ("file:landing_nc", "table:goes_satellite_datasource", "netcdf_ingest"),
+            ("api:coingecko", "table:real_crypto_datasource", "rest_ingest"),
+            ("gen:sessions", "table:spark_analytics_datasource", "generator"),
+        ],
+        table="e2e_lineage",
+    )
+    yield
+    for t in (
+        "goes_satellite_datasource",
+        "real_crypto_datasource",
+        "spark_analytics_datasource",
+        "e2e_lineage",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_goes_table_shape_and_invariant(spark, pipeline_tables):
+    t = spark.table("goes_satellite_datasource")
+    assert t.count() == 4 * 30
+    # per-file profile — GROUP BY source_file → COUNT(*)=30 (the report's
+    # documented validation query)
+    prof = t.groupBy("source_file").count().collect()
+    assert len(prof) == 4 and all(r["count"] == 30 for r in prof)
+    # minute queryGranularity floored __time; date partition column present
+    assert "__date" in t.columns
+    assert t.filter(F.second("__time") != 0).count() == 0
+
+
+def test_druid_dashboard_sql_runs_verbatim(spark, pipeline_tables):
+    # README.md:173-182-shaped hourly dashboard over the ingested table
+    out = druid_sql(
+        spark,
+        """
+        SELECT TIME_FLOOR(__time, 'PT1H') AS hour,
+               AVG(irradiance_xrsa1) AS avg_xrsa1,
+               AVG(irradiance_xrsb1) AS avg_xrsb1,
+               COUNT(*) AS n
+        FROM goes_satellite_datasource
+        GROUP BY 1 ORDER BY 1
+        """,
+    ).collect()
+    assert len(out) >= 1
+    assert sum(r["n"] for r in out) == 120
+    # market-cap ordering query (README.md:185-192 shape)
+    coins = druid_sql(
+        spark,
+        """
+        SELECT coin_id, price_usd, market_cap
+        FROM real_crypto_datasource
+        ORDER BY market_cap DESC
+        """,
+    ).collect()
+    assert [r["coin_id"] for r in coins][0] == "polkadot"  # largest cap fake
+
+
+def test_demoSpark_report_queries(spark, pipeline_tables):
+    # the reference's Spark job aggregations (demoSpark.py:69-94) on the
+    # ingested sessions table
+    t = spark.table("spark_analytics_datasource")
+    by_country = (
+        t.groupBy("country")
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.avg("page_views").alias("avg_pages"),
+            F.sum("revenue").alias("total_revenue"),
+        )
+        .orderBy(F.desc("sessions"))
+    ).collect()
+    assert sum(r["sessions"] for r in by_country) == 500
+    high_value = t.filter(F.col("revenue") > 100).select(
+        "user_id", "revenue", "device_type", "country"
+    )
+    assert high_value.count() > 0
+
+
+def test_lineage_traceable(spark, pipeline_tables):
+    up = catalog.upstream_of(
+        spark, "table:goes_satellite_datasource", table="e2e_lineage"
+    )
+    assert up == ["file:landing_nc"]
