@@ -192,3 +192,30 @@ def q_stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.select("window_start", "window_end", "n_events", "total_value")
+
+
+@query(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, event_type, round(value, 4) AS value
+    FROM events
+    """,
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: every event is duplicated in-flight
+    (explode ×2) and ``dropDuplicatesWithinWatermark`` on event_id must
+    restore exactly the original stream — watermark-bounded state, the
+    at-scale shape for at-least-once upstream delivery."""
+    st = _events_stream_dir(spark, sf_dir)
+    doubled = st.select(
+        "event_id", "event_type", "value", "ts",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("copy"),
+    ).drop("copy")
+    dedup = streaming.stream_dedup(doubled, ["event_id"], time_col="ts",
+                                   watermark="1 hour")
+    out = streaming.run_available_now(
+        dedup,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_dedup_"),
+        output_mode="append",
+    )
+    return out.select("event_id", "event_type", F.round("value", 4).alias("value"))
