@@ -276,3 +276,58 @@ class TestStreamingIngest:
             }
         finally:
             q.stop()
+
+
+class TestStateRecovery:
+    def test_running_totals_resume_from_checkpoint(self, spark, tmp_path):
+        """State must survive a stream restart: drain batch 1, stop, add
+        batch 2, drain again with the SAME checkpoint — cumulative totals
+        continue from the recovered state store, not from zero."""
+        feed = str(tmp_path / "resume_feed")
+        ckpt = str(tmp_path / "ckpt_resume")
+        sink = str(tmp_path / "resume_sink")
+        _write_feed(feed, _feed_rows(30), "b1.json")
+
+        def drain():
+            # memory sinks cannot recover a checkpoint; foreachBatch to
+            # parquet is the fault-tolerant production shape
+            run = streaming.running_totals(_stream(spark, feed), "user_id", "value")
+            q = (
+                run.writeStream.foreachBatch(
+                    lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                    .write.mode("append")
+                    .parquet(sink)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            out = spark.read.parquet(sink)
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("key").orderBy(F.col("n_events").desc())
+            return {
+                r["key"]: r
+                for r in out.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .collect()
+            }
+
+        first = drain()
+        n_first = {k: r["n_events"] for k, r in first.items()}
+        assert sum(n_first.values()) == 30
+
+        _write_feed(feed, _feed_rows(20, start_min=40), "b2.json")
+        second = drain()
+        # latest emission per key is cumulative incl. recovered batch-1 state
+        batch = _batch(spark, feed)
+        want = {
+            r["key"]: (r["n"], r["t"])
+            for r in batch.groupBy(
+                F.col("user_id").cast("string").alias("key")
+            ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t")).collect()
+        }
+        got = {k: (r["n_events"], r["total"]) for k, r in second.items()}
+        assert got == want  # 50 events total, never re-zeroed
