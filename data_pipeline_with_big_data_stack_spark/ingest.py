@@ -25,7 +25,34 @@ from pyspark.sql import functions as F
 from data_pipeline_with_big_data_stack_spark.operators.cleanup import cast_dimensions, parse_event_time
 from data_pipeline_with_big_data_stack_spark.schemas import DatasourceSpec
 
-_GRAIN_TO_UNIT = {"MINUTE": "minute", "HOUR": "hour", "DAY": "day"}
+# Druid's standard granularity ladder → date_trunc units. FIFTEEN_MINUTE
+# and friends have no date_trunc unit and are floored arithmetically.
+_GRAIN_TO_UNIT = {
+    "SECOND": "second",
+    "MINUTE": "minute",
+    "HOUR": "hour",
+    "DAY": "day",
+    "WEEK": "week",
+    "MONTH": "month",
+    "QUARTER": "quarter",
+    "YEAR": "year",
+}
+_GRAIN_TO_SECONDS = {"FIFTEEN_MINUTE": 900, "THIRTY_MINUTE": 1800,
+                     "FIVE_MINUTE": 300, "TEN_MINUTE": 600}
+
+
+def _floor_time(grain: str, col):
+    if grain in _GRAIN_TO_UNIT:
+        return F.date_trunc(_GRAIN_TO_UNIT[grain], col)
+    if grain in _GRAIN_TO_SECONDS:
+        secs = _GRAIN_TO_SECONDS[grain]
+        return F.timestamp_seconds(
+            (F.unix_timestamp(col) / secs).cast("long") * secs
+        )
+    raise ValueError(
+        f"unsupported queryGranularity {grain!r}; supported: "
+        f"{sorted(_GRAIN_TO_UNIT) + sorted(_GRAIN_TO_SECONDS)} or NONE"
+    )
 
 
 def compile_transform(spec: DatasourceSpec, source: DataFrame) -> DataFrame:
@@ -37,8 +64,9 @@ def compile_transform(spec: DatasourceSpec, source: DataFrame) -> DataFrame:
     df = cast_dimensions(df, spec.schema())
 
     if spec.granularity.query != "NONE":
-        unit = _GRAIN_TO_UNIT[spec.granularity.query]
-        df = df.withColumn("__time", F.date_trunc(unit, "__time"))
+        df = df.withColumn(
+            "__time", _floor_time(spec.granularity.query, F.col("__time"))
+        )
 
     if spec.granularity.rollup:
         # rollup=true semantics (A8): pre-aggregate identical
@@ -82,8 +110,17 @@ def write_batch(
         spark.catalog.createTable(register_as, path=path, source="parquet")
         try:  # pick up the partitions for the metastore-backed table
             spark.sql(f"MSCK REPAIR TABLE {register_as}")
-        except Exception:
-            pass
+        except Exception as exc:
+            # path-based datasource tables discover partitions at read
+            # time; surface (don't hide) a real repair failure
+            import warnings
+
+            warnings.warn(
+                f"MSCK REPAIR TABLE {register_as} failed: {exc}; if the "
+                "metastore manages file-source partitions, queries may "
+                "see no rows until a manual repair",
+                stacklevel=2,
+            )
 
 
 def ingest_batch(
@@ -105,7 +142,9 @@ def compile_stream(spec: DatasourceSpec, stream: DataFrame) -> DataFrame:
     Druid's accept-any-lateness segments (SURVEY §2.9 T5)."""
     if spec.granularity.rollup:
         raise NotImplementedError(
-            "streaming rollup requires a watermark; use streaming.ingest"
+            "streaming rollup requires a watermark; build it from "
+            "streaming.windows.tumbling_agg(df, '__time', <granularity>, "
+            "dims, watermark=...) over this compiled stream instead"
         )
     return compile_transform(spec, stream)
 

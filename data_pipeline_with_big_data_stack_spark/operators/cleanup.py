@@ -24,9 +24,11 @@ def resolve_synonyms(df: DataFrame, synonym_map: Mapping[str, Sequence[str]]) ->
     ``synonym_map`` maps canonical → candidate names in priority order
     (the canonical name itself may appear among candidates).
     """
-    existing = set(df.columns)
     out = df
     for canonical, candidates in synonym_map.items():
+        # re-read columns each iteration: a candidate consumed (dropped)
+        # by an earlier canonical must not be referenced again
+        existing = set(out.columns)
         present = [c for c in candidates if c in existing]
         if not present:
             out = out.withColumn(canonical, F.lit(0.0))
@@ -48,7 +50,9 @@ def zero_fill_nan(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
         for f in df.schema.fields
         if isinstance(f.dataType, (T.DoubleType, T.FloatType))
     }
-    targets = [c for c in (columns or df.columns) if c in numeric]
+    # `is None` (not falsy): an explicit empty list means "no columns",
+    # matching the int-column branch below
+    targets = [c for c in (df.columns if columns is None else columns) if c in numeric]
     out = df
     for c in targets:
         out = out.withColumn(
@@ -109,7 +113,9 @@ def enrich_provenance(
 
 def parse_event_time(col: str | Column, fmt: str = "posix") -> Column:
     """timestampSpec parse (T2): posix epoch-seconds / epoch-millis / ISO
-    string → TimestampType (``M/druid-*-datasource.json:21-24``)."""
+    string → TimestampType (``M/druid-*-datasource.json:21-24``).
+    ``auto`` (Druid's default) sniffs per value: all-digit strings are
+    epoch seconds (13+ digits: millis), anything else parses as ISO."""
     c = F.col(col) if isinstance(col, str) else col
     if fmt == "posix":
         return F.timestamp_seconds(c.cast("long"))
@@ -117,4 +123,13 @@ def parse_event_time(col: str | Column, fmt: str = "posix") -> Column:
         return F.timestamp_millis(c.cast("long"))
     if fmt == "iso":
         return F.to_timestamp(c)
+    if fmt == "auto":
+        s = c.cast("string")
+        return (
+            F.when(
+                s.rlike(r"^\d{13,}$"), F.timestamp_millis(s.cast("long"))
+            )
+            .when(s.rlike(r"^\d+$"), F.timestamp_seconds(s.cast("long")))
+            .otherwise(F.to_timestamp(s))
+        )
     raise ValueError(f"unsupported timestamp format {fmt!r}")

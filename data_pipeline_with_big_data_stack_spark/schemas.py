@@ -236,17 +236,37 @@ def from_druid_json(spec: dict | str) -> DatasourceSpec:
     q = gran.get("queryGranularity", "NONE")
     if isinstance(q, dict):  # {"type": "none"} form
         q = q.get("type", "NONE")
-    return DatasourceSpec(
-        name=schema["dataSource"],
-        topic=io.get("topic", schema["dataSource"]),
-        timestamp=TimestampSpec(
-            ts.get("column", "timestamp"), ts.get("format", "posix")
-        ),
-        dimensions=tuple(dims),
-        granularity=GranularitySpec(
-            segment=str(gran.get("segmentGranularity", "DAY")).upper(),
-            query=str(q).upper(),
-            rollup=bool(gran.get("rollup", False)),
-        ),
-        max_rows_per_segment=int(tuning.get("maxRowsPerSegment", 5_000_000)),
+    return validate_spec(
+        DatasourceSpec(
+            name=schema["dataSource"],
+            topic=io.get("topic", schema["dataSource"]),
+            timestamp=TimestampSpec(
+                ts.get("column", "timestamp"), ts.get("format", "posix")
+            ),
+            dimensions=tuple(dims),
+            granularity=GranularitySpec(
+                segment=str(gran.get("segmentGranularity", "DAY")).upper(),
+                query=str(q).upper(),
+                rollup=bool(gran.get("rollup", False)),
+            ),
+            max_rows_per_segment=int(tuning.get("maxRowsPerSegment", 5_000_000)),
+        )
     )
+
+
+def validate_spec(spec: DatasourceSpec) -> DatasourceSpec:
+    """Fail fast on spec values the compiler can't execute (so a loaded
+    Druid JSON spec errors at load time, not deep inside a job)."""
+    from data_pipeline_with_big_data_stack_spark.ingest import _GRAIN_TO_SECONDS, _GRAIN_TO_UNIT
+
+    if spec.timestamp.format not in ("posix", "millis", "iso", "auto"):
+        raise ValueError(f"unsupported timestampSpec format {spec.timestamp.format!r}")
+    q = spec.granularity.query
+    if q != "NONE" and q not in _GRAIN_TO_UNIT and q not in _GRAIN_TO_SECONDS:
+        raise ValueError(f"unsupported queryGranularity {q!r}")
+    if spec.granularity.segment not in ("DAY", "HOUR"):
+        raise ValueError(f"unsupported segmentGranularity {spec.granularity.segment!r}")
+    for d in spec.dimensions:
+        if d.type not in _TYPE_MAP:
+            raise ValueError(f"unsupported dimension type {d.type!r} for {d.name!r}")
+    return spec

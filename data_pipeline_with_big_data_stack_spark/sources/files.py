@@ -80,7 +80,7 @@ def web_access_logs(spark: SparkSession, path: str) -> DataFrame:
             F.regexp_extract(v, pat, 8).alias("user_agent"),
         )
         .withColumn("timestamp", F.unix_timestamp(F.current_timestamp()))
-        .withColumn("source", F.lit("log_files"))
+        .withColumn("source", F.lit("web_logs"))  # database_etl.py:252
     )
 
 

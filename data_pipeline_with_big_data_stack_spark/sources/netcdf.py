@@ -70,12 +70,32 @@ RECORD_SCHEMA = T.StructType(
 FAKE_MAGIC = b"FAKENC1\n"
 
 
-def _decode_units(units: str, offsets) -> list[int]:
-    """``seconds since 2000-01-01 12:00:00`` + offsets → epoch seconds
-    (the time-units decode of goes_satellite_etl.py:243-255)."""
-    ref_str = units.split("since", 1)[1].strip()
-    ref = datetime.fromisoformat(ref_str).replace(tzinfo=timezone.utc)
-    return [int((ref + timedelta(seconds=float(o))).timestamp()) for o in offsets]
+_UNIT_SECONDS = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}
+
+
+def _decode_units(units: str, offsets, extraction_ts: int) -> list[int]:
+    """``<unit> since <ref-time>`` + offsets → epoch seconds (the
+    time-units decode of goes_satellite_etl.py:243-255). The reference
+    guards the whole decode and falls back to an extraction-anchored
+    10 s cadence on ANY parse failure (``units='unknown'`` is its own
+    default when the attr is missing, :199) — replicated here, plus
+    minute/hour/day offset units and tolerance for a trailing zone word
+    (``... 12:00:00 UTC``)."""
+    try:
+        unit_word = units.split()[0].lower()
+        scale = _UNIT_SECONDS[unit_word]
+        ref_str = units.split("since", 1)[1].strip()
+        for suffix in (" UTC", " utc", "Z"):
+            if ref_str.endswith(suffix):
+                ref_str = ref_str[: -len(suffix)].strip()
+        ref = datetime.fromisoformat(ref_str).replace(tzinfo=timezone.utc)
+        return [
+            int((ref + timedelta(seconds=float(o) * scale)).timestamp())
+            for o in offsets
+        ]
+    except Exception:
+        n = len(offsets)
+        return [extraction_ts - 10 * (n - 1 - i) for i in range(n)]
 
 
 def _parse_one(path: str, content: bytes, extraction_ts: int) -> "object":
@@ -103,7 +123,7 @@ def _parse_one(path: str, content: bytes, extraction_ts: int) -> "object":
         raise ValueError(f"unrecognized file format for {path!r}")
 
     if "time" in variables:
-        times = _decode_units(units, variables["time"])
+        times = _decode_units(units, variables["time"], extraction_ts)
     else:
         # S4 sunpy-fallback shape: no time var; synthesize a 10 s cadence
         # ending at extraction (goes_satellite_etl.py:306-355).
@@ -124,15 +144,24 @@ def _parse_one(path: str, content: bytes, extraction_ts: int) -> "object":
         "file_size_mb": [round(len(content) / 1024 / 1024, 6)] * n,
         "extraction_timestamp": [extraction_ts] * n,
     }
+    def _to_float(v) -> float:
+        # per-value guard → 0.0, like the reference's try/except around
+        # each float() (goes_satellite_etl.py:278-289); None covers
+        # netCDF4 masked-array .tolist() fills and JSON nulls
+        try:
+            f = float(v)
+        except (TypeError, ValueError):
+            return 0.0
+        return 0.0 if np.isnan(f) else f
+
     for canonical, candidates in SYNONYMS.items():
         series = None
         for cand in candidates:
             if cand in variables:
-                series = [float(v) for v in variables[cand]]
+                series = [_to_float(v) for v in variables[cand]]
                 break
         if series is None:
             series = [0.0] * n  # zero-fill missing variable
-        series = [(0.0 if v is None or np.isnan(v) else v) for v in series]
         series += [0.0] * (n - len(series))  # index-overrun → 0.0
         out[canonical] = series[:n]
     return pd.DataFrame(out)
@@ -170,5 +199,5 @@ def discover_manifest(spark: SparkSession, paths: list[str]) -> DataFrame:
     ``test_citic_download_v2.py:344-438``) reduced to its engine-side
     form: a manifest DataFrame of file URLs to scan, deduplicated and
     sorted (F19 semantics)."""
-    df = spark.createDataFrame([(p,) for p in paths], ["path"])
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
     return df.filter(F.col("path").endswith(".nc")).distinct().orderBy("path")

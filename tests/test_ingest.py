@@ -159,3 +159,40 @@ def test_goes_expected_invariant_30_rows_per_file(spark):
     out = ingest.compile_transform(GOES_SATELLITE, src)
     prof = out.groupBy("source_file").agg(F.count(F.lit(1)).alias("n")).collect()
     assert len(prof) == 1 and prof[0]["n"] == 30
+
+
+def test_fifteen_minute_grain_and_full_ladder(spark):
+    from data_pipeline_with_big_data_stack_spark.schemas import DatasourceSpec, Dimension, GranularitySpec, TimestampSpec
+
+    spec = DatasourceSpec(
+        name="g15", topic="g15",
+        timestamp=TimestampSpec("t", "posix"),
+        dimensions=(Dimension("k", "string"),),
+        granularity=GranularitySpec("DAY", "FIFTEEN_MINUTE"),
+    )
+    base = 1_699_999_200  # multiple of 900 — bucket-aligned
+    src = spark.createDataFrame(
+        [(base + s, "a") for s in (0, 450, 900, 1350)], ["t", "k"]
+    )
+    out = ingest.compile_transform(spec, src).select("__time").distinct()
+    assert out.count() == 2  # 0/450 floor together; 900/1350 floor together
+
+
+def test_auto_timestamp_format(spark):
+    from data_pipeline_with_big_data_stack_spark.operators.cleanup import parse_event_time
+
+    df = spark.createDataFrame(
+        [("1700000000",), ("1700000000123",), ("2023-11-14T22:13:20",)], ["t"]
+    ).select(parse_event_time("t", "auto").alias("ts"))
+    got = sorted(str(r["ts"]) for r in df.collect())
+    # all three forms land on the same instant (2023-11-14 22:13:20 UTC)
+    assert len(set(g[:19] for g in got)) == 1
+
+
+def test_unsupported_grain_raises_cleanly(spark):
+    from data_pipeline_with_big_data_stack_spark.ingest import _floor_time
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="queryGranularity"):
+        _floor_time("DURATION", None)

@@ -118,3 +118,25 @@ def test_from_druid_json_roundtrip():
     assert [d.type for d in got.dimensions] == [d.type for d in want.dimensions]
     # and it compiles to the same table schema
     assert got.schema() == want.schema()
+
+
+def test_from_druid_json_rejects_unsupported_granularity():
+    import pytest as _pytest
+
+    bad = {
+        "spec": {
+            "ioConfig": {"topic": "t"},
+            "dataSchema": {
+                "dataSource": "d",
+                "timestampSpec": {"column": "ts", "format": "posix"},
+                "dimensionsSpec": {"dimensions": ["k"]},
+                "granularitySpec": {
+                    "segmentGranularity": "DAY",
+                    "queryGranularity": {"type": "duration", "duration": 123},
+                    "rollup": False,
+                },
+            },
+        }
+    }
+    with _pytest.raises(ValueError, match="queryGranularity"):
+        from_druid_json(bad)

@@ -117,3 +117,61 @@ def test_discover_manifest(spark):
         spark, ["b.nc", "a.nc", "a.nc", "skip.txt", "c.nc"]
     )
     assert [r["path"] for r in df.collect()] == ["a.nc", "b.nc", "c.nc"]
+
+
+def test_netcdf_none_values_zero_filled(spark, tmp_path):
+    """Masked-array/JSON-null values must zero-fill per value, not crash
+    (reference wraps each float() in try/except -> 0.0)."""
+    import json as _json
+
+    payload = {
+        "units": "seconds since 2023-04-26 00:00:00",
+        "variables": {"time": [0, 10, 20], "xrsa1": [1e-7, None, 3e-7]},
+    }
+    (tmp_path / "OR_X_G18_sN_eN_cN.nc").write_bytes(
+        b"FAKENC1\n" + _json.dumps(payload).encode()
+    )
+    rows = (
+        ncsrc.read_netcdf_directory(spark, str(tmp_path))
+        .orderBy("time")
+        .select("irradiance_xrsa1")
+        .collect()
+    )
+    assert [r[0] for r in rows] == [1e-7, 0.0, 3e-7]
+
+
+def test_netcdf_bad_units_falls_back_to_cadence(spark, tmp_path):
+    """'unknown' units (the reference's own missing-attr default) must
+    fall back to the extraction-anchored 10 s cadence, not crash."""
+    import json as _json
+
+    payload = {"units": "unknown", "variables": {"time": [0, 1, 2]}}
+    (tmp_path / "OR_X_G18_sU_eU_cU.nc").write_bytes(
+        b"FAKENC1\n" + _json.dumps(payload).encode()
+    )
+    rows = (
+        ncsrc.read_netcdf_directory(spark, str(tmp_path), extraction_ts=1_000_000)
+        .orderBy("time")
+        .collect()
+    )
+    assert [r["time"] for r in rows] == [999_980, 999_990, 1_000_000]
+
+
+def test_netcdf_units_variants(spark, tmp_path):
+    """Minute/day offset units and trailing ' UTC' zone words decode
+    correctly instead of being misread as seconds / crashing."""
+    import json as _json
+
+    payload = {
+        "units": "minutes since 1970-01-01 00:00:00 UTC",
+        "variables": {"time": [0, 1], "xrsa1": [1e-7, 2e-7]},
+    }
+    (tmp_path / "OR_X_G18_sM_eM_cM.nc").write_bytes(
+        b"FAKENC1\n" + _json.dumps(payload).encode()
+    )
+    rows = ncsrc.read_netcdf_directory(spark, str(tmp_path)).orderBy("time").collect()
+    assert [r["time"] for r in rows] == [0, 60]
+
+
+def test_discover_manifest_empty(spark):
+    assert ncsrc.discover_manifest(spark, []).count() == 0
