@@ -219,3 +219,62 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         output_mode="append",
     )
     return out.select("event_id", "event_type", F.round("value", 4).alias("value"))
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           round(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts <= p.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchases ⋈ clicks within a 10-minute
+    lookback per user), watermarked on both sides so join state is
+    bounded — drained with availableNow, the result equals the batch
+    range join the oracle expresses."""
+    purchases = (
+        _events_stream_dir(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream_dir(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = streaming.run_available_now(
+        joined,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_ssj_"),
+        output_mode="append",
+    )
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.round("p_value", 4).alias("purchase_value"),
+    )
