@@ -1,0 +1,73 @@
+"""Materialized dedup-index tests: index-then-query equals the inline
+registry query; incremental append; bucket layout used."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.operators import dedup_index
+from data_pipeline_with_big_data_stack_spark.queries.textops import q_dedup_minhash_lsh, q_dedup_ngram_jaccard
+from data_pipeline_with_big_data_stack_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def index_table(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    dedup_index.build_minhash_index(docs, "mh_index_test", n_buckets=8)
+    yield "mh_index_test"
+    spark.sql("DROP TABLE IF EXISTS mh_index_test")
+
+
+def test_index_pairs_match_inline_query(spark, index_table):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    via_index = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_index.candidate_pairs(spark.table(index_table)).collect()
+    }
+    inline = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    assert via_index == inline
+
+
+def test_index_verify_matches_inline_jaccard(spark, index_table):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = dedup_index.candidate_pairs(spark.table(index_table))
+    via_index = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_index.verify_jaccard(pairs, docs).collect()
+    }
+    inline = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in q_dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    assert via_index == inline
+
+
+def test_incremental_append_unions_signatures(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    first = docs.filter(F.col("doc_id") < 100)
+    second = docs.filter(F.col("doc_id") >= 100)
+    dedup_index.build_minhash_index(first, "mh_index_incr", n_buckets=4)
+    dedup_index.build_minhash_index(
+        second, "mh_index_incr", n_buckets=4, mode="append"
+    )
+    try:
+        assert spark.table("mh_index_incr").count() == docs.count()
+        # appended index yields the same pairs as a from-scratch build
+        inc = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_index.candidate_pairs(spark.table("mh_index_incr")).collect()
+        }
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_index.candidate_pairs(
+                dedup_index.minhash_signatures(docs)
+            ).collect()
+        }
+        assert inc == full
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_index_incr")
