@@ -758,3 +758,130 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE 0 END) / sum(volume), 6)::DOUBLE AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's purchase volume per
+    year — six joins, all dimension sides broadcast, exact decimal sums
+    so the share is rounding-stable."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    volumes = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    ) / F.sum("volume")
+    return volumes.groupBy("o_year").agg(
+        F.round(share, 6).cast("double").alias("mkt_share")
+    )
+
+
+@query(
+    "q22_idle_wealthy_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment,
+           count(*) AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders —
+    a scalar aggregate broadcast into the filter plus a left-anti join
+    (idle = no orders since 2000 — every fixture customer has SOME
+    order, so the classic no-orders-ever predicate would be vacuous)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "q_unpivot_irradiance_long",
+    oracle="""
+    SELECT event_id, metric, round(val, 6) AS val
+    FROM (SELECT event_id, value AS raw_value, value * 2 AS doubled,
+                 value * value AS squared
+          FROM events WHERE event_id < 500)
+    UNPIVOT (val FOR metric IN (raw_value, doubled, squared))
+    """,
+)
+def q_unpivot_irradiance_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of pivot, used to turn the
+    GOES per-channel wide rows into long-form series. Native `unpivot`,
+    no shuffle (row-local explode)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    wide = e.select(
+        "event_id",
+        F.col("value").alias("raw_value"),
+        (F.col("value") * 2).alias("doubled"),
+        (F.col("value") * F.col("value")).alias("squared"),
+    )
+    long = wide.unpivot(
+        ids=["event_id"],
+        values=["raw_value", "doubled", "squared"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.select("event_id", "metric", F.round("val", 6).alias("val"))
