@@ -328,7 +328,7 @@ def q_percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), ())
@@ -341,7 +341,7 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               CAST(round(sum(cast(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), ())
@@ -355,7 +355,7 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -371,9 +371,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -382,7 +382,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -406,8 +406,8 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -417,10 +417,10 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+    SELECT round(100.0 * sum((CASE WHEN p.p_type = 'ECONOMY'
                          THEN l.l_extendedprice * (1 - l.l_discount)
-                         ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                         ELSE 0 END)::DECIMAL(18,6))::DOUBLE
+                 / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE, 4)
            AS promo_share_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= DATE '1996-09-01'
@@ -440,8 +440,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0).cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("promo_share_pct")
         )
@@ -634,7 +634,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     "q15_top_suppliers_by_revenue",
     oracle="""
     WITH srev AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      SELECT l_suppkey, round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS total_rev
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey)
@@ -654,9 +654,9 @@ def q15_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_rev"
-            )
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_rev")
         )
     )
     w = W.partitionBy()
@@ -671,7 +671,7 @@ def q15_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(sum(l.l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#11'
@@ -691,7 +691,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lw.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#11")),
                 lw.l_partkey == p.p_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -731,7 +731,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_predicate_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 20)
@@ -755,8 +755,8 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
     )
     return j.filter(cond).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+        ).cast("double").alias("revenue")
     )
 
 
@@ -829,7 +829,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
     SELECT c.c_mktsegment,
            count(*) AS n_custs,
-           round(sum(c.c_acctbal), 2) AS total_bal
+           round(sum(c.c_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -853,7 +853,7 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2).cast("double").alias("total_bal"),
     )
 
 

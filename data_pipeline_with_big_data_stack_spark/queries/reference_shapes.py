@@ -106,7 +106,7 @@ def q_druid_top_by_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -118,7 +118,7 @@ def q_druid_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT CAST(TIME_EXTRACT(__time, 'HOUR') AS BIGINT) AS hour_of_day,
                COUNT(*) AS n,
-               round(SUM(value), 2) AS sum_value
+               CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         FROM events_ds
         GROUP BY 1
         """,

@@ -23,6 +23,11 @@ from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 
+# Exact-summation type for money aggregates: double sum order varies with
+# partitioning and flips fixed-precision rounding boundaries.
+_DEC = "decimal(18,6)"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare_session(spark)
     return load_table(spark, sf_dir, name)
@@ -35,14 +40,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "q1_pricing_summary",
     oracle="""
+    -- every sum accumulates DECIMAL(18,6): double summation order varies
+    -- with partitioning and flips fixed-precision rounding boundaries
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE                 AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE            AS sum_base_price,
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+                                                                            AS sum_disc_price,
+           round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6)), 2)::DOUBLE
+                                                                            AS sum_charge,
+           round(sum(l_quantity::DECIMAL(18,6))::DOUBLE / count(*), 4)      AS avg_qty,
+           round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_price,
+           round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 4)      AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -56,13 +65,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast(_DEC)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast(_DEC)), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,7 +84,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+             AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -106,8 +116,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)), 2
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -122,7 +132,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+             AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -158,8 +169,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)), 2
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -208,7 +219,7 @@ def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c_custkey, c_mktsegment,
            count(o_orderkey)                  AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+           round(coalesce(sum(o_totalprice::DECIMAL(18,6))::DOUBLE, 0.0), 2) AS total_spent
     FROM customer
     LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey, c_mktsegment
@@ -222,7 +233,7 @@ def q_outer_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            F.round(F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), F.lit(0.0)), 2).alias(
                 "total_spent"
             ),
         )
@@ -333,7 +344,7 @@ def q_distinct_parts_per_supplier_nation(spark: SparkSession, sf_dir: str) -> Da
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*)                      AS n,
-           round(sum(l_quantity), 2)     AS sum_qty
+           round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE     AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -342,7 +353,7 @@ def q_rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFram
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2).cast("double").alias("sum_qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -358,7 +369,7 @@ def q_rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT coalesce(o_orderstatus, 'ALL')   AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*)                         AS n,
-           round(sum(o_totalprice), 2)      AS total
+           round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE      AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -367,7 +378,7 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2).cast("double").alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),

@@ -50,7 +50,7 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            count(*)              AS n_events,
-           round(sum(value), 4)  AS total_value
+           round(sum(value::DECIMAL(18,6)), 4)::DOUBLE  AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -64,7 +64,9 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=["event_type"],
         aggs={
             "n_events": F.count(F.lit(1)),
-            "total_value": F.round(F.sum("value"), 4),
+            "total_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 4
+            ).cast("double"),
         },
         watermark="2 hours",
     )
@@ -81,7 +83,7 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(user_id AS VARCHAR) AS key,
            count(*)                 AS n_events,
-           round(sum(value), 4)     AS total,
+           round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total,
            round(max(value), 4)     AS max_value
     FROM events
     GROUP BY user_id
@@ -163,7 +165,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL '2 hours' AS window_end,
            count(*)             AS n_events,
-           round(sum(value), 4) AS total_value
+           round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total_value
     FROM expanded
     GROUP BY window_start
     """,
@@ -180,9 +182,11 @@ def q_stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 hour",
         aggs={
             "n_events": F.count(F.lit(1)),
-            # sum not avg: avg's division creates half-ulp rounding-boundary
-            # flips between engines at any fixed precision
-            "total_value": F.round(F.sum("value"), 4),
+            # decimal accumulation: double sum order varies with file-split
+            # parallelism and flips fixed-precision rounding boundaries
+            "total_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 4
+            ).cast("double"),
         },
         watermark="4 hours",
     )

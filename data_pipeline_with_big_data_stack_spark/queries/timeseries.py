@@ -40,8 +40,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
            event_type,
            count(*)                 AS n,
-           round(avg(value), 4)     AS avg_value,
-           round(sum(value), 2)     AS sum_value
+           round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value,
+           round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -54,8 +54,12 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_value"),
         )
     )
 
@@ -232,7 +236,7 @@ def q_events_value_change_per_user(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
            event_type,
            count(*)             AS n,
-           round(sum(value), 2) AS sum_value
+           round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -241,7 +245,11 @@ def q_events_minute_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     return e.groupBy(
         F.date_trunc("minute", "ts").alias("minute"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double").alias("sum_value"),
+    )
 
 
 # --------------------------------------------------------------------------
