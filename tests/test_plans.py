@@ -126,3 +126,31 @@ class TestGeneratorPitfall:
                 assert "transform" not in line, (
                     "shingle transform re-evaluated inside a Filter node"
                 )
+
+
+class TestPartitionPruning:
+    def test_date_partition_pruning_on_ingested_table(self, spark, tmp_path):
+        """Druid prunes segments by __time; our date-partitioned layout
+        must prune parquet partitions for __date predicates — the scan's
+        PartitionFilters must carry the filter and read fewer partitions."""
+        from data_pipeline_with_big_data_stack_spark import ingest
+        from data_pipeline_with_big_data_stack_spark.schemas import SPARK_ANALYTICS
+        from data_pipeline_with_big_data_stack_spark.sources import generators
+
+        # 3 days of sessions
+        src = generators.sessions_source(spark, n=300, seed=9).withColumn(
+            "timestamp",
+            F.lit(1_709_251_200) + (F.col("user_id") % 3).cast("long") * 86400,
+        )
+        path = str(tmp_path / "sessions_3d")
+        ingest.ingest_batch(SPARK_ANALYTICS, src, path, mode="overwrite")
+        t = spark.read.parquet(path)
+        assert t.select("__date").distinct().count() == 3
+
+        q = t.filter(F.col("__date") == "2024-03-01")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "__date" in pf  # predicate reached the partition filter
+        # and only the matching day's rows are read
+        assert q.count() == t.filter(F.col("__date") == "2024-03-01").count() > 0
