@@ -885,3 +885,31 @@ def q_unpivot_irradiance_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="val",
     )
     return long.select("event_id", "metric", F.round("val", 6).alias("val"))
+
+
+@query(
+    "q_events_map_operations",
+    oracle="""
+    WITH base AS (SELECT * FROM events WHERE event_id < 1000)
+    SELECT event_id, 'k' AS map_key,
+           json_extract(props, '$.k')::BIGINT AS map_value
+    FROM base
+    UNION ALL
+    SELECT event_id, 'type_len' AS map_key,
+           len(event_type)::BIGINT AS map_value
+    FROM base
+    """,
+)
+def q_events_map_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §2.8 notes the reference uses no map
+    functions; the engine exposes them): JSON → map, map built from
+    columns, map_concat, and entry explosion to long form."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    props_map = F.from_json("props", "map<string,bigint>")
+    derived = F.create_map(
+        F.lit("type_len"), F.length("event_type").cast("bigint")
+    )
+    merged = F.map_concat(props_map, derived)
+    return e.select(
+        "event_id", F.explode(merged).alias("map_key", "map_value")
+    )
