@@ -271,7 +271,7 @@ _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
     oracle=f"""
     SELECT b.band,
            count(*)                 AS n_events,
-           round(avg(e.value), 4)   AS avg_value,
+           round(sum(e.value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value,
            round(min(e.value), 4)   AS min_value,
            round(max(e.value), 4)   AS max_value
     FROM events e
@@ -288,7 +288,10 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
     )

@@ -521,7 +521,7 @@ def q_topk_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal >= 2500 THEN 'standard'
                 ELSE 'basic' END AS tier,
            count(*)              AS n,
-           round(avg(c_acctbal), 4) AS avg_bal
+           round(sum(c_acctbal::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_bal
     FROM customer
     GROUP BY 1, 2
     """,
@@ -536,7 +536,13 @@ def q_case_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.withColumn("tier", tier)
         .groupBy("c_mktsegment", "tier")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 4
+            ).alias("avg_bal"),
+        )
     )
 
 

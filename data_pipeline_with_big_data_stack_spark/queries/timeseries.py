@@ -261,7 +261,7 @@ def q_events_minute_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            count(*)             AS n,
-           round(avg(value), 4) AS avg_value
+           round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -273,7 +273,13 @@ def q_events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
         )
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        )
     )
 
 
