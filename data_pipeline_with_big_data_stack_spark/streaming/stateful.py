@@ -32,21 +32,29 @@ from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 pickle_by_value(__name__)  # state fns must not require executor-side imports
 
 _RUNNING_SCHEMA = "key string, n_events long, total double, max_value double"
-_STATE_SCHEMA = "n long, total double, max_value double"
+_STATE_SCHEMA = "n long, total_micros long, max_value double"
 
 
 def _running_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    (n, total, mx) = state.get if state.exists else (0, 0.0, float("-inf"))
+    # totals accumulate as integer micro-units: float accumulation order
+    # varies with batch/file splits and would diverge from an exact
+    # (decimal) batch aggregate at fixed rounding precision
+    (n, total_micros, mx) = state.get if state.exists else (0, 0, float("-inf"))
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total_micros += int(round(pdf["value"] * 1_000_000).sum())
         if len(pdf):
             mx = max(mx, float(pdf["value"].max()))
-    state.update((n, total, mx))
+    state.update((n, total_micros, mx))
     yield pd.DataFrame(
-        {"key": [key[0]], "n_events": [n], "total": [total], "max_value": [mx]}
+        {
+            "key": [key[0]],
+            "n_events": [n],
+            "total": [total_micros / 1_000_000],
+            "max_value": [mx],
+        }
     )
 
 
