@@ -175,3 +175,38 @@ def test_netcdf_units_variants(spark, tmp_path):
 
 def test_discover_manifest_empty(spark):
     assert ncsrc.discover_manifest(spark, []).count() == 0
+
+
+def test_http_fetch_chunked_with_magic_validation(spark, tmp_path):
+    """S1: chunked fetch over file:// URLs — success counting, empty-file
+    skip, magic validation, then straight into the binaryFile scan."""
+    import os
+
+    from data_pipeline_with_big_data_stack_spark.sources import http_fetch
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    good = src / "OR_X_G18_sA_eA_cA.nc"
+    good.write_bytes(
+        b"FAKENC1\n"
+        + json.dumps(
+            {"units": "seconds since 1970-01-01 00:00:00",
+             "variables": {"time": [0, 10], "xrsa1": [1e-7, 2e-7]},
+             "pad": "x" * 20000}  # force multiple 8 KB chunks
+        ).encode()
+    )
+    (src / "empty.nc").write_bytes(b"")
+    (src / "notnc.nc").write_bytes(b"<html>error page</html>")
+
+    landing = str(tmp_path / "landing")
+    urls = [f"file://{src}/{n}" for n in ("OR_X_G18_sA_eA_cA.nc", "empty.nc", "notnc.nc")]
+    results, n_ok = http_fetch.fetch_all(urls, landing, validate_magic=True)
+    assert n_ok == 1
+    reasons = {r.url.rsplit('/', 1)[-1]: r.reason for r in results if not r.ok}
+    assert reasons["empty.nc"] == "empty download"
+    assert "magic" in reasons["notnc.nc"]
+    # rejected files are not left in the landing dir
+    assert sorted(os.listdir(landing)) == ["OR_X_G18_sA_eA_cA.nc"]
+    # and the landing dir feeds the distributed scan
+    df = ncsrc.read_netcdf_directory(spark, landing)
+    assert df.count() == 2
