@@ -282,3 +282,40 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("p_value", 4).alias("purchase_value"),
     )
+
+
+@query(
+    "q_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type, n.n_name AS user_nation,
+           round(e.value, 4) AS value
+    FROM (SELECT * FROM events WHERE event_type IN ('purchase', 'signup')) e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension table (broadcast per micro-batch, no stream state at all —
+    the cheapest join class in Structured Streaming)."""
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+
+    st = _events_stream_dir(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    nation = load_table(spark, sf_dir, "nation")  # static side
+    joined = st.join(
+        F.broadcast(nation),
+        nation.n_nationkey == (st.user_id % 25),
+        "inner",
+    )
+    out = streaming.run_available_now(
+        joined.select(
+            "event_id",
+            "event_type",
+            F.col("n_name").alias("user_nation"),
+            F.round("value", 4).alias("value"),
+        ),
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_ss_"),
+        output_mode="append",
+    )
+    return out
