@@ -53,11 +53,16 @@ def crypto_prices(
     """S5: /simple/price for the four coin ids — one record per coin
     (`real_data_etl.py:43-50`), typed per
     `M/druid-real-crypto-datasource.json:25-47`."""
-    data = fetcher(
-        "https://api.coingecko.com/api/v3/simple/price?ids="
-        + ",".join(coins)
-        + "&vs_currencies=usd&include_market_cap=true&include_24hr_change=true"
-    )
+    try:
+        data = fetcher(
+            "https://api.coingecko.com/api/v3/simple/price?ids="
+            + ",".join(coins)
+            + "&vs_currencies=usd&include_market_cap=true&include_24hr_change=true"
+        )
+    except Exception:
+        # poll failures yield an empty batch, never a dead pipeline —
+        # the reference's extractors swallow and log (real_data_etl.py:55)
+        data = {}
     rows = []
     for coin in coins:
         if coin not in data:
@@ -122,11 +127,16 @@ def weather(
             ),
         ]
     )
-    raw = [
-        (city, json.dumps(fetcher(f"https://api.openweathermap.org/data/2.5/weather?q={city}")))
-        for city in cities
-    ]
-    df = spark.createDataFrame(raw, ["city", "payload"])
+    raw = []
+    for city in cities:
+        try:  # per-city skip-and-continue (strict upgrade on the
+            # reference's whole-poll try/except, real_data_etl.py:68-99)
+            raw.append((city, json.dumps(
+                fetcher(f"https://api.openweathermap.org/data/2.5/weather?q={city}")
+            )))
+        except Exception:
+            continue
+    df = spark.createDataFrame(raw, "city string, payload string")
     p = F.from_json("payload", payload_schema)
     return df.select(
         F.lit(epoch_now).cast("long").alias("timestamp"),
@@ -164,9 +174,12 @@ def stock_prices(
     strip is `regexp_replace` engine-side."""
     rows = []
     for sym in symbols:
-        q = fetcher(
-            f"https://www.alphavantage.co/query?function=GLOBAL_QUOTE&symbol={sym}"
-        ).get("Global Quote", {})
+        try:
+            q = fetcher(
+                f"https://www.alphavantage.co/query?function=GLOBAL_QUOTE&symbol={sym}"
+            ).get("Global Quote", {})
+        except Exception:
+            continue
         if not q:
             continue
         rows.append(

@@ -140,3 +140,22 @@ def test_from_druid_json_rejects_unsupported_granularity():
     }
     with _pytest.raises(ValueError, match="queryGranularity"):
         from_druid_json(bad)
+
+
+def test_rest_sources_survive_fetch_failures(spark):
+    def flaky(url):
+        if "Cartago" in url or "symbol=MSFT" in url:
+            raise ConnectionError("boom")
+        if "coingecko" in url:
+            raise TimeoutError("boom")
+        if "symbol=" in url:
+            return {"Global Quote": {"05. price": "1.0", "09. change": "0",
+                                     "10. change percent": "0%", "06. volume": "1"}}
+        return {"main": {"temp": 1.0, "humidity": 1, "pressure": 1.0},
+                "weather": [{"description": "x"}], "wind": {"speed": 1.0}}
+
+    assert rest.crypto_prices(spark, flaky, NOW).count() == 0  # whole poll down
+    w = rest.weather(spark, flaky, NOW, cities=("Cartago", "Heredia"))
+    assert [r["city"] for r in w.collect()] == ["Heredia"]  # failed city skipped
+    s = rest.stock_prices(spark, flaky, NOW, symbols=("AAPL", "MSFT"))
+    assert [r["symbol"] for r in s.collect()] == ["AAPL"]
