@@ -71,3 +71,27 @@ def fetch_all(
     reference's downloaded-files counter (:93-98)."""
     results = [fetch_file(u, dest_dir, validate_magic) for u in urls]
     return results, sum(1 for r in results if r.ok)
+
+
+def parse_webdav_listing(
+    xml: str, base_url: str = "", suffix: str = ".nc"
+) -> list[str]:
+    """S2: extract file URLs from a WebDAV PROPFIND (Depth:1) response.
+
+    The reference parses hrefs with both an XML walk and a regex-findall
+    fallback (`test_citic_download_v2.py:344-438`, regex variant
+    `:146-158`); this is the regex form — resilient to namespace
+    variations — with the reference's dedupe+sort (F19) and URL-decoding
+    of percent-escaped names.
+    """
+    import re
+    from urllib.parse import unquote, urljoin
+
+    hrefs = re.findall(r"<[^>]*href[^>]*>([^<]+)</[^>]*href[^>]*>", xml, re.IGNORECASE)
+    out = set()
+    for h in hrefs:
+        h = h.strip()
+        if not h.lower().endswith(suffix.lower()):
+            continue
+        out.add(urljoin(base_url, unquote(h)) if base_url else unquote(h))
+    return sorted(out)

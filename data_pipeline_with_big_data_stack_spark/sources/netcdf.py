@@ -200,4 +200,11 @@ def discover_manifest(spark: SparkSession, paths: list[str]) -> DataFrame:
     form: a manifest DataFrame of file URLs to scan, deduplicated and
     sorted (F19 semantics)."""
     df = spark.createDataFrame([(p,) for p in paths], "path string")
-    return df.filter(F.col("path").endswith(".nc")).distinct().orderBy("path")
+    # case-insensitive suffix, matching parse_webdav_listing (the
+    # reference's endswith('.nc') is case-sensitive; .NC files are
+    # equally NetCDF — documented deviation)
+    return (
+        df.filter(F.lower(F.col("path")).endswith(".nc"))
+        .distinct()
+        .orderBy("path")
+    )

@@ -210,3 +210,27 @@ def test_http_fetch_chunked_with_magic_validation(spark, tmp_path):
     # and the landing dir feeds the distributed scan
     df = ncsrc.read_netcdf_directory(spark, landing)
     assert df.count() == 2
+
+
+def test_webdav_listing_parse(spark):
+    """S2: PROPFIND XML → deduped, sorted, URL-decoded .nc manifest,
+    ready for discover_manifest + the fetch step."""
+    from data_pipeline_with_big_data_stack_spark.sources import http_fetch
+
+    xml = """<?xml version="1.0"?>
+    <d:multistatus xmlns:d="DAV:">
+      <d:response><d:href>/remote.php/dav/files/goes/</d:href></d:response>
+      <d:response><d:href>/remote.php/dav/files/goes/OR_EXIS-L1b-SFXR_G18_s1.nc</d:href></d:response>
+      <d:response><d:href>/remote.php/dav/files/goes/OR_EXIS%2DL1b_s2.nc</d:href></d:response>
+      <d:response><d:href>/remote.php/dav/files/goes/readme.txt</d:href></d:response>
+      <d:response><d:href>/remote.php/dav/files/goes/OR_EXIS-L1b-SFXR_G18_s1.nc</d:href></d:response>
+    </d:multistatus>"""
+    got = http_fetch.parse_webdav_listing(xml, base_url="https://cloud.example.org")
+    assert got == [
+        "https://cloud.example.org/remote.php/dav/files/goes/OR_EXIS-L1b-SFXR_G18_s1.nc",
+        "https://cloud.example.org/remote.php/dav/files/goes/OR_EXIS-L1b_s2.nc",
+    ]
+    # manifest DataFrame twin
+    from data_pipeline_with_big_data_stack_spark.sources import netcdf
+
+    assert netcdf.discover_manifest(spark, got).count() == 2
