@@ -1,0 +1,86 @@
+"""Registry-contract lints: properties the driver harness assumes of
+every `queries()` / `oracle_sql()` entry, checked without running the
+heavy queries themselves."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from data_pipeline_with_big_data_stack_spark.queries import ORACLES, QUERIES
+from data_pipeline_with_big_data_stack_spark.tables import TABLE_NAMES
+from tests.conftest import SF_SMOKE, register_duck_views
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_names_are_wellformed():
+    for name in QUERIES:
+        assert re.fullmatch(r"q[0-9a-z_]+", name), name
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_is_valid_duckdb_sql(duck, name):
+    """Every oracle must at least plan on the fixture views (catches
+    typos/renames at registration time, not in the driver run)."""
+    register_duck_views(duck, SF_SMOKE)
+    duck.sql(f"EXPLAIN {ORACLES[name]}")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_references_only_fixture_tables(name):
+    """Oracles may only read the ten pre-registered fixture views —
+    any other FROM/JOIN target would be unresolvable in the driver's
+    DuckDB session."""
+    sql = ORACLES[name].lower()
+    # EXTRACT(unit FROM col) is not a table reference
+    sql = re.sub(r"extract\s*\([a-z]+\s+from\s+[a-z_][a-z0-9_.]*\)", "", sql)
+    # identifiers appearing after FROM/JOIN that are not subqueries
+    refs = re.findall(r"(?:from|join)\s+([a-z_][a-z0-9_]*)", sql)
+    known = set(TABLE_NAMES)
+    # CTE names defined in the oracle itself are fine
+    ctes = set(re.findall(r"(?:with|,)\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql))
+    ctes |= set(re.findall(r"\)\s*,\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql))
+    for r in refs:
+        assert r in known or r in ctes or r == "lateral", (
+            f"{name}: oracle references unknown table {r!r}"
+        )
+
+
+def test_query_schemas_are_stable(spark):
+    """The driver smoke-checks a stable schema — two plan constructions
+    of the same query must agree on (name, dtype) exactly. Checked on a
+    representative sample covering every module."""
+    sample = [
+        "q1_pricing_summary",
+        "q_druid_hourly_dashboard",
+        "q_dedup_minhash_lsh",
+        "q_ann_ivf_topk",
+        "q_media_metadata_profile",
+        "q_doc_rolling_hash",
+        "q_asof_purchase_to_click",
+        "q_grouping_sets_orders",
+        "q_approx_distinct_users",
+    ]
+    for name in sample:
+        a = QUERIES[name](spark, SF_SMOKE).dtypes
+        b = QUERIES[name](spark, SF_SMOKE).dtypes
+        assert a == b, name
+        assert len(a) == len({c for c, _ in a}), f"{name}: duplicate column names"
+
+
+def test_no_float_string_formatting_drift():
+    """Oracles must not emit bare unrounded double aggregates of products
+    (the class that flips hash comparison across engines) — every
+    sum over a '*' product expression must be decimal-cast."""
+    offenders = []
+    for name, sql in ORACLES.items():
+        for m in re.finditer(r"sum\(([^()]*\*[^()]*)\)", sql.lower()):
+            inner = m.group(1)
+            if "decimal" not in inner:
+                offenders.append((name, inner.strip()[:40]))
+    assert not offenders, offenders
