@@ -154,3 +154,35 @@ class TestPartitionPruning:
         assert "__date" in pf  # predicate reached the partition filter
         # and only the matching day's rows are read
         assert q.count() == t.filter(F.col("__date") == "2024-03-01").count() > 0
+
+
+class TestScaleShapes:
+    def test_asof_join_is_single_shuffle(self, spark):
+        """The union+window as-of must shuffle ONCE on user_id — a
+        range-join formulation would explode; extra exchanges would mean
+        the union lost its common partitioning."""
+        plan = plan_of(spark, "q_asof_purchase_to_click")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # exchanges: one hashpartitioning(user_id) for the window (+ AQE
+        # may add a final coalesce read; no join exchanges at all)
+        assert plan.count("SortMergeJoin") == 0
+        assert plan.count("BroadcastHashJoin") == 0
+
+    def test_ivf_assignment_broadcasts_codebook(self, spark):
+        plan = plan_of(spark, "q_ann_ivf_topk")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bpe_tokenizer_stays_native(self, spark):
+        # regexp_extract_all must appear in the plan (JVM-side), and no
+        # python UDF evaluation node
+        plan = plan_of(spark, "q_doc_bpe_token_stats")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_media_decode_is_arrow_batched(self, spark):
+        # the one legitimate Python stage must be Arrow-vectorized
+        # (mapInPandas), never row-at-a-time pickled UDFs
+        plan = plan_of(spark, "q_media_byte_features")
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
