@@ -916,3 +916,15 @@ def q_events_map_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", F.explode(merged).alias("map_key", "map_value")
     )
+
+
+@query("q_grouped_normalize_values", oracle=None)
+def q_grouped_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (batch twin of the stateful streaming
+    operators): per-event-type z-score normalization. Rows-only in the
+    gate (pandas float math is not bit-stable against a SQL oracle);
+    the statistical contract is pinned in tests/test_grouped.py."""
+    from data_pipeline_with_big_data_stack_spark.operators.grouped import normalize_per_group
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return normalize_per_group(e, "event_type", "value")

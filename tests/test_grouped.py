@@ -1,0 +1,39 @@
+"""Grouped-map operator contracts (applyInPandas batch ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.operators import grouped
+from data_pipeline_with_big_data_stack_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_normalize_per_group_stats(spark):
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    z = grouped.normalize_per_group(e, "event_type", "value")
+    assert z.count() == e.count()
+    stats = z.groupBy("event_type").agg(
+        F.avg("z").alias("m"), F.stddev_samp("z").alias("s")
+    ).collect()
+    for r in stats:
+        assert abs(r["m"]) < 1e-9
+        assert abs(r["s"] - 1.0) < 1e-9
+
+
+def test_winsorize_clamps_to_group_quantiles(spark):
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    w = grouped.winsorize_per_group(e, "event_type", "value", 0.1, 0.9)
+    assert w.count() == e.count()
+    # clamped range must be inside the original range, strictly when
+    # the group has outliers
+    orig = {r["event_type"]: (r["lo"], r["hi"]) for r in
+            e.groupBy("event_type").agg(F.min("value").alias("lo"),
+                                        F.max("value").alias("hi")).collect()}
+    clamped = {r["event_type"]: (r["lo"], r["hi"]) for r in
+               w.groupBy("event_type").agg(F.min("value").alias("lo"),
+                                           F.max("value").alias("hi")).collect()}
+    for k in orig:
+        assert clamped[k][0] >= orig[k][0]
+        assert clamped[k][1] <= orig[k][1]
+        assert clamped[k][1] < orig[k][1]  # 90th pct < max with real data
