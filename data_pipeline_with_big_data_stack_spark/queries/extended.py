@@ -509,7 +509,7 @@ _LOG_PAT = r'^(\S+) \S+ \S+ \[([^\]]*)\] "(\S+) (\S+) [^"]*" (\d+) (\d+)'
     SELECT status, count(*) AS n_requests,
            count(DISTINCT ip) AS n_ips,
            count(DISTINCT url) AS n_urls,
-           sum(size) AS total_bytes
+           (sum(size))::BIGINT AS total_bytes
     FROM parsed
     WHERE method = 'GET'
     GROUP BY status

@@ -47,7 +47,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(width), 4)                       AS avg_width,
            round(avg(height), 4)                      AS avg_height,
            round(avg(width * height * 3), 4)          AS avg_raw_pixbytes,
-           sum(n_bytes)                               AS total_bytes
+           (sum(n_bytes))::BIGINT                     AS total_bytes
     FROM m GROUP BY format
     """,
 )

@@ -460,9 +460,9 @@ def q_except_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> Data
     "q_pivot_orders_status_by_segment",
     oracle="""
     SELECT c_mktsegment,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           (sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END))::BIGINT AS n_f,
+           (sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END))::BIGINT AS n_o,
+           (sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END))::BIGINT AS n_p
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,

@@ -47,7 +47,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                               AS n_docs,
            round(avg(len(string_split(text, ' '))), 4)            AS avg_tokens,
            round(avg(n_chars), 4)                                 AS avg_chars,
-           sum(len(string_split(text, ' ')))                      AS total_tokens,
+           (sum(len(string_split(text, ' '))))::BIGINT            AS total_tokens,
            max(len(string_split(text, ' ')))                      AS max_tokens
     FROM documents
     GROUP BY lang
@@ -462,7 +462,7 @@ _BPE_PAT = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
       FROM documents)
     SELECT lang,
            count(*)                                    AS n_docs,
-           sum(len(toks))                              AS total_tokens,
+           (sum(len(toks)))::BIGINT                    AS total_tokens,
            round(avg(len(toks)), 4)                    AS avg_tokens,
            round(avg(len(list_distinct(toks))), 4)     AS avg_distinct,
            max(len(toks))                              AS max_tokens

@@ -48,6 +48,19 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_df) == len(duck_df), (
         f"{name}: row count spark={len(spark_df)} duck={len(duck_df)}"
     )
+    # Driver-replica dtype-kind check: the driver's value hasher renders
+    # int64 `123` and float64 `123.0` differently, so an int column on one
+    # side that comes back float on the other (e.g. DuckDB HUGEINT→float64)
+    # is a hash-fail even with identical values. Exempt columns containing
+    # nulls (pandas widens nullable ints to float64 on either side).
+    for col in spark_df.columns:
+        sk, dk = spark_df[col].dtype.kind, duck_df[col].dtype.kind
+        if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+            has_null = spark_df[col].isna().any() or duck_df[col].isna().any()
+            assert has_null, (
+                f"{name}.{col}: int-vs-float dtype drift (spark={sk} duck={dk}) "
+                "with no nulls — the driver hasher will fail this"
+            )
     s_rows = canonicalize(spark_df)
     d_rows = canonicalize(duck_df)
     if s_rows != d_rows:

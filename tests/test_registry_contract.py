@@ -73,14 +73,46 @@ def test_query_schemas_are_stable(spark):
         assert len(a) == len({c for c, _ in a}), f"{name}: duplicate column names"
 
 
+def _sum_bodies(sql: str) -> list[str]:
+    """Every balanced `sum(...)` body in the SQL, nesting included —
+    the r1 judge showed a `[^()]*` regex is vacuous for the common
+    `sum(a * (1 - b))` form, so walk parens explicitly."""
+    out = []
+    low = sql.lower()
+    for m in re.finditer(r"\bsum\s*\(", low):
+        depth, i = 1, m.end()
+        while i < len(low) and depth:
+            if low[i] == "(":
+                depth += 1
+            elif low[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(low[m.end() : i - 1])
+    return out
+
+
 def test_no_float_string_formatting_drift():
     """Oracles must not emit bare unrounded double aggregates of products
     (the class that flips hash comparison across engines) — every
     sum over a '*' product expression must be decimal-cast."""
     offenders = []
     for name, sql in ORACLES.items():
-        for m in re.finditer(r"sum\(([^()]*\*[^()]*)\)", sql.lower()):
-            inner = m.group(1)
-            if "decimal" not in inner:
-                offenders.append((name, inner.strip()[:40]))
+        for inner in _sum_bodies(sql):
+            if "*" in inner and "decimal" not in inner:
+                offenders.append((name, inner.strip()[:60]))
     assert not offenders, offenders
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_emits_no_hugeint(duck, name):
+    """DuckDB widens integer `sum()` to HUGEINT (int128); Spark emits
+    BIGINT. pandas renders HUGEINT as float64, so the driver's value
+    hasher sees `123.0` vs `123` and fails even when rows are identical —
+    this was the root cause of all 4 CORRECTNESS_r01 hash-fails. Any
+    integer sum that reaches the oracle output must be `::BIGINT`-cast.
+    DESCRIBE is plan-only, so this lint is cheap and exact (it checks the
+    real output schema, not a textual guess)."""
+    register_duck_views(duck, SF_SMOKE)
+    cols = duck.sql(f"DESCRIBE {ORACLES[name]}").fetchall()
+    huge = [(c[0], c[1]) for c in cols if "HUGEINT" in c[1].upper()]
+    assert not huge, f"{name}: oracle emits HUGEINT columns {huge} — cast to BIGINT"
