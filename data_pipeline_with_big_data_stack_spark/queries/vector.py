@@ -194,48 +194,168 @@ def q_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Embedding near-duplicate detection: cosine >= threshold over LSH-blocked
 # pairs (embedding-cosine near-dup from the dedup suite).
+#
+# Blocking is signed-random-projection LSH: 48 hyperplanes with
+# md5-derived ±1 (Rademacher) coefficients, split into 4 bands × 12 sign
+# bits. A band key therefore has 2^12 = 4096 values, so bucket
+# cardinality GROWS with the corpus instead of pinning at a constant
+# (the r1 shape — 4 axis-aligned bits = 16 buckets for the whole corpus —
+# made the bucket join all-pairs/16, quadratic at 100 TB). Pairs are
+# generated by bucket-grouping (sorted collect_list + in-bucket i<j
+# explode — one shuffle on the band key, signature computed once), with
+# buckets capped at _MAX_BUCKET ids so a degenerate corpus (all-identical
+# vectors) cannot blow up a task; the cap trades bounded recall loss
+# inside mega-buckets for bounded memory, and the oracle applies the
+# identical cap so the gate stays exact. At larger corpus scale, raise
+# _R_BITS (buckets per band = 2^_R_BITS) — recall at cosine>=0.95 is
+# 1-(1-p^R)^B with p ≈ 1 - acos(0.95)/pi ≈ 0.9.
+#
+# Both engines derive the hyperplane signs from md5("hp{j}_{i}") — Python
+# hashlib on the Spark side, DuckDB md5() in the oracle — so the blocking
+# is bit-identical cross-engine with no giant literal matrices in SQL.
 # --------------------------------------------------------------------------
-_NEARDUP_ORACLE = f"""
-    WITH t AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    b AS (SELECT vec_id, emb, {_BUCKET_SQL} AS bucket FROM t)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb))
-                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.emb, b.emb)
-          / (sqrt(list_dot_product(a.emb, a.emb))
-             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.95
+_EMB_DIM = 64  # embeddings.parquet embedding length (TESTDATA.md)
+_SRP_BANDS = 4
+_SRP_BITS = 12  # sign bits per band
+_MAX_BUCKET = 64  # per-bucket id cap (memory bound; recall note above)
+
+
+def _srp_planes() -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for j in range(_SRP_BANDS * _SRP_BITS):
+        row = []
+        for i in range(_EMB_DIM):
+            h = hashlib.md5(f"hp{j}_{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[:8], 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _srp_band_rows(e: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_val) — one row per band per vector. Band
+    values are computed as named columns in one projection, then a cheap
+    posexplode over the 4 column refs (exploding the full 48-dot
+    expression inline would re-evaluate it in the generator's implicit
+    filter — the measured 12× pitfall, tests/test_plans.py)."""
+    planes = _srp_planes()
+    band_cols = []
+    for b in range(_SRP_BANDS):
+        v = None
+        for r in range(_SRP_BITS):
+            plane = F.array(*[F.lit(c) for c in planes[b * _SRP_BITS + r]])
+            bit = F.when(_dot(F.col("emb"), plane) >= 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            )
+            v = bit if v is None else v + bit
+        band_cols.append(v.cast("long").alias(f"bv{b}"))
+    sig = e.select("vec_id", *band_cols)
+    return sig.select(
+        "vec_id",
+        F.posexplode(F.array(*[f"bv{b}" for b in range(_SRP_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+
+
+def _srp_candidate_pairs(e: DataFrame) -> DataFrame:
+    """Distinct (vec_a, vec_b) with vec_a < vec_b sharing any band bucket.
+    One shuffle (groupBy band key); pair explosion bounded by _MAX_BUCKET."""
+    bands = _srp_band_rows(e)
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.slice(F.sort_array(F.collect_list("vec_id")), 1, _MAX_BUCKET).alias("ids")
+    )
+    pairs = buckets.filter(F.size("ids") >= 2).select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ids, (x, i) ->
+                    transform(slice(ids, i + 2, size(ids)), y ->
+                        struct(x AS vec_a, y AS vec_b))))
+                """
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.vec_a", "p.vec_b").distinct()
+
+
+# DuckDB twin of the banding: planes from md5, bits via cross join +
+# grouped bit-sum, per-bucket cap via row_number over vec_id (equals the
+# Spark slice(sort_array(...), 1, cap) exactly).
+_SRP_DUCK = f"""
+    t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    planes AS (
+      SELECT j, (j // {_SRP_BITS}) AS band_idx, (j % {_SRP_BITS}) AS r,
+             list_transform(range({_EMB_DIM}), i ->
+               CASE WHEN ('0x' || substr(md5('hp' || j || '_' || i), 1, 8))::BIGINT
+                         & 1 = 1
+                    THEN 1.0 ELSE -1.0 END) AS plane
+      FROM (SELECT unnest(range({_SRP_BANDS * _SRP_BITS})) AS j)),
+    bits AS (
+      SELECT t.vec_id, p.band_idx,
+             CASE WHEN list_dot_product(t.emb, p.plane) >= 0
+                  THEN (1 << p.r) ELSE 0 END AS bit
+      FROM t CROSS JOIN planes p),
+    bands AS (
+      SELECT vec_id, band_idx, (sum(bit))::BIGINT AS band_val
+      FROM bits GROUP BY vec_id, band_idx),
+    ranked AS (
+      SELECT vec_id, band_idx, band_val,
+             row_number() OVER (PARTITION BY band_idx, band_val
+                                ORDER BY vec_id) AS rk
+      FROM bands),
+    capped AS (SELECT * FROM ranked WHERE rk <= {_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             round(list_dot_product(x.emb, y.emb)
+                   / (sqrt(list_dot_product(x.emb, x.emb))
+                      * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+      FROM cand c
+      JOIN t x ON x.vec_id = c.vec_a
+      JOIN t y ON y.vec_id = c.vec_b)
 """
 
 
-@query("q_embed_near_duplicates", oracle=_NEARDUP_ORACLE)
-def q_embed_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _srp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    bucket = None
-    for i in range(_N_BITS):
-        bit = F.when(F.element_at("emb", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
-        bucket = bit if bucket is None else bucket + bit
-    b = e.select("vec_id", "emb", bucket.alias("bucket"))
-    a = b.alias("a")
-    bb = b.alias("b")
-    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+    cand = _srp_candidate_pairs(e)
+    x = e.select(F.col("vec_id").alias("xid"), F.col("emb").alias("x_emb"))
+    y = e.select(F.col("vec_id").alias("yid"), F.col("emb").alias("y_emb"))
+    cos = _dot(F.col("x_emb"), F.col("y_emb")) / (
+        _norm(F.col("x_emb")) * _norm(F.col("y_emb"))
     )
     return (
-        a.join(
-            bb,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.95)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
+        cand.join(x, F.col("vec_a") == F.col("xid"))
+        .join(y, F.col("vec_b") == F.col("yid"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@query(
+    "q_embed_lsh_candidates",
+    oracle=f"WITH {_SRP_DUCK} SELECT vec_a, vec_b, cosine FROM scored",
+)
+def q_embed_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All SRP-LSH candidate pairs with exact cosine — the generation
+    stage of the near-dup pipeline, surfaced so the gate hashes
+    non-trivial rows (the 0.95-filtered output is empty on the synthetic
+    corpus, whose max pairwise cosine is ~0.51)."""
+    return _srp_scored(spark, sf_dir)
+
+
+@query(
+    "q_embed_near_duplicates",
+    oracle=f"WITH {_SRP_DUCK} SELECT vec_a, vec_b, cosine FROM scored "
+    "WHERE cosine >= 0.95",
+)
+def q_embed_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _srp_scored(spark, sf_dir).filter(F.col("cosine") >= 0.95)
 
 
 # --------------------------------------------------------------------------
@@ -303,28 +423,51 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
         return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
-    # assign: broadcast the K-row codebook, keep nearest cell per vector
-    w_assign = W.partitionBy("vec_id").orderBy("dist", "cell_id")
+    # The whole K-row codebook rides along as ONE broadcast array column
+    # (single-row aggregate → broadcast nested loop against 1 row), so
+    # cell assignment is a map-side argmin projection: zero shuffle of
+    # the corpus. The r1 formulation (broadcast join expanding every row
+    # ×K + row_number over partitionBy(vec_id)) shuffled K× the corpus
+    # just to take an 8-way argmin — a multi-hundred-TB exchange at
+    # target scale. Ranking by (dist, cell_id) struct sort matches the
+    # oracle's ORDER BY list_distance, cell_id exactly (sqrt is monotone,
+    # so raw squared distance preserves the argmin and its ties).
+    cb = cents.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+
+    def ranked_cells(vec_col):
+        return F.array_sort(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    sqdist(vec_col, c["c_emb"]).alias("dist"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+
     assigned = (
         e.select("vec_id", "label", "emb")
-        .join(F.broadcast(cents))
-        .withColumn("dist", F.sqrt(sqdist(F.col("emb"), F.col("c_emb"))))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "label", "emb", "cell_id")
+        .join(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.element_at(ranked_cells(F.col("emb")), 1)["cell_id"].alias("cell_id"),
+        )
     )
-    # probes: nprobe nearest cells each
+    # probes: nprobe nearest cells each — same broadcast argmin, top-n by
+    # slicing the sorted cell ranking (probe side is 5 rows; the shape
+    # matters because a real probe batch is still shuffle-free)
     probes = (
         e.filter(F.col("vec_id") < N_QUERY_VECS)
         .select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
-        .join(F.broadcast(cents))
-        .withColumn("dist", F.sqrt(sqdist(F.col("q_emb"), F.col("c_emb"))))
-        .withColumn(
-            "rk",
-            F.row_number().over(W.partitionBy("q_id").orderBy("dist", "cell_id")),
+        .join(F.broadcast(cb))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(F.slice(ranked_cells(F.col("q_emb")), 1, _NPROBE)).alias("cell"),
         )
-        .filter(F.col("rk") <= _NPROBE)
-        .select("q_id", "q_emb", "cell_id")
+        .select("q_id", "q_emb", F.col("cell")["cell_id"].alias("cell_id"))
     )
     cand = (
         assigned.join(F.broadcast(probes), "cell_id")

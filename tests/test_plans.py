@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.queries import QUERIES
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
 
 
 def plan_of(spark, name: str) -> str:
@@ -173,6 +173,47 @@ class TestScaleShapes:
         plan = plan_of(spark, "q_ann_ivf_topk")
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_ivf_assignment_is_shuffle_free(self, spark):
+        """Cell assignment must be a map-side argmin over the broadcast
+        codebook array — the corpus is never exchanged for it. The r1
+        shape (broadcast-join expand ×K + row_number over
+        partitionBy(vec_id)) shuffled K× the corpus; pin its absence: no
+        hashpartitioning on vec_id anywhere, and the only row_number
+        window is the final per-probe top-k on q_id (group-limited)."""
+        plan = plan_of(spark, "q_ann_ivf_topk")
+        assert "hashpartitioning(vec_id" not in plan
+        # every Window node must partition by q_id (candidate top-k),
+        # never by a corpus-wide key
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "q_id" in line, line
+        # the top-k window is pre-limited map-side before its exchange
+        assert "WindowGroupLimit" in plan
+
+    def test_embed_neardup_bucket_cardinality_scales(self, spark):
+        """The SRP-LSH blocking key must have cardinality that grows
+        with the corpus (near-singleton buckets), not a constant — the
+        r1 shape keyed on 4 axis-aligned sign bits (16 buckets total),
+        making the bucket join all-pairs/16. Key space is now
+        bands × 2^bits = 4·4096; observed distinct buckets must track
+        corpus size across SFs."""
+        from data_pipeline_with_big_data_stack_spark.queries.vector import (
+            _SRP_BANDS,
+            _SRP_BITS,
+            _emb,
+            _srp_band_rows,
+        )
+
+        assert _SRP_BANDS * (2**_SRP_BITS) >= 4096
+        counts = {}
+        for sf in (SF_SMOKE, SF_CORRECTNESS):
+            e = _emb(spark, sf)
+            counts[sf] = (
+                _srp_band_rows(e).select("band_idx", "band_val").distinct().count()
+            )
+        assert counts[SF_SMOKE] > 16 * 4  # far above the r1 constant
+        assert counts[SF_CORRECTNESS] > counts[SF_SMOKE]
 
     def test_bpe_tokenizer_stays_native(self, spark):
         # regexp_extract_all must appear in the plan (JVM-side), and no
