@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.queries.textops import (
     _SHINGLES_DUCK,
@@ -82,6 +83,10 @@ def _simhash_duck() -> str:
     """
 
 
+# Per-bucket cap — see operators/bucketing.py for the memory/recall
+# trade; the oracle mirrors it exactly via row_number ≤ cap below.
+_SIM_MAX_BUCKET = 256
+
 _SIMHASH_PAIRS_ORACLE = (
     _simhash_duck()
     + f"""
@@ -93,11 +98,16 @@ _SIMHASH_PAIRS_ORACLE = (
                WHEN 2 THEN (sig_lo >> 16) & 65535
                ELSE sig_lo & 65535 END AS band_val
       FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_idx) b),
+    bands_capped AS (
+      SELECT doc_id, sig_hi, sig_lo, band_idx, band_val FROM (
+        SELECT *, row_number() OVER (PARTITION BY band_idx, band_val
+                                     ORDER BY doc_id) AS rk
+        FROM bands) WHERE rk <= {_SIM_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig_hi AS ahi, a.sig_lo AS alo,
              b.sig_hi AS bhi, b.sig_lo AS blo
-      FROM bands a JOIN bands b
+      FROM bands_capped a JOIN bands_capped b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
@@ -165,12 +175,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE sig_lo & 65535 END"
         ),
     )
-    buckets = bands.groupBy("band_idx", "band_val").agg(
-        F.sort_array(
-            F.collect_list(F.struct("doc_id", "sig_hi", "sig_lo"))
-        ).alias("docs")
-    )
-    pairs = buckets.filter(F.size("docs") >= 2).select(
+    buckets = capped_buckets(
+        bands,
+        ["band_idx", "band_val"],
+        "doc_id",
+        F.struct("doc_id", "sig_hi", "sig_lo"),
+        _SIM_MAX_BUCKET,
+    ).withColumnRenamed("ids", "docs")
+    pairs = buckets.select(
         F.explode(
             F.expr(
                 """

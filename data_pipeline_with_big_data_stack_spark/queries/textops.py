@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -311,6 +312,17 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The only shuffle is on band_key — the classic shingle→minhash→band→
 # bucket-join pipeline, linear in corpus size.
 # --------------------------------------------------------------------------
+# Per-bucket id cap. LSH keeps buckets near-singleton by construction,
+# but real web corpora have degenerate mega-buckets (empty / boilerplate
+# documents hash identically); an unbounded collect_list would
+# materialize such a bucket in one task. The cap bounds per-task memory
+# at the cost of recall INSIDE a mega-bucket only (docs beyond the first
+# _LSH_MAX_BUCKET ids of a bucket lose candidacy via that band; they can
+# still pair via their other bands). The oracle applies the identical
+# cap (row_number ≤ cap over the same doc_id order) so the gate stays
+# exact.
+_LSH_MAX_BUCKET = 256
+
 _LSH_DUCK = f"""
     sig AS ({_SIG_DUCK}),
     bands AS (
@@ -319,9 +331,15 @@ _LSH_DUCK = f"""
       SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS band_key FROM sig
       UNION ALL
       SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS band_key FROM sig),
+    bands_capped AS (
+      SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               row_number() OVER (PARTITION BY band, band_key
+                                  ORDER BY doc_id) AS rk
+        FROM bands) WHERE rk <= {_LSH_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands_capped a JOIN bands_capped b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
 """
 
@@ -354,10 +372,10 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (skewed mega-buckets would indicate a degenerate band
     width, not a join-strategy problem)."""
     bands = _lsh_bands(spark, sf_dir)
-    buckets = bands.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
-    )
-    pairs = buckets.filter(F.size("docs") >= 2).select(
+    buckets = capped_buckets(
+        bands, ["band", "band_key"], "doc_id", F.col("doc_id"), _LSH_MAX_BUCKET
+    ).withColumnRenamed("ids", "docs")
+    pairs = buckets.select(
         F.explode(
             F.expr(
                 """

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -263,10 +264,10 @@ def _srp_candidate_pairs(e: DataFrame) -> DataFrame:
     """Distinct (vec_a, vec_b) with vec_a < vec_b sharing any band bucket.
     One shuffle (groupBy band key); pair explosion bounded by _MAX_BUCKET."""
     bands = _srp_band_rows(e)
-    buckets = bands.groupBy("band_idx", "band_val").agg(
-        F.slice(F.sort_array(F.collect_list("vec_id")), 1, _MAX_BUCKET).alias("ids")
+    buckets = capped_buckets(
+        bands, ["band_idx", "band_val"], "vec_id", F.col("vec_id"), _MAX_BUCKET
     )
-    pairs = buckets.filter(F.size("ids") >= 2).select(
+    pairs = buckets.select(
         F.explode(
             F.expr(
                 """
@@ -282,7 +283,7 @@ def _srp_candidate_pairs(e: DataFrame) -> DataFrame:
 
 # DuckDB twin of the banding: planes from md5, bits via cross join +
 # grouped bit-sum, per-bucket cap via row_number over vec_id (equals the
-# Spark slice(sort_array(...), 1, cap) exactly).
+# Spark capped_buckets window-rank cap exactly).
 _SRP_DUCK = f"""
     t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     planes AS (
