@@ -13,10 +13,12 @@ into N long-form rows (one per timestep) with the reference's semantics:
 - per-file provenance: ``source_file``, ``file_size_mb``,
   ``extraction_timestamp`` (``:267-274``).
 
-The *container* for this build has no netCDF4/h5py, so the binary decode
-step is pluggable: real NetCDF bytes (magic ``CDF``/``\\x89HDF``) raise
-``NotImplementedError`` unless a real parser lib is importable, while the
-test fixture format (``FAKENC1`` + JSON payload) decodes deterministically.
+Binary decode is format-dispatched: classic NetCDF-3 (magic ``CDF``)
+decodes natively via the pure-Python reader in ``netcdf3.py`` — no
+library needed; NetCDF-4/HDF5 (magic ``\\x89HDF``) requires netCDF4,
+absent in this container, and raises ``NotImplementedError`` behind an
+import gate; the test fixture format (``FAKENC1`` + JSON payload)
+decodes deterministically.
 All Spark-side plumbing — scan, schema, batching, partition parallelism —
 is real and tested. Many-small-files (187 KB each) are handled by the scan
 packing many files per task (``maxPartitionBytes``) and the parser looping
@@ -34,8 +36,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
+from data_pipeline_with_big_data_stack_spark.sources.netcdf3 import parse_netcdf3
 
 pickle_by_value(__name__)  # the mapInPandas parser ships by value
+# NB: parse_netcdf3 must be a module-level reference — netcdf3 is also
+# registered by value, so cloudpickle ships it with the parser closure;
+# an inside-function import would re-resolve on the worker and fail
+# when the package isn't on the executor's sys.path.
 
 # canonical science variables ← synonym candidates, in priority order
 # (goes_satellite_etl.py:218-226 and the sunpy remap :328-339)
@@ -107,14 +114,21 @@ def _parse_one(path: str, content: bytes, extraction_ts: int) -> "object":
         payload = json.loads(content[len(FAKE_MAGIC):])
         variables = payload["variables"]
         units = payload.get("units", "seconds since 1970-01-01 00:00:00")
-    elif content[:3] == b"CDF" or content[:4] == b"\x89HDF":
-        try:  # real parser only if a NetCDF lib is available
+    elif content[:3] == b"CDF" and content[3] in (1, 2):
+        # classic NetCDF-3: decoded natively, no library needed
+        variables, var_attrs, _gatts = parse_netcdf3(content)
+        # reference default when the attr is missing is 'unknown', which
+        # routes to the cadence fallback (goes_satellite_etl.py:199)
+        units = var_attrs.get("time", {}).get("units", "unknown")
+    elif content[:4] == b"\x89HDF":
+        try:  # NetCDF-4/HDF5 needs a real parser lib
             import netCDF4  # noqa: F401
         except ImportError as exc:  # pragma: no cover - lib absent here
             raise NotImplementedError(
-                "real NetCDF decode requires netCDF4/h5py, not present in "
-                "this container; plumbing is exercised via the FAKENC1 "
-                "fixture format"
+                "NetCDF-4/HDF5 decode requires netCDF4/h5py, not present "
+                "in this container; classic NetCDF-3 decodes natively "
+                "(sources/netcdf3.py) and plumbing is exercised via the "
+                "FAKENC1 fixture format"
             ) from exc
         ds = netCDF4.Dataset("inmem", memory=content)  # pragma: no cover
         variables = {k: ds.variables[k][:].tolist() for k in ds.variables}

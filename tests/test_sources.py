@@ -93,13 +93,24 @@ def test_netcdf_sunpy_fallback_shape(spark, tmp_path):
     assert rows[0]["time"] == 1_000_000 - 40
 
 
-def test_netcdf_real_bytes_raise_without_lib(spark, tmp_path):
-    (tmp_path / "real.nc").write_bytes(b"CDF\x01" + b"\x00" * 100)
+def test_netcdf_hdf5_bytes_raise_without_lib(spark, tmp_path):
+    # NetCDF-4/HDF5 stays behind the netCDF4 import gate; classic
+    # NetCDF-3 (CDF magic) decodes natively — tests/test_netcdf3.py
+    (tmp_path / "real.nc").write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 100)
     df = ncsrc.read_netcdf_directory(spark, str(tmp_path))
     import pytest
 
     with pytest.raises(Exception, match="NetCDF|NotImplemented"):
         df.collect()
+
+
+def test_netcdf3_empty_header_yields_zero_rows(spark, tmp_path):
+    # a valid classic header with no variables decodes to zero records
+    # (not an error) — the scan/flatten plumbing tolerates empty files
+    (tmp_path / "empty.nc").write_bytes(
+        b"CDF\x01" + b"\x00" * 4 + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 8
+    )
+    assert ncsrc.read_netcdf_directory(spark, str(tmp_path)).count() == 0
 
 
 def test_archive_processed(tmp_path):
