@@ -7,13 +7,14 @@ reference has no media path (its closest analogue is the opaque NetCDF
 binary ingest, ``goes_satellite_etl.py:133-388``) — this module is part
 of the engine's extended training-data surface.
 
-Container note: no image/audio libs are installed here, so the *pixel*
-decode step is pluggable exactly like the NetCDF parser: real media
-magics (PNG/JPEG/RIFF) raise ``NotImplementedError`` unless PIL is
-importable, while synthetic media (deterministic bytes derived from
-``md5`` of a seed column — reproducible in any engine) flow through a
-deterministic byte-level feature extractor. Everything Spark-side —
-schema, batch shape, partitioning, UDF signatures — is real and tested.
+Container note: no image/audio libs are installed here. Real PNG decodes
+natively via the pure-Python decoder in ``operators/png.py`` (stdlib
+zlib); other real media magics (JPEG/GIF/RIFF) raise
+``NotImplementedError`` unless PIL is importable; synthetic media
+(deterministic bytes derived from ``md5`` of a seed column —
+reproducible in any engine) flow through a deterministic byte-level
+feature extractor. Everything Spark-side — schema, batch shape,
+partitioning, UDF signatures — is real and tested.
 
 Scale notes:
 - synthetic media and all metadata derivation are native column
@@ -32,14 +33,16 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.png import PNG_MAGIC, decode_png
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 
 pickle_by_value(__name__)  # feature extractors ship by value to workers
 
 N_HIST_BINS = 16
 
-# Real-media magics → required decoder. PNG/JPEG/GIF/RIFF(WAV-AVI).
-_REAL_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF")
+# Real-media magics that still require a library decoder (PNG decodes
+# natively — operators/png.py). JPEG/GIF/RIFF(WAV-AVI).
+_REAL_MAGICS = (b"\xff\xd8\xff", b"GIF8", b"RIFF")
 
 
 def _nibble(col: Column | str, i: int) -> Column:
@@ -95,16 +98,18 @@ def attach_video(df: DataFrame, seed_col: str = "text", frame_bytes: int = 16,
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched byte-level feature extraction over the ``media``
-    column: n_bytes, mean byte value, and a 16-bin byte histogram.
+    """Arrow-batched feature extraction over the ``media`` column.
 
-    Real encoded images (PNG/JPEG/... magics) require PIL; without it
-    they raise ``NotImplementedError`` (clearly-marked stub). Synthetic
-    media always decode deterministically.
+    Real PNG bytes decode natively (``operators/png.py`` — no library)
+    to PIXEL-level features: width/height/channels plus mean and 16-bin
+    histogram over decoded pixel values, ``decoded = true``. Other real
+    encodings (JPEG/GIF/RIFF) require PIL and raise
+    ``NotImplementedError`` without it (clearly-marked stub). Synthetic
+    media yield deterministic BYTE-level features, ``decoded = false``.
     """
     schema = (
-        f"{id_col} long, n_bytes int, mean_byte double, "
-        f"hist array<int>"
+        f"{id_col} long, n_bytes int, decoded boolean, width int, "
+        f"height int, channels int, mean_byte double, hist array<int>"
     )
 
     def extract(batches: Iterator) -> Iterator:
@@ -118,24 +123,38 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             have_pil = False
 
         for pdf in batches:
-            ids, n_bytes, means, hists = [], [], [], []
+            rows = []
             for _id, blob in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 b = bytes(blob)
-                if b[:4].startswith(_REAL_MAGICS) and not have_pil:
+                if b.startswith(PNG_MAGIC):
+                    w, h, nch, arr = decode_png(b)
+                    geom = (True, w, h, nch)
+                elif b[:4].startswith(_REAL_MAGICS) and not have_pil:
                     raise NotImplementedError(
-                        "real image decode requires PIL; container ships "
-                        "none — synthetic media exercise the full path"
+                        "non-PNG image decode requires PIL; container "
+                        "ships none — PNG decodes natively, synthetic "
+                        "media exercise the full path"
                     )
-                arr = np.frombuffer(b, dtype=np.uint8)
-                ids.append(_id)
-                n_bytes.append(len(b))
-                means.append(float(arr.mean()) if len(arr) else 0.0)
-                hists.append(
-                    np.bincount(arr >> 4, minlength=N_HIST_BINS).astype("int32")
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    geom = (False, None, None, None)
+                rows.append(
+                    (
+                        _id,
+                        len(b),
+                        *geom,
+                        float(arr.mean()) if len(arr) else 0.0,
+                        np.bincount(arr >> 4, minlength=N_HIST_BINS).astype(
+                            "int32"
+                        ),
+                    )
                 )
             yield pd.DataFrame(
-                {id_col: ids, "n_bytes": n_bytes, "mean_byte": means,
-                 "hist": hists}
+                rows,
+                columns=[
+                    id_col, "n_bytes", "decoded", "width", "height",
+                    "channels", "mean_byte", "hist",
+                ],
             )
 
     return df.select(id_col, "media").mapInPandas(extract, schema)

@@ -49,9 +49,10 @@ class TestDecode:
         assert sorted(map(str, feats)) == sorted(map(str, again))
 
     def test_real_magic_without_pil_raises(self, spark):
-        # PNG magic + junk -> the decode stub must refuse, not fake-decode
-        png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
-        df = spark.createDataFrame([(1, bytes(png))], ["doc_id", "media"])
+        # JPEG magic + junk -> the decode stub must refuse, not
+        # fake-decode (PNG now decodes natively — TestPngDecode)
+        jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+        df = spark.createDataFrame([(1, jpg)], ["doc_id", "media"])
         try:
             import PIL  # noqa: F401
 
@@ -79,3 +80,159 @@ class TestFrameSample:
         media = bytes(d.filter(F.col("doc_id") == 3).select("media").collect()[0][0])
         assembled = b"".join(bytes(r["frame"]) for r in one.collect())
         assert assembled == media
+
+
+class TestPngDecode:
+    """Native PNG decode (operators/png.py): spec round-trips, a
+    reference unfilter cross-check for all five filter types, a committed
+    golden fixture, and the distributed mapInPandas path."""
+
+    def _gradient_rgb(self, w=9, h=7):
+        import numpy as np
+
+        x = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w * 3)
+        return (x * 3 + 17).astype(np.uint8)  # wraps mod 256
+
+    def test_round_trip_filters_012(self):
+        from data_pipeline_with_big_data_stack_spark.operators.png import decode_png, encode_png
+        import numpy as np
+
+        img = self._gradient_rgb()
+        data = encode_png(9, 7, 3, img, filters=[0, 1, 2])
+        w, h, nch, px = decode_png(data)
+        assert (w, h, nch) == (9, 7, 3)
+        assert np.array_equal(px, img.reshape(-1))
+
+    def test_all_filters_vs_reference_unfilter(self):
+        """Hand-build a PNG whose rows cycle filters 0..4 over seeded
+        random filtered bytes; compare decode_png against an independent
+        scalar reference unfilter written from the spec."""
+        import random
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from data_pipeline_with_big_data_stack_spark.operators.png import PNG_MAGIC, decode_png
+
+        rng = random.Random(42)
+        w, h, nch = 5, 10, 3
+        stride = w * nch
+        raw = bytearray()
+        for y in range(h):
+            raw.append(y % 5)
+            raw += bytes(rng.randrange(256) for _ in range(stride))
+
+        # independent reference unfilter (scalar, straight from RFC 2083)
+        out = []
+        prev = [0] * stride
+        p = 0
+        for y in range(h):
+            filt = raw[p]; p += 1
+            line = list(raw[p : p + stride]); p += stride
+            cur = [0] * stride
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if filt == 0: pred = 0
+                elif filt == 1: pred = a
+                elif filt == 2: pred = b
+                elif filt == 3: pred = (a + b) // 2
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+            out.extend(cur)
+            prev = cur
+
+        def chunk(ctype, payload):
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+        data = (PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        dw, dh, dnch, px = decode_png(data)
+        assert (dw, dh, dnch) == (w, h, nch)
+        assert np.array_equal(px, np.array(out, dtype=np.uint8))
+
+    def test_palette_expands_to_rgb(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from data_pipeline_with_big_data_stack_spark.operators.png import PNG_MAGIC, decode_png
+
+        # 4x2 indexed image over a 3-color palette, filter 0 rows
+        palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        raw = bytes([0, 0, 1, 2, 1]) + bytes([0, 2, 2, 0, 1])
+
+        def chunk(ctype, payload):
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+        data = (PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+                + chunk(b"PLTE", palette)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+        w, h, nch, px = decode_png(data)
+        assert (w, h, nch) == (4, 2, 3)
+        expect = [palette[3 * i : 3 * i + 3] for i in (0, 1, 2, 1, 2, 2, 0, 1)]
+        assert np.array_equal(px, np.frombuffer(b"".join(expect), dtype=np.uint8))
+
+    def test_16bit_raises(self):
+        import struct
+        import zlib
+
+        from data_pipeline_with_big_data_stack_spark.operators.png import PNG_MAGIC, decode_png
+
+        def chunk(ctype, payload):
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+        data = (PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_png(data)
+
+    def test_committed_golden_fixture(self):
+        import os
+
+        import numpy as np
+
+        from data_pipeline_with_big_data_stack_spark.operators.png import decode_png
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_rgb.png")
+        w, h, nch, px = decode_png(open(path, "rb").read())
+        assert (w, h, nch) == (16, 12, 3)
+        # pinned stats of the committed gradient
+        assert int(px.astype(np.int64).sum()) == 72416
+        assert px[:6].tolist() == [17, 20, 23, 26, 29, 32]
+
+    def test_distributed_png_pixel_features(self, spark):
+        """PNG blobs through the Arrow-batched extractor: decoded=true,
+        geometry columns set, mean/hist computed over PIXELS."""
+        import numpy as np
+
+        from data_pipeline_with_big_data_stack_spark.operators.png import encode_png
+
+        img = self._gradient_rgb(8, 6)
+        png = encode_png(8, 6, 3, img, filters=[0, 1, 2])
+        df = spark.createDataFrame(
+            [(1, png), (2, b"not-an-image-blob")], ["doc_id", "media"]
+        )
+        rows = {r["doc_id"]: r for r in M.decode_image_features(df).collect()}
+        px = img.reshape(-1)
+        assert rows[1]["decoded"] is True
+        assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (8, 6, 3)
+        assert rows[1]["n_bytes"] == len(png)
+        assert rows[1]["mean_byte"] == pytest.approx(float(px.mean()))
+        assert rows[1]["hist"] == np.bincount(px >> 4, minlength=16).tolist()
+        assert rows[2]["decoded"] is False and rows[2]["width"] is None
