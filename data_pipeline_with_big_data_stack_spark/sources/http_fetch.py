@@ -81,8 +81,14 @@ def parse_webdav_listing(
     The reference parses hrefs with both an XML walk and a regex-findall
     fallback (`test_citic_download_v2.py:344-438`, regex variant
     `:146-158`); this is the regex form — resilient to namespace
-    variations — with the reference's dedupe+sort (F19) and URL-decoding
-    of percent-escaped names.
+    variations — with the reference's dedupe+sort (F19).
+
+    Hrefs stay PERCENT-ENCODED in the returned URLs: a decoded name
+    containing ' ', '#', '?' or a literal '%' would produce an invalid
+    or ambiguous URL when later fetched ('%20' must not become a space,
+    '%23' must not become a fragment separator). Decoding is only used
+    for the suffix match, so an escaped extension ('file%2Enc') is still
+    recognized. Use ``urllib.parse.unquote`` on the result for display.
     """
     import re
     from urllib.parse import unquote, urljoin
@@ -91,7 +97,7 @@ def parse_webdav_listing(
     out = set()
     for h in hrefs:
         h = h.strip()
-        if not h.lower().endswith(suffix.lower()):
+        if not unquote(h).lower().endswith(suffix.lower()):
             continue
-        out.add(urljoin(base_url, unquote(h)) if base_url else unquote(h))
+        out.add(urljoin(base_url, h) if base_url else h)
     return sorted(out)

@@ -237,11 +237,37 @@ def test_webdav_listing_parse(spark):
       <d:response><d:href>/remote.php/dav/files/goes/OR_EXIS-L1b-SFXR_G18_s1.nc</d:href></d:response>
     </d:multistatus>"""
     got = http_fetch.parse_webdav_listing(xml, base_url="https://cloud.example.org")
+    # hrefs stay percent-encoded in the fetch URLs ('%2D' preserved)
     assert got == [
+        "https://cloud.example.org/remote.php/dav/files/goes/OR_EXIS%2DL1b_s2.nc",
         "https://cloud.example.org/remote.php/dav/files/goes/OR_EXIS-L1b-SFXR_G18_s1.nc",
-        "https://cloud.example.org/remote.php/dav/files/goes/OR_EXIS-L1b_s2.nc",
     ]
     # manifest DataFrame twin
     from data_pipeline_with_big_data_stack_spark.sources import netcdf
 
     assert netcdf.discover_manifest(spark, got).count() == 2
+
+
+def test_webdav_listing_keeps_hostile_names_encoded():
+    """Encoded spaces / '#' / '%' / '?' must survive into the URL —
+    decoding them would break or ambiguate the later fetch; an encoded
+    extension ('%2Enc') must still match the suffix filter."""
+    from data_pipeline_with_big_data_stack_spark.sources import http_fetch
+
+    xml = """
+    <d:multistatus xmlns:d="DAV:">
+      <d:response><d:href>/dav/sat%20file.nc</d:href></d:response>
+      <d:response><d:href>/dav/frag%23mark.nc</d:href></d:response>
+      <d:response><d:href>/dav/pct%25sign.nc</d:href></d:response>
+      <d:response><d:href>/dav/query%3Fq.nc</d:href></d:response>
+      <d:response><d:href>/dav/esc_ext%2Enc</d:href></d:response>
+      <d:response><d:href>/dav/plain.txt</d:href></d:response>
+    </d:multistatus>"""
+    got = http_fetch.parse_webdav_listing(xml, base_url="https://h.example")
+    assert got == [
+        "https://h.example/dav/esc_ext%2Enc",
+        "https://h.example/dav/frag%23mark.nc",
+        "https://h.example/dav/pct%25sign.nc",
+        "https://h.example/dav/query%3Fq.nc",
+        "https://h.example/dav/sat%20file.nc",
+    ]
