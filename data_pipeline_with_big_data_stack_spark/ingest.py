@@ -135,17 +135,56 @@ def ingest_batch(
     return df.sparkSession.read.parquet(path)
 
 
-def compile_stream(spec: DatasourceSpec, stream: DataFrame) -> DataFrame:
+# fixed-length granularities a streaming rollup window can express;
+# MONTH/QUARTER/YEAR are calendar-variable and stay batch-only
+_GRAIN_FIXED_SECONDS = {
+    "SECOND": 1,
+    "MINUTE": 60,
+    "HOUR": 3600,
+    "DAY": 86400,
+    "WEEK": 604800,
+    **_GRAIN_TO_SECONDS,
+}
+
+
+def compile_stream(
+    spec: DatasourceSpec,
+    stream: DataFrame,
+    rollup_watermark: str = "1 hour",
+) -> DataFrame:
     """Streaming twin of ``compile_transform`` for a readStream source
     that already carries the topic's JSON-parsed columns. Raw (non-rollup)
     ingestion is append-mode with NO watermark — exact parity with
-    Druid's accept-any-lateness segments (SURVEY §2.9 T5)."""
+    Druid's accept-any-lateness segments (SURVEY §2.9 T5).
+
+    ``rollup: true`` becomes a watermarked tumbling-window count at the
+    query granularity: same (__time, dims, __count) schema as batch
+    rollup, with ``__time`` = window start. The watermark is the
+    documented T5 deviation — an aggregating stream must bound its
+    state, so events later than ``rollup_watermark`` are dropped rather
+    than merged into an already-emitted rollup row (Druid would merge
+    them; its own supervisors all run ``rollup: false``,
+    ``M/druid-goes-satellite-datasource.json:22``). In append output
+    mode a rollup row emits once its window falls behind the watermark —
+    exactly-once parquet semantics preserved."""
     if spec.granularity.rollup:
-        raise NotImplementedError(
-            "streaming rollup requires a watermark; build it from "
-            "streaming.windows.tumbling_agg(df, '__time', <granularity>, "
-            "dims, watermark=...) over this compiled stream instead"
+        grain = spec.granularity.query
+        if grain not in _GRAIN_FIXED_SECONDS:
+            raise ValueError(
+                f"streaming rollup needs a fixed-length queryGranularity, "
+                f"got {grain!r}; use batch rollup (ingest_batch) for "
+                "calendar granularities or NONE"
+            )
+        ts = parse_event_time(spec.timestamp.column, spec.timestamp.format)
+        df = cast_dimensions(stream.withColumn("__time", ts), spec.schema())
+        dims = [d.name for d in spec.dimensions]
+        win = F.window("__time", f"{_GRAIN_FIXED_SECONDS[grain]} seconds")
+        out = (
+            df.withWatermark("__time", rollup_watermark)
+            .groupBy(win.alias("w"), *dims)
+            .agg(F.count(F.lit(1)).alias("__count"))
         )
+        return out.select(F.col("w.start").alias("__time"), *dims, "__count")
     return compile_transform(spec, stream)
 
 

@@ -331,3 +331,81 @@ class TestStateRecovery:
         }
         got = {k: (r["n_events"], r["total"]) for k, r in second.items()}
         assert got == want  # 50 events total, never re-zeroed
+
+
+class TestStreamingRollup:
+    """rollup:true on a stream — watermarked tumbling count with the
+    batch rollup's (__time, dims, __count) schema, emitted append-mode
+    (exactly-once) once windows finalize; batch/stream parity on the
+    finalized set."""
+
+    def _rollup_spec(self):
+        from dataclasses import replace
+
+        from data_pipeline_with_big_data_stack_spark.schemas import DEMO, GranularitySpec
+
+        return replace(
+            DEMO, granularity=GranularitySpec("HOUR", "MINUTE", rollup=True)
+        )
+
+    def _tick_rows(self):
+        base = 1709290000
+        rows = [
+            {
+                "timestamp": base + i * 5,
+                "name": ["btc", "eth"][i % 2],
+                "data_id": i % 3,
+            }
+            for i in range(120)  # 10 minutes of 5 s ticks
+        ]
+        # sentinel 2 h later: advances the watermark so every main-window
+        # rollup row finalizes and emits in append mode
+        rows.append({"timestamp": base + 7200, "name": "btc", "data_id": 0})
+        return rows
+
+    def test_stream_rollup_matches_batch(self, spark, tmp_path):
+        spec = self._rollup_spec()
+        feed = str(tmp_path / "ticks")
+        rows = self._tick_rows()
+        _write_feed(feed, rows, "t1.json")
+        schema = T.StructType(
+            [
+                T.StructField("timestamp", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("data_id", T.LongType()),
+            ]
+        )
+        stream = streaming.json_dir_stream(spark, feed, schema)
+        plan = ingest.compile_stream(spec, stream, rollup_watermark="10 minutes")
+        got = streaming.run_available_now(
+            plan, checkpoint=str(tmp_path / "ckpt_rollup"), output_mode="append"
+        )
+        assert set(got.columns) == {"__time", "name", "data_id", "__count"}
+
+        # batch twin over the rows whose windows finalized (all but the
+        # sentinel, which the watermark holds back)
+        batch = spark.createDataFrame(
+            [r for r in rows if r["timestamp"] < 1709290000 + 7200], schema
+        )
+        want = ingest.compile_transform(spec, batch)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # rollup genuinely pre-aggregated: 120 ticks collapsed
+        assert got.count() < 120
+        assert sum(r["__count"] for r in got.collect()) == 120
+
+    def test_calendar_granularity_rejected(self, spark, tmp_path):
+        from dataclasses import replace
+
+        from data_pipeline_with_big_data_stack_spark.schemas import DEMO, GranularitySpec
+
+        spec = replace(
+            DEMO, granularity=GranularitySpec("DAY", "MONTH", rollup=True)
+        )
+        feed = str(tmp_path / "ticks2")
+        _write_feed(feed, self._tick_rows(), "t1.json")
+        schema = T.StructType([T.StructField("timestamp", T.LongType())])
+        stream = streaming.json_dir_stream(spark, feed, schema)
+        with pytest.raises(ValueError, match="fixed-length"):
+            ingest.compile_stream(spec, stream)
