@@ -23,9 +23,11 @@ from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     prepare_session(spark)
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, rebalance=rebalance)
 
 
 # ==========================================================================
@@ -119,7 +121,9 @@ _SIMHASH_PAIRS_ORACLE = (
 
 
 def _simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # rebalance: 64-bit-per-shingle voting is the heaviest per-row
+    # compute in the text family (see tables._scan_rebalance)
+    d = _t(spark, sf_dir, "documents", rebalance=True)
     # NB: explode is applied to the shingle expression INLINE — exploding a
     # withColumn'd alias makes Catalyst splice the full expression into the
     # generator's implicit `size(e) > 0 AND isnotnull(e)` filter, where it

@@ -28,9 +28,11 @@ from data_pipeline_with_big_data_stack_spark.tables import load_table
 _DEC = "decimal(18,6)"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     prepare_session(spark)
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, rebalance=rebalance)
 
 
 # --------------------------------------------------------------------------
@@ -59,7 +61,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
+    # rebalance: the decimal(18,6) partial aggregation over every row is
+    # the whole query; a single-row-group file would serialize it
+    l = _t(spark, sf_dir, "lineitem", rebalance=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))

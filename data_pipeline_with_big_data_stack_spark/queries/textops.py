@@ -33,9 +33,15 @@ _STOP = {
 }
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(
+    spark: SparkSession, sf_dir: str, rebalance: bool = False
+) -> DataFrame:
+    """``rebalance=True`` is for pipelines whose per-row compute
+    (shingling, minhash, regex tokenization, rolling hashes) dwarfs a
+    row's shuffle cost — see ``tables._scan_rebalance``. Cheap
+    pipelines keep the default."""
     prepare_session(spark)
-    return load_table(spark, sf_dir, "documents")
+    return load_table(spark, sf_dir, "documents", rebalance=rebalance)
 
 
 # --------------------------------------------------------------------------
@@ -254,7 +260,7 @@ _SHINGLES_DUCK = """
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, rebalance=True)
     return d.withColumn("words", F.split("text", " ")).withColumn(
         "shingles", F.expr(_SHINGLES_SPARK)
     )
@@ -488,7 +494,7 @@ _BPE_PAT = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
     """,
 )
 def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, rebalance=True)
     # F.lit pattern, not an F.expr SQL literal — Spark SQL string parsing
     # would eat the backslash in \s and silently tokenize whitespace
     toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
@@ -529,7 +535,7 @@ _MOD = 1_000_000_007
     """,
 )
 def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, rebalance=True)
     hs = F.expr(
         "transform(split(text, ' '), "
         "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))"

@@ -27,8 +27,10 @@ TOP_K = 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: every vector pipeline does O(dim) float math per row
+    # (dot products, SRP projections) — see tables._scan_rebalance
     prepare_session(spark)
-    return load_table(spark, sf_dir, "embeddings").withColumn(
+    return load_table(spark, sf_dir, "embeddings", rebalance=True).withColumn(
         "emb", F.col("embedding").cast("array<double>")
     )
 
