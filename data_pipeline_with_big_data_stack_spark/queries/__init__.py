@@ -45,3 +45,4 @@ from data_pipeline_with_big_data_stack_spark.queries import media  # noqa: E402,
 from data_pipeline_with_big_data_stack_spark.queries import extended  # noqa: E402,F401
 from data_pipeline_with_big_data_stack_spark.queries import streaming_queries  # noqa: E402,F401
 from data_pipeline_with_big_data_stack_spark.queries import sketches  # noqa: E402,F401
+from data_pipeline_with_big_data_stack_spark.queries import curation  # noqa: E402,F401

@@ -1,0 +1,408 @@
+"""Training-data curation operators over the ``documents`` corpus.
+
+The reference stack stops at ingest + dashboard aggregation
+(GOES_PIPELINE_REPORT.md:275-289 profiles source tables); a 100 TB
+training-data pipeline additionally needs corpus CURATION: repetition/
+quality filtering, PII redaction, deterministic split assignment,
+chunking for fixed-context training, benchmark-contamination checks,
+and duplicate CLUSTERING (candidate pairs alone don't dedup a corpus —
+you keep one canonical doc per connected component).
+
+Every operator here is linear in corpus size with at most one hash
+shuffle on ``doc_id``-sized keys, except the cluster query whose
+iterative joins run on the (tiny, LSH-filtered) candidate-pair edge
+set — never on the corpus.
+
+Quality heuristics follow the publicly documented Gopher rules (Rae et
+al. 2021, "Scaling Language Models: Methods, Analysis & Insights from
+Training Gopher", App. A1.1): mean word length in [3, 10], duplicate
+word/n-gram fractions, top-bigram fraction <= 0.18.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.queries import query
+from data_pipeline_with_big_data_stack_spark.queries.textops import _docs
+from data_pipeline_with_big_data_stack_spark.queries.textops import (
+    _LSH_DUCK,
+    _lsh_candidate_pairs,
+)
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality signals, per document.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_gopher_quality",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    m AS (
+      SELECT doc_id,
+             list_sum([len(x) for x in words])::DOUBLE / len(words) AS mwl,
+             1 - len(list_distinct(words))::DOUBLE / len(words)     AS dwf,
+             CASE WHEN len(words) >= 3 THEN
+               1 - len(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                      for i in range(1, len(words) - 1)]))::DOUBLE
+                   / (len(words) - 2)
+             ELSE 0.0 END AS dtf
+      FROM w),
+    bx AS (SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1]
+                          for i in range(1, len(words))]) AS bg
+           FROM w),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bx GROUP BY doc_id, bg),
+    tp AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM bc GROUP BY doc_id)
+    SELECT m.doc_id,
+           round(mwl, 4)               AS mean_word_len,
+           round(dwf, 4)               AS dup_word_frac,
+           round(dtf, 4)               AS dup_trigram_frac,
+           round(coalesce(tbf, 0), 4)  AS top_bigram_frac,
+           (mwl BETWEEN 3 AND 10 AND coalesce(tbf, 1) <= 0.18) AS quality_ok
+    FROM m LEFT JOIN tp ON m.doc_id = tp.doc_id
+    """,
+)
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics + the Gopher keep/drop flag. One
+    explode+group pass for the top-bigram mode, everything else stays
+    in the scan stage as array expressions; the final join is
+    doc_id-keyed (both sides already hash-partitioned by doc_id)."""
+    d = _docs(spark, sf_dir, rebalance=True).withColumn(
+        "words", F.split("text", " ")
+    )
+    n = F.size("words")
+    mwl = F.aggregate(
+        F.transform("words", F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    ).cast("double") / n
+    dwf = 1 - F.size(F.array_distinct("words")).cast("double") / n
+    tri = F.expr(
+        "transform(sequence(0, size(words) - 3), "
+        "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+    )
+    dtf = F.when(
+        n >= 3,
+        1 - F.size(F.array_distinct(tri)).cast("double") / (n - 2),
+    ).otherwise(F.lit(0.0))
+    m = d.select(
+        "doc_id", "words", mwl.alias("mwl"), dwf.alias("dwf"), dtf.alias("dtf")
+    )
+    bx = m.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2), "
+                "i -> concat_ws(' ', words[i], words[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    tp = (
+        bx.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count").cast("double") / F.sum("count")).alias("tbf"))
+    )
+    return (
+        m.drop("words")
+        .join(tp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("mwl", 4).alias("mean_word_len"),
+            F.round("dwf", 4).alias("dup_word_frac"),
+            F.round("dtf", 4).alias("dup_trigram_frac"),
+            F.round(F.coalesce("tbf", F.lit(0.0)), 4).alias("top_bigram_frac"),
+            (
+                F.col("mwl").between(3, 10)
+                & (F.coalesce("tbf", F.lit(1.0)) <= 0.18)
+            ).alias("quality_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction: count + strip emails / phone numbers / IPv4 addresses.
+# Pure regexp_replace / regexp_extract_all — JVM-side, no UDF. The
+# registry output carries md5(redacted) instead of the full text so the
+# gate's hash compare stays cheap; tests/test_curation.py proves the
+# redaction itself on crafted strings.
+# --------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(col: F.Column) -> F.Column:
+    """Email -> phone -> IPv4 replacement, in that order (emails can
+    embed digit runs a phone pattern would otherwise split)."""
+    out = F.regexp_replace(col, F.lit(_PII_EMAIL), F.lit("<EMAIL>"))
+    out = F.regexp_replace(out, F.lit(_PII_PHONE), F.lit("<PHONE>"))
+    return F.regexp_replace(out, F.lit(_PII_IPV4), F.lit("<IP>"))
+
+
+@query(
+    "q_doc_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT  AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'))                    AS redacted_hash
+    FROM documents
+    """,
+)
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: bucket = md5(doc_id || salt) mod
+# 100 — reproducible across engines, runs, and cluster sizes; no RNG
+# state, no shuffle (pure projection).
+# --------------------------------------------------------------------------
+_SPLIT_SALT = "split-v1"
+
+
+@query(
+    "q_doc_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(_SPLIT_SALT))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# Document chunking for fixed-context training: sliding token windows of
+# CHUNK tokens at STRIDE (overlap = CHUNK - STRIDE). Pure array
+# expressions + one generator — stays in the scan stage, linear, no
+# shuffle at all.
+# --------------------------------------------------------------------------
+_CHUNK = 16
+_STRIDE = 12
+
+
+@query(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           s // {_STRIDE}                                    AS chunk_idx,
+           len(words[s+1 : s+{_CHUNK}])::BIGINT              AS n_chunk_tokens,
+           md5(array_to_string(words[s+1 : s+{_CHUNK}], ' ')) AS chunk_hash
+    FROM (SELECT doc_id, words, unnest(range(0, len(words), {_STRIDE})) AS s
+          FROM w)
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("words", F.split("text", " "))
+    # explode the start-offset expression INLINE (generator pitfall —
+    # see tests/test_plans.py::TestGeneratorPitfall)
+    ex = d.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.expr(f"sequence(0, size(words) - 1, {_STRIDE})")
+        ).alias("s"),
+    )
+    chunk = F.expr(f"slice(words, s + 1, {_CHUNK})")
+    return ex.select(
+        "doc_id",
+        (F.col("s") / _STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check: fraction of a doc's distinct 5-grams
+# that appear in a "benchmark" probe set (docs 0..19 stand in for a
+# held-out eval set). The probe side is tiny by construction -> Spark
+# broadcasts it; the corpus side is one explode + one doc_id-keyed
+# aggregation — linear at 100 TB. (The 13-gram variant of this check is
+# the publicly documented GPT-3/Gopher decontamination procedure; 5-grams
+# fit the short synthetic docs.)
+# --------------------------------------------------------------------------
+_N_PROBE_DOCS = 20
+_GRAM = 5
+
+
+def _grams_sql_duck(gram: int) -> str:
+    return (
+        f"list_distinct([array_to_string(words[i : i+{gram - 1}], ' ') "
+        f"for i in range(1, len(words) - {gram - 2})])"
+    )
+
+
+@query(
+    "q_contamination_check",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= {_GRAM}),
+    g AS (SELECT doc_id, {_grams_sql_duck(_GRAM)} AS grams FROM w),
+    probe AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id < {_N_PROBE_DOCS}),
+    corpus AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams
+               FROM g WHERE doc_id >= {_N_PROBE_DOCS})
+    SELECT c.doc_id,
+           count(p.gram)::BIGINT AS n_overlap,
+           any_value(c.n_grams)::BIGINT AS n_grams,
+           round(count(p.gram)::DOUBLE / any_value(c.n_grams), 4) AS contamination
+    FROM corpus c JOIN probe p ON c.gram = p.gram
+    GROUP BY c.doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir, rebalance=True).withColumn(
+        "words", F.split("text", " ")
+    )
+    d = d.filter(F.size("words") >= _GRAM)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(0, size(words) - {_GRAM}), "
+        f"i -> concat_ws(' ', slice(words, i + 1, {_GRAM}))))"
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    probe = (
+        g.filter(F.col("doc_id") < _N_PROBE_DOCS)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") >= _N_PROBE_DOCS).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").cast("long").alias("n_overlap"),
+            F.any_value("n_grams").cast("long").alias("n_grams"),
+            F.round(
+                F.count("gram").cast("double") / F.any_value("n_grams"), 4
+            ).alias("contamination"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering: connected components over the MinHash-LSH
+# candidate-pair graph, with the cluster minimum as the canonical doc.
+# Candidate pairs alone don't dedup a corpus — transitive duplicates
+# (A~B, B~C) must land in ONE cluster so exactly one doc survives.
+#
+# Spark side: iterative min-label propagation. The edge set is the LSH
+# candidate list — orders of magnitude smaller than the corpus — and
+# every iteration is two hash joins on it; iterations needed = graph
+# diameter (near-dup clusters are near-cliques, so 2-4 in practice,
+# bounded at _CC_MAX_ITERS). Each iteration localCheckpoints to cut
+# lineage growth. This is the documented non-SQL-shape exception in the
+# engine (driver-side convergence loop; per-iteration work fully
+# distributed).
+# --------------------------------------------------------------------------
+_CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list (``a``/``b``
+    long columns). Returns (node, label) with label = min node id
+    reachable. Exact fixpoint (not hash-approximate), so the DuckDB
+    transitive-closure oracle matches bit-for-bit."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neigh = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nlabel", F.lit(2**62))
+                ).alias("label"),
+                (F.coalesce("nlabel", F.lit(2**62)) < F.col("label")).alias(
+                    "chg"
+                ),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter("chg").limit(1).count()
+        labels = new.drop("chg")
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_DUCK},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand),
+    reach AS (
+      SELECT a AS node, b AS peer FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+    SELECT node                             AS doc_id,
+           least(node, min(peer))::BIGINT   AS cluster_id,
+           (least(node, min(peer)) = node)  AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )

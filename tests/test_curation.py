@@ -1,0 +1,109 @@
+"""Behavioral tests for the training-data curation operators —
+redaction on crafted PII, connected-component exactness, chunk window
+arithmetic, split determinism. Cross-engine parity for the registry
+queries themselves lives in test_parity.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_with_big_data_stack_spark.queries.curation import (
+    _CHUNK,
+    _STRIDE,
+    connected_components,
+    q_doc_chunking,
+    q_doc_gopher_quality,
+    q_doc_hash_split,
+    redact_pii,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_pii_redaction_replaces_and_counts(spark):
+    rows = [
+        ("reach me at jane.doe+x@example.co.uk today", "<EMAIL>"),
+        ("call +1 (555) 123-4567 now", "<PHONE>"),
+        ("server at 10.0.255.7 rebooted", "<IP>"),
+        ("no pii here at all", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    out = df.select(redact_pii(F.col("text")).alias("red")).collect()
+    for (text, token), r in zip(rows, out):
+        if token is None:
+            assert r.red == text
+        else:
+            assert token in r.red, (text, r.red)
+            # nothing of the original sensitive token survives
+            assert "@" not in r.red if token == "<EMAIL>" else True
+
+
+def test_pii_email_redacted_before_phone():
+    # digits inside an email local-part must not be phone-matched
+    import duckdb  # noqa: F401  (parity engine for the same regexes)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([("mail 12345678901@example.com end",)], ["text"])
+    red = df.select(redact_pii(F.col("text")).alias("r")).head().r
+    assert red == "mail <EMAIL> end"
+
+
+def test_connected_components_exact(spark):
+    # chain 1-2-3, separate pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)], ["a", "b"]
+    )
+    got = {
+        (r.node, r.label) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter > 2 forces multiple propagation rounds
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["a", "b"]
+    )
+    labels = connected_components(edges).collect()
+    assert {r.label for r in labels} == {0}
+    assert len(labels) == n + 1
+
+
+def test_chunking_covers_every_token_once_per_window(spark):
+    out = q_doc_chunking(spark, SF_SMOKE).toPandas()
+    assert (out.n_chunk_tokens <= _CHUNK).all()
+    assert (out.n_chunk_tokens >= 1).all()
+    # chunk_idx dense from 0 per doc
+    for _, g in out.groupby("doc_id"):
+        idx = sorted(g.chunk_idx)
+        assert idx == list(range(len(idx)))
+    # every chunk except possibly the last per doc is full-width when the
+    # doc has >= _CHUNK tokens
+    g0 = out[out.doc_id == out.doc_id.iloc[0]].sort_values("chunk_idx")
+    if len(g0) > 1:
+        assert (g0.n_chunk_tokens.iloc[:-1] >= _CHUNK - _STRIDE).all()
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    a = q_doc_hash_split(spark, SF_SMOKE).toPandas()
+    b = q_doc_hash_split(spark, SF_SMOKE).toPandas()
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    frac = a.split.value_counts(normalize=True)
+    assert frac["train"] == pytest.approx(0.90, abs=0.06)
+    assert frac.get("val", 0) + frac.get("test", 0) == pytest.approx(
+        0.10, abs=0.06
+    )
+
+
+def test_gopher_quality_flags_vary(spark):
+    out = q_doc_gopher_quality(spark, SF_SMOKE).toPandas()
+    assert out.mean_word_len.between(1, 20).all()
+    assert out.dup_word_frac.between(0, 1).all()
+    assert out.top_bigram_frac.between(0, 1).all()

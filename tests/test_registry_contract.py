@@ -43,7 +43,11 @@ def test_oracle_references_only_fixture_tables(name):
     refs = re.findall(r"(?:from|join)\s+([a-z_][a-z0-9_]*)", sql)
     known = set(TABLE_NAMES)
     # CTE names defined in the oracle itself are fine
-    ctes = set(re.findall(r"(?:with|,)\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql))
+    ctes = set(
+        re.findall(
+            r"(?:with(?:\s+recursive)?|,)\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql
+        )
+    )
     ctes |= set(re.findall(r"\)\s*,\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql))
     for r in refs:
         assert r in known or r in ctes or r == "lateral", (
