@@ -1,0 +1,721 @@
+"""Minimal pure-Python HDF5 reader for netCDF-4 satellite files.
+
+The reference pipeline's real input (``test_downloads/OR_EXIS-L1b-
+SFXR_*.nc``, decoded at ``goes_satellite_etl.py:181-238``) is netCDF-4,
+i.e. HDF5 — and this container has no netCDF4/h5py. This module
+implements just enough of the public HDF5 File Format Specification
+(v3, hdfgroup.org) to decode that file class natively:
+
+- superblock v0/v1/v2/v3 (8-byte offsets/lengths only)
+- object headers v1 and v2 (``OHDR``), continuation blocks
+- group links: compact (Link messages), dense (fractal heap ``FRHP``/
+  ``FHIB``/``FHDB`` + v2 B-tree ``BTHD``/``BTIN``/``BTLF``), and
+  old-style symbol tables (v1 B-tree ``TREE`` + ``SNOD`` + local heap)
+- attributes: compact and dense, fixed/vlen strings (global heap
+  ``GCOL``), numeric scalars and small arrays
+- dataset data: compact, contiguous, and chunked v3 layouts (v1 B-tree
+  chunk index) through deflate / shuffle / fletcher32 filter pipelines
+- datatypes: fixed-point, IEEE float, fixed string, vlen string
+
+Deliberately out of scope (raise or skip, never silently misread):
+v4 chunked layouts, compound/array datatypes, region references as
+data, files with non-8-byte offsets. netCDF-4 "classic model" files —
+which is what NOAA GOES products are — use none of those for their
+science variables.
+
+``parse_hdf5_netcdf`` mirrors ``netcdf3.parse_netcdf3``: it returns
+``(variables, var_attrs, global_attrs)`` with 0-/1-D variables as
+Python lists, skipping netCDF's phantom dimension-scale datasets.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
+
+pickle_by_value(__name__)  # decoder runs inside mapInPandas workers
+
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class H5Error(ValueError):
+    pass
+
+
+class _H5:
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self._superblock()
+        self._gcol_cache: dict[int, dict[int, bytes]] = {}
+
+    # -- primitives --------------------------------------------------
+    def u(self, fmt: str, off: int):
+        return struct.unpack_from("<" + fmt, self.b, off)
+
+    def u1(self, off):
+        return self.b[off]
+
+    def uN(self, off: int, n: int) -> int:
+        return int.from_bytes(self.b[off : off + n], "little")
+
+    # -- superblock --------------------------------------------------
+    def _superblock(self):
+        b = self.b
+        base = b.find(b"\x89HDF\r\n\x1a\n")
+        if base != 0:
+            raise H5Error("not an HDF5 file")
+        ver = b[8]
+        if ver in (0, 1):
+            so, sl = b[13], b[14]
+            if (so, sl) != (8, 8):
+                raise H5Error(f"unsupported offset/length sizes {so}/{sl}")
+            addr0 = 24 if ver == 0 else 28
+            # root group symbol-table entry follows the 4 file addresses
+            ste = addr0 + 32
+            (self.root_ohdr,) = self.u("Q", ste + 8)
+        elif ver in (2, 3):
+            so, sl = b[9], b[10]
+            if (so, sl) != (8, 8):
+                raise H5Error(f"unsupported offset/length sizes {so}/{sl}")
+            (self.root_ohdr,) = self.u("Q", 12 + 24)
+        else:
+            raise H5Error(f"unsupported superblock version {ver}")
+
+    # -- object headers ----------------------------------------------
+    def messages(self, addr: int) -> list[tuple[int, int, int]]:
+        """All (type, body_offset, body_size) messages of the object
+        header at ``addr``, continuations followed."""
+        if self.b[addr : addr + 4] == b"OHDR":
+            return self._messages_v2(addr)
+        return self._messages_v1(addr)
+
+    def _messages_v1(self, addr):
+        ver, _, nmsgs, _refcnt, hsize = self.u("BBHII", addr)
+        if ver != 1:
+            raise H5Error(f"object header version {ver} at {addr}")
+        msgs = []
+        blocks = [(addr + 16, hsize)]
+        while blocks and len(msgs) < nmsgs:
+            off, size = blocks.pop(0)
+            end = off + size
+            while off + 8 <= end and len(msgs) < nmsgs:
+                mtype, msize, _flags = self.u("HHB", off)
+                body = off + 8
+                if mtype == 0x10:
+                    caddr, clen = self.u("QQ", body)
+                    blocks.append((caddr, clen))
+                else:
+                    msgs.append((mtype, body, msize))
+                off = body + msize  # v1 bodies are 8-aligned by writer
+        return msgs
+
+    def _messages_v2(self, addr):
+        flags = self.u1(addr + 5)
+        off = addr + 6
+        if flags & 0x20:
+            off += 16
+        if flags & 0x10:
+            off += 4
+        sz0_len = 1 << (flags & 0x3)
+        chunk0 = self.uN(off, sz0_len)
+        off += sz0_len
+        corder = 2 if flags & 0x04 else 0
+        msgs = []
+        blocks = [(off, chunk0)]
+        while blocks:
+            start, size = blocks.pop(0)
+            o, end = start, start + size
+            while o + 4 + corder <= end:
+                mtype, msize, _mflags = self.u("BHB", o)
+                body = o + 4 + corder
+                if mtype == 0x10:
+                    caddr, clen = self.u("QQ", body)
+                    # continuation: OCHK sig + messages + 4-byte checksum
+                    blocks.append((caddr + 4, clen - 8))
+                else:
+                    msgs.append((mtype, body, msize))
+                o = body + msize
+        return msgs
+
+    # -- datatype / dataspace ----------------------------------------
+    def datatype(self, off: int) -> dict:
+        cls_ver = self.u1(off)
+        cls, ver = cls_ver & 0xF, cls_ver >> 4
+        bits0 = self.u1(off + 1)
+        (size,) = self.u("I", off + 4)
+        if cls == 0:  # fixed-point
+            return {"kind": "int", "size": size, "signed": bool(bits0 & 0x08)}
+        if cls == 1:  # IEEE float
+            if size not in (4, 8):
+                raise H5Error(f"unsupported float size {size}")
+            return {"kind": "float", "size": size}
+        if cls == 3:  # fixed-length string
+            return {"kind": "string", "size": size}
+        if cls == 7:  # reference
+            return {"kind": "reference", "size": size}
+        if cls == 9:  # variable-length
+            if bits0 & 0xF == 1:  # vlen string
+                return {"kind": "vlen_string", "size": size}
+            base = self.datatype(off + 8)
+            return {"kind": "vlen", "size": size, "base": base}
+        raise H5Error(f"unsupported datatype class {cls} v{ver}")
+
+    def dataspace(self, off: int) -> list[int]:
+        ver = self.u1(off)
+        if ver == 1:
+            ndims, flags = self.u1(off + 1), self.u1(off + 2)
+            o = off + 8
+        elif ver == 2:
+            ndims, flags = self.u1(off + 1), self.u1(off + 2)
+            o = off + 4
+        else:
+            raise H5Error(f"dataspace version {ver}")
+        return [self.uN(o + 8 * i, 8) for i in range(ndims)]
+
+    # -- filter pipeline ---------------------------------------------
+    def filters(self, off: int) -> list[tuple[int, list[int]]]:
+        ver = self.u1(off)
+        nf = self.u1(off + 1)
+        o = off + (8 if ver == 1 else 2)
+        out = []
+        for _ in range(nf):
+            (fid,) = self.u("H", o)
+            if ver == 1 or fid >= 256:
+                (namelen,) = self.u("H", o + 2)
+            else:
+                namelen = 0
+            _fl, ncv = self.u("HH", o + 4)
+            o += 8
+            if ver == 1:
+                namelen = (namelen + 7) & ~7  # padded to 8
+            o += namelen
+            cvals = [self.u("I", o + 4 * i)[0] for i in range(ncv)]
+            o += 4 * ncv
+            if ver == 1 and ncv % 2:
+                o += 4  # v1 pads odd client-value counts
+            out.append((fid, cvals))
+        return out
+
+    # -- fractal heap ------------------------------------------------
+    def _frhp(self, addr: int) -> dict:
+        if self.b[addr : addr + 4] != b"FRHP":
+            raise H5Error("bad FRHP")
+        (idlen,) = self.u("H", addr + 5)
+        (filt_len,) = self.u("H", addr + 7)
+        flags = self.u1(addr + 9)
+        o = addr + 10 + 12 + 24 + 32 + 32
+        (width,) = self.u("H", o)
+        start, maxdir, maxheap = self.u("QQH", o + 2)
+        _srows, root, currows = self.u("HQH", o + 20)
+        return dict(
+            idlen=idlen, flags=flags, width=width, start=start,
+            maxdir=maxdir, maxheap=maxheap, root=root, rows=currows,
+            offsz=(maxheap + 7) // 8, filt=filt_len,
+        )
+
+    def _heap_blocks(self, h: dict) -> list[tuple[int, int, int]]:
+        """(heap_offset, file_addr, block_size) of every direct block."""
+        width, start = h["width"], h["start"]
+
+        def rowsize(r):
+            return start if r < 2 else start << (r - 1)
+
+        if h["rows"] == 0:  # root IS a direct block
+            return [(0, h["root"], start)]
+        a = h["root"]
+        if self.b[a : a + 4] != b"FHIB":
+            raise H5Error("bad FHIB")
+        o = a + 5 + 8 + h["offsz"]
+        blocks, heap_off = [], 0
+        for r in range(h["rows"]):
+            for _ in range(width):
+                (daddr,) = self.u("Q", o)
+                o += 8
+                if h["filt"]:
+                    o += 8 + 4  # filtered size + mask (unused: link/attr
+                    #             heaps in netCDF files are unfiltered)
+                if daddr != _UNDEF:
+                    blocks.append((heap_off, daddr, rowsize(r)))
+                heap_off += rowsize(r)
+        return blocks
+
+    def heap_object(self, h: dict, heap_id: bytes) -> tuple[int, int]:
+        """(file_offset, length) of a managed fractal-heap object."""
+        flags = heap_id[0]
+        if (flags >> 4) & 0x3 != 0:
+            raise H5Error("non-managed heap id")
+        offsz = h["offsz"]
+        off = int.from_bytes(heap_id[1 : 1 + offsz], "little")
+        length = int.from_bytes(heap_id[1 + offsz :], "little")
+        # heap offsets span whole blocks INCLUDING their headers, so an
+        # object at heap offset `off` sits at file byte faddr+(off-hoff)
+        for hoff, faddr, bsize in self._heap_blocks(h):
+            if hoff <= off < hoff + bsize:
+                if self.b[faddr : faddr + 4] != b"FHDB":
+                    raise H5Error("bad FHDB")
+                return faddr + (off - hoff), length
+        raise H5Error(f"heap offset {off} not found")
+
+    # -- v2 btree ----------------------------------------------------
+    def btree2_records(self, addr: int) -> list[bytes]:
+        if self.b[addr : addr + 4] != b"BTHD":
+            raise H5Error("bad BTHD")
+        node_size, rec_size, depth = self.u("IHH", addr + 6)
+        root, nrec_root = self.u("QH", addr + 16)
+        if root == _UNDEF:
+            return []
+
+        def max_nrec(d):
+            if d == 0:
+                return (node_size - 10) // rec_size
+            ptr = 8 + _minbytes(max_nrec(d - 1)) + (
+                _minbytes(node_size) if d > 1 else 0
+            )
+            return (node_size - 10) // (rec_size + ptr)
+
+        def walk(a, nrec, d):
+            sig = self.b[a : a + 4]
+            out = []
+            o = a + 6
+            if d == 0:
+                if sig != b"BTLF":
+                    raise H5Error("bad BTLF")
+                for _ in range(nrec):
+                    out.append(self.b[o : o + rec_size])
+                    o += rec_size
+                return out
+            if sig != b"BTIN":
+                raise H5Error("bad BTIN")
+            recs = []
+            for _ in range(nrec):
+                recs.append(self.b[o : o + rec_size])
+                o += rec_size
+            nsz = _minbytes(max_nrec(d - 1))
+            tsz = _minbytes(node_size) if d > 1 else 0
+            kids = []
+            for _ in range(nrec + 1):
+                (ca,) = self.u("Q", o)
+                cn = self.uN(o + 8, nsz)
+                o += 8 + nsz + tsz
+                kids.append((ca, cn))
+            for i, (ca, cn) in enumerate(kids):
+                out.extend(walk(ca, cn, d - 1))
+                if i < nrec:
+                    out.append(recs[i])
+            return out
+
+        return walk(root, nrec_root, depth)
+
+    # -- global heap (vlen strings) ----------------------------------
+    def _gcol(self, addr: int) -> dict[int, bytes]:
+        if addr in self._gcol_cache:
+            return self._gcol_cache[addr]
+        if self.b[addr : addr + 4] != b"GCOL":
+            raise H5Error("bad GCOL")
+        (size,) = self.u("Q", addr + 8)
+        objs, o, end = {}, addr + 16, addr + size
+        while o + 16 <= end:
+            idx, _rc = self.u("HH", o)
+            (osz,) = self.u("Q", o + 8)
+            if idx == 0:
+                break
+            objs[idx] = self.b[o + 16 : o + 16 + osz]
+            o += 16 + ((osz + 7) & ~7)
+        self._gcol_cache[addr] = objs
+        return objs
+
+    def vlen_str(self, raw: bytes, off: int) -> str:
+        _n, gaddr, gidx = struct.unpack_from("<IQI", raw, off)
+        return self._gcol(gaddr)[gidx].decode("utf-8", "replace")
+
+
+def _minbytes(n: int) -> int:
+    return max(1, (n.bit_length() + 7) // 8)
+
+
+# ---------------------------------------------------------------------
+# message-level decode helpers
+# ---------------------------------------------------------------------
+
+
+def _parse_link(f: _H5, off: int) -> tuple[str, int] | None:
+    """Link message body → (name, object-header addr); None for
+    soft/external links (netCDF files don't use them for variables)."""
+    ver, flags = f.u1(off), f.u1(off + 1)
+    if ver != 1:
+        raise H5Error(f"link message version {ver}")
+    o = off + 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = f.u1(o)
+        o += 1
+    if flags & 0x04:
+        o += 8
+    if flags & 0x10:
+        o += 1
+    nlen = f.uN(o, 1 << (flags & 0x3))
+    o += 1 << (flags & 0x3)
+    name = f.b[o : o + nlen].decode("utf-8", "replace")
+    o += nlen
+    if ltype != 0:
+        return None
+    (ohdr,) = f.u("Q", o)
+    return name, ohdr
+
+
+def _decode_elems(f: _H5, dt: dict, raw: bytes, n: int) -> list:
+    import numpy as np
+
+    k, sz = dt["kind"], dt["size"]
+    if k == "int":
+        code = {1: "i1", 2: "i2", 4: "i4", 8: "i8"}[sz]
+        if not dt["signed"]:
+            code = "u" + code[1:]
+        return np.frombuffer(raw[: n * sz], dtype="<" + code).tolist()
+    if k == "float":
+        return np.frombuffer(
+            raw[: n * sz], dtype="<f4" if sz == 4 else "<f8"
+        ).tolist()
+    if k == "string":
+        return [
+            raw[i * sz : (i + 1) * sz].split(b"\x00")[0].decode("utf-8", "replace")
+            for i in range(n)
+        ]
+    if k == "vlen_string":
+        return [f.vlen_str(raw, i * sz) for i in range(n)]
+    raise H5Error(f"cannot decode {k}")
+
+
+def _read_attr(f: _H5, off: int) -> tuple[str, object] | None:
+    ver = f.u1(off)
+    if ver == 1:
+        nsz, dtsz, dssz = f.u("HHH", off + 2)
+        o = off + 8
+        pad = lambda x: (x + 7) & ~7  # noqa: E731
+    elif ver in (2, 3):
+        nsz, dtsz, dssz = f.u("HHH", off + 2)
+        o = off + (9 if ver == 3 else 8)
+        pad = lambda x: x  # noqa: E731
+    else:
+        raise H5Error(f"attribute version {ver}")
+    name = f.b[o : o + nsz].split(b"\x00")[0].decode("utf-8", "replace")
+    o += pad(nsz)
+    try:
+        dt = f.datatype(o)
+    except H5Error:
+        return None  # compound/reference attr (e.g. DIMENSION_LIST): skip
+    o += pad(dtsz)
+    dims = f.dataspace(o)
+    o += pad(dssz)
+    n = 1
+    for d in dims:
+        n *= d
+    if dt["kind"] in ("reference", "vlen"):
+        return None  # DIMENSION_LIST/REFERENCE_LIST etc.: not needed
+    try:
+        vals = _decode_elems(f, dt, f.b[o : o + n * dt["size"]], n)
+    except (H5Error, KeyError, IndexError):
+        return None  # undecodable attribute never fails the dataset
+    if not dims:
+        return name, vals[0]
+    return name, vals
+
+
+# ---------------------------------------------------------------------
+# dataset assembly
+# ---------------------------------------------------------------------
+
+
+def _apply_filters(chunk: bytes, filters, dt_size: int) -> bytes:
+    import numpy as np
+
+    shuffle_elem = None
+    for fid, cvals in filters:
+        if fid == 2:
+            shuffle_elem = cvals[0] if cvals else dt_size
+    for fid, cvals in reversed(filters):
+        if fid == 1:
+            chunk = zlib.decompress(chunk)
+        elif fid == 3:
+            chunk = chunk[:-4]  # fletcher32 checksum suffix (unverified)
+        elif fid == 2:
+            e = shuffle_elem or dt_size
+            if e > 1 and len(chunk) % e == 0:
+                arr = np.frombuffer(chunk, dtype="u1").reshape(e, -1)
+                chunk = arr.T.tobytes()
+        else:
+            raise H5Error(f"unsupported filter id {fid}")
+    return chunk
+
+
+def _chunk_tree(f: _H5, addr: int, ndims: int):
+    """v1 B-tree chunk index → [(offset_coords, file_addr, nbytes)]."""
+    out = []
+
+    def walk(a):
+        if f.b[a : a + 4] != b"TREE":
+            raise H5Error("bad chunk TREE")
+        ntype, level, used = f.u1(a + 4), f.u1(a + 5), f.u("H", a + 6)[0]
+        if ntype != 1:
+            raise H5Error("not a raw-data btree")
+        o = a + 24
+        keysz = 8 + 8 * (ndims + 1)
+        for _ in range(used):
+            nbytes, _mask = f.u("II", o)
+            coords = [f.uN(o + 8 + 8 * i, 8) for i in range(ndims)]
+            (child,) = f.u("Q", o + keysz)
+            if level == 0:
+                out.append((tuple(coords), child, nbytes))
+            else:
+                walk(child)
+            o += keysz + 8
+    walk(addr)
+    return out
+
+
+class H5Dataset:
+    def __init__(self, f: _H5, name: str, addr: int):
+        self.f, self.name = f, name
+        self.dims: list[int] = []
+        self.dt: dict | None = None
+        self.layout = None
+        self.filt: list = []
+        self.attrs: dict = {}
+        attr_info = None
+        for mtype, body, size in f.messages(addr):
+            if mtype == 0x01:
+                self.dims = f.dataspace(body)
+            elif mtype == 0x03:
+                try:
+                    self.dt = f.datatype(body)
+                except H5Error:
+                    self.dt = None
+            elif mtype == 0x08:
+                self._layout(body)
+            elif mtype == 0x0B:
+                self.filt = f.filters(body)
+            elif mtype == 0x0C:
+                kv = _read_attr(f, body)
+                if kv:
+                    self.attrs[kv[0]] = kv[1]
+            elif mtype == 0x15:
+                attr_info = body
+        if attr_info is not None:
+            self._dense_attrs(attr_info)
+
+    def _layout(self, off):
+        ver = self.f.u1(off)
+        if ver != 3:
+            raise H5Error(f"layout version {ver}")
+        cls = self.f.u1(off + 1)
+        if cls == 0:
+            (sz,) = self.f.u("H", off + 2)
+            self.layout = ("compact", off + 4, sz)
+        elif cls == 1:
+            addr, sz = self.f.u("QQ", off + 2)
+            self.layout = ("contiguous", addr, sz)
+        elif cls == 2:
+            nd = self.f.u1(off + 2)
+            (bt,) = self.f.u("Q", off + 3)
+            cdims = [self.f.u("I", off + 11 + 4 * i)[0] for i in range(nd)]
+            self.layout = ("chunked", bt, cdims)  # last cdim = element size
+        else:
+            raise H5Error(f"layout class {cls}")
+
+    def _dense_attrs(self, off):
+        f = self.f
+        flags = f.u1(off + 1)
+        o = off + 2 + (2 if flags & 0x1 else 0)
+        fheap, btree = f.u("QQ", o)
+        if fheap == _UNDEF or btree == _UNDEF:
+            return
+        h = f._frhp(fheap)
+        for rec in f.btree2_records(btree):
+            heap_id = rec[0:8]  # type-8 record: 8-byte heap id first
+            obj_off, _ln = f.heap_object(h, heap_id)
+            kv = _read_attr(f, obj_off)
+            if kv:
+                self.attrs[kv[0]] = kv[1]
+
+    @property
+    def nelems(self):
+        n = 1
+        for d in self.dims:
+            n *= d
+        return n
+
+    def read(self) -> list:
+        f, dt = self.f, self.dt
+        if dt is None:
+            raise H5Error("unsupported datatype")
+        if self.layout is None:
+            raise H5Error("no layout")
+        kind, a, b = self.layout
+        n = self.nelems
+        if kind == "compact":
+            raw = f.b[a : a + b]
+        elif kind == "contiguous":
+            if a == _UNDEF:
+                raw = b"\x00" * (n * dt["size"])  # never allocated: fill
+            else:
+                raw = f.b[a : a + b]
+        else:  # chunked
+            cdims = b[:-1]
+            elem = b[-1]
+            import numpy as np
+
+            buf = bytearray(n * elem)
+            full = self.dims or [1]
+            if a == _UNDEF:
+                raw = bytes(buf)
+            else:
+                for coords, addr, nbytes in _chunk_tree(f, a, len(cdims)):
+                    chunk = _apply_filters(
+                        f.b[addr : addr + nbytes], self.filt, elem
+                    )
+                    self._place(buf, chunk, coords, cdims, full, elem, np)
+                raw = bytes(buf)
+        return _decode_elems(f, dt, raw, n)
+
+    @staticmethod
+    def _place(buf, chunk, coords, cdims, full, elem, np):
+        """Copy one decoded chunk into the row-major dataset buffer,
+        clipping partial edge chunks."""
+        carr = np.frombuffer(chunk, dtype="u1")
+        want = 1
+        for d in cdims:
+            want *= d
+        want *= elem
+        if len(carr) < want:  # defensive: short chunk → zero-pad
+            carr = np.concatenate([carr, np.zeros(want - len(carr), "u1")])
+        cshape = list(cdims) + [elem]
+        carr = carr[:want].reshape(cshape)
+        dst = np.frombuffer(buf, dtype="u1").reshape(list(full) + [elem])
+        slices_dst, slices_src = [], []
+        for i, (c0, cd, fd) in enumerate(zip(coords, cdims, full)):
+            take = min(cd, fd - c0)
+            if take <= 0:
+                return
+            slices_dst.append(slice(c0, c0 + take))
+            slices_src.append(slice(0, take))
+        dst[tuple(slices_dst)] = carr[tuple(slices_src)]
+
+
+# ---------------------------------------------------------------------
+# group iteration
+# ---------------------------------------------------------------------
+
+
+def _group_links(f: _H5, addr: int) -> list[tuple[str, int]]:
+    links, link_info = [], None
+    for mtype, body, size in f.messages(addr):
+        if mtype == 0x06:
+            lk = _parse_link(f, body)
+            if lk:
+                links.append(lk)
+        elif mtype == 0x02:
+            link_info = body
+        elif mtype == 0x11:  # old-style symbol table
+            bt, heap = f.u("QQ", body)
+            links.extend(_symtab_links(f, bt, heap))
+    if link_info is not None and not links:
+        flags = f.u1(link_info + 1)
+        o = link_info + 2 + (8 if flags & 0x1 else 0)
+        fheap, btree = f.u("QQ", o)
+        if fheap != _UNDEF and btree != _UNDEF:
+            h = f._frhp(fheap)
+            for rec in f.btree2_records(btree):
+                heap_id = rec[4 : 4 + h["idlen"]]  # type-5: hash(4) + id
+                obj_off, _ln = f.heap_object(h, heap_id)
+                lk = _parse_link(f, obj_off)
+                if lk:
+                    links.append(lk)
+    return links
+
+
+def _symtab_links(f: _H5, bt_addr: int, heap_addr: int):
+    """Old-style group: v1 B-tree of SNOD symbol nodes + local heap."""
+    if f.b[heap_addr : heap_addr + 4] != b"HEAP":
+        raise H5Error("bad local heap")
+    (data_addr,) = f.u("Q", heap_addr + 24)
+    out = []
+
+    def name_at(off):
+        end = f.b.index(b"\x00", data_addr + off)
+        return f.b[data_addr + off : end].decode("utf-8", "replace")
+
+    def walk(a):
+        if f.b[a : a + 4] != b"TREE":
+            raise H5Error("bad group TREE")
+        level, used = f.u1(a + 5), f.u("H", a + 6)[0]
+        o = a + 24 + 8  # skip key0
+        for _ in range(used):
+            (child,) = f.u("Q", o)
+            o += 16  # child + next key
+            if level > 0:
+                walk(child)
+            else:
+                if f.b[child : child + 4] != b"SNOD":
+                    raise H5Error("bad SNOD")
+            if level == 0:
+                (nsyms,) = f.u("H", child + 6)
+                so = child + 8
+                for _ in range(nsyms):
+                    lno, ohdr = f.u("QQ", so)
+                    out.append((name_at(lno), ohdr))
+                    so += 40
+    walk(bt_addr)
+    return out
+
+
+# ---------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------
+
+_PHANTOM_DIM = "This is a netCDF dimension but not a netCDF variable"
+
+
+def parse_hdf5_netcdf(content: bytes):
+    """Decode a netCDF-4 (HDF5) byte string.
+
+    Returns ``(variables, var_attrs, global_attrs)`` like
+    ``netcdf3.parse_netcdf3``: 0-D and 1-D variables as name → list
+    (scalars become 1-element lists), per-variable and global attribute
+    dicts. ≥2-D, reference-typed, and phantom netCDF dimension-scale
+    datasets are skipped — the GOES flattener consumes 1-D series only
+    (goes_satellite_etl.py:218-238)."""
+    f = _H5(content)
+    root_msgs = f.messages(f.root_ohdr)
+    gatts = {}
+    for mtype, body, size in root_msgs:
+        if mtype == 0x0C:
+            kv = _read_attr(f, body)
+            if kv:
+                gatts[kv[0]] = kv[1]
+        elif mtype == 0x15:
+            shim = H5Dataset.__new__(H5Dataset)
+            shim.f, shim.attrs = f, gatts
+            shim._dense_attrs(body)
+
+    variables: dict[str, list] = {}
+    var_attrs: dict[str, dict] = {}
+    for name, addr in _group_links(f, f.root_ohdr):
+        try:
+            ds = H5Dataset(f, name, addr)
+        except H5Error:
+            continue  # subgroup or unsupported object: skip
+        if ds.dt is None or ds.layout is None:
+            continue
+        if str(ds.attrs.get("NAME", "")).startswith(_PHANTOM_DIM):
+            continue
+        if len(ds.dims) > 1:
+            continue
+        try:
+            data = ds.read()
+        except H5Error:
+            continue
+        variables[name] = data
+        var_attrs[name] = ds.attrs
+    return variables, var_attrs, gatts

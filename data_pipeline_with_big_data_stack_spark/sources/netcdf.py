@@ -13,12 +13,12 @@ into N long-form rows (one per timestep) with the reference's semantics:
 - per-file provenance: ``source_file``, ``file_size_mb``,
   ``extraction_timestamp`` (``:267-274``).
 
-Binary decode is format-dispatched: classic NetCDF-3 (magic ``CDF``)
-decodes natively via the pure-Python reader in ``netcdf3.py`` — no
-library needed; NetCDF-4/HDF5 (magic ``\\x89HDF``) requires netCDF4,
-absent in this container, and raises ``NotImplementedError`` behind an
-import gate; the test fixture format (``FAKENC1`` + JSON payload)
-decodes deterministically.
+Binary decode is format-dispatched, all native, no library needed:
+classic NetCDF-3 (magic ``CDF``) via the pure-Python reader in
+``netcdf3.py``; NetCDF-4/HDF5 (magic ``\\x89HDF``) — the format of the
+reference's real GOES downloads — via the pure-Python HDF5 subset
+reader in ``hdf5lite.py``; and the test fixture format (``FAKENC1`` +
+JSON payload) deterministically.
 All Spark-side plumbing — scan, schema, batching, partition parallelism —
 is real and tested. Many-small-files (187 KB each) are handled by the scan
 packing many files per task (``maxPartitionBytes``) and the parser looping
@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
+from data_pipeline_with_big_data_stack_spark.sources.hdf5lite import parse_hdf5_netcdf
 from data_pipeline_with_big_data_stack_spark.sources.netcdf3 import parse_netcdf3
 
 pickle_by_value(__name__)  # the mapInPandas parser ships by value
@@ -121,18 +122,10 @@ def _parse_one(path: str, content: bytes, extraction_ts: int) -> "object":
         # routes to the cadence fallback (goes_satellite_etl.py:199)
         units = var_attrs.get("time", {}).get("units", "unknown")
     elif content[:4] == b"\x89HDF":
-        try:  # NetCDF-4/HDF5 needs a real parser lib
-            import netCDF4  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - lib absent here
-            raise NotImplementedError(
-                "NetCDF-4/HDF5 decode requires netCDF4/h5py, not present "
-                "in this container; classic NetCDF-3 decodes natively "
-                "(sources/netcdf3.py) and plumbing is exercised via the "
-                "FAKENC1 fixture format"
-            ) from exc
-        ds = netCDF4.Dataset("inmem", memory=content)  # pragma: no cover
-        variables = {k: ds.variables[k][:].tolist() for k in ds.variables}
-        units = getattr(ds.variables.get("time"), "units", "seconds since 1970-01-01 00:00:00")
+        # NetCDF-4/HDF5 — the real GOES product format — decoded by the
+        # native pure-Python HDF5 subset reader (sources/hdf5lite.py)
+        variables, var_attrs, _gatts = parse_hdf5_netcdf(content)
+        units = var_attrs.get("time", {}).get("units", "unknown")
     else:
         raise ValueError(f"unrecognized file format for {path!r}")
 

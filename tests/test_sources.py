@@ -93,14 +93,15 @@ def test_netcdf_sunpy_fallback_shape(spark, tmp_path):
     assert rows[0]["time"] == 1_000_000 - 40
 
 
-def test_netcdf_hdf5_bytes_raise_without_lib(spark, tmp_path):
-    # NetCDF-4/HDF5 stays behind the netCDF4 import gate; classic
-    # NetCDF-3 (CDF magic) decodes natively — tests/test_netcdf3.py
+def test_netcdf_hdf5_truncated_bytes_raise(spark, tmp_path):
+    # NetCDF-4/HDF5 decodes natively (sources/hdf5lite.py, exercised on
+    # real + hand-built fixtures in tests/test_hdf5lite.py); a truncated
+    # HDF5 header must still surface a decode error, not silent rows
     (tmp_path / "real.nc").write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 100)
     df = ncsrc.read_netcdf_directory(spark, str(tmp_path))
     import pytest
 
-    with pytest.raises(Exception, match="NetCDF|NotImplemented"):
+    with pytest.raises(Exception, match="superblock|H5|version"):
         df.collect()
 
 
