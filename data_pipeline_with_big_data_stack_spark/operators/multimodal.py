@@ -34,15 +34,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.png import PNG_MAGIC, decode_png
+from data_pipeline_with_big_data_stack_spark.operators.wav import decode_wav
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 
 pickle_by_value(__name__)  # feature extractors ship by value to workers
 
 N_HIST_BINS = 16
 
-# Real-media magics that still require a library decoder (PNG decodes
-# natively — operators/png.py). JPEG/GIF/RIFF(WAV-AVI).
-_REAL_MAGICS = (b"\xff\xd8\xff", b"GIF8", b"RIFF")
+# Real-media magics that still require a library decoder (PNG and
+# RIFF/WAVE decode natively — operators/png.py, operators/wav.py).
+_REAL_MAGICS = (b"\xff\xd8\xff", b"GIF8")
 
 
 def _nibble(col: Column | str, i: int) -> Column:
@@ -158,6 +159,75 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media").mapInPandas(extract, schema)
+
+
+_WAV_RATE = 8000
+_WAV_PAYLOAD = 128  # bytes = 8 md5 repeats of 16 bytes, u8 mono PCM
+
+
+def _wav_header(payload_len: int, rate: int = _WAV_RATE) -> bytes:
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + payload_len)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", payload_len)
+    )
+
+
+def attach_wav(df: DataFrame, seed_col: str = "text") -> DataFrame:
+    """Add an ``audio`` column of REAL (byte-valid) WAV files: a fixed
+    44-byte PCM header + md5-derived u8 mono samples. The container is
+    genuine RIFF/WAVE — ``decode_audio_features`` parses it with the
+    same chunk walker any external WAV would take — while the sample
+    payload stays md5-deterministic so DuckDB oracles can recompute the
+    expected features from first principles."""
+    hdr = _wav_header(_WAV_PAYLOAD)
+    return df.withColumn(
+        "audio", F.concat(F.lit(hdr), synth_media(seed_col, _WAV_PAYLOAD // 16))
+    )
+
+
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL audio decode over the ``audio`` binary column:
+    RIFF chunk walk → fmt/data parse → sample statistics. PCM
+    int8/int16/int32/float32 decode natively (``operators/wav.py``);
+    non-PCM encodings raise ``WavError`` — never silent garbage."""
+    schema = (
+        f"{id_col} long, n_bytes int, sample_rate int, channels int, "
+        f"bits int, n_samples long, duration_sec double, "
+        f"mean_sample double, peak_sample double"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                b = bytes(blob)
+                rate, nch, bits, arr = decode_wav(b)
+                n = len(arr) // max(nch, 1)
+                rows.append(
+                    (
+                        _id, len(b), rate, nch, bits, n,
+                        n / rate if rate else 0.0,
+                        float(arr.mean()) if len(arr) else 0.0,
+                        float(arr.max()) if len(arr) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_bytes", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_sec", "mean_sample", "peak_sample",
+                ],
+            )
+
+    return df.select(id_col, "audio").mapInPandas(extract, schema)
 
 
 def sample_frames(df: DataFrame, every_k: int = 4, id_col: str = "doc_id") -> DataFrame:

@@ -98,6 +98,47 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Real WAV decode: the audio column holds byte-valid RIFF/WAVE files
+# (44-byte PCM header + md5-derived samples); Spark PARSES the real
+# container (operators/wav.py chunk walk), while the oracle recomputes
+# the expected statistics from first principles on the md5 payload —
+# so a header/offset/dtype bug in the parser fails the gate.
+# --------------------------------------------------------------------------
+@query(
+    "q_media_wav_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(text), 2*i - 1, 2))::INT
+              for i in range(1, 17)] AS bytes
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           8000                              AS sample_rate,
+           1                                 AS channels,
+           8                                 AS bits,
+           128::BIGINT                       AS n_samples,
+           0.016                             AS duration_sec,
+           round(list_sum(bytes) / 16.0, 4)  AS mean_sample,
+           (list_max(bytes))::DOUBLE         AS peak_sample
+    FROM b
+    """,
+)
+def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.attach_wav(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    feats = M.decode_audio_features(d)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_samples",
+        F.round("duration_sec", 4).alias("duration_sec"),
+        F.round("mean_sample", 4).alias("mean_sample"),
+        "peak_sample",
+    )
+
+
+# --------------------------------------------------------------------------
 # Byte-feature decode: mapInPandas (Arrow batches) — non-SQL operator,
 # rows-only correctness check; determinism is asserted in unit tests.
 # --------------------------------------------------------------------------
