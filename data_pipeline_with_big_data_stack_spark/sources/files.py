@@ -121,3 +121,19 @@ def streaming_csv_directory(
     return df.withColumn(
         "source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
+
+
+def write_orc_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Columnar interchange sink #2: ORC (built into Spark alongside
+    parquet). Same pushdown/pruning properties; some warehouses
+    standardize on it, so the engine reads AND writes both."""
+    w = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning reach the
+    reader exactly as with parquet (pinned in tests/test_plans.py)."""
+    return spark.read.orc(path)

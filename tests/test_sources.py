@@ -272,3 +272,22 @@ def test_webdav_listing_keeps_hostile_names_encoded():
         "https://h.example/dav/query%3Fq.nc",
         "https://h.example/dav/sat%20file.nc",
     ]
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from data_pipeline_with_big_data_stack_spark.sources.files import read_orc_table, write_orc_table
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    dst = str(tmp_path / "events_orc")
+    write_orc_table(events, dst)
+    back = read_orc_table(spark, dst)
+    assert back.count() == events.count()
+    assert back.schema == events.schema
+    # predicate + projection reach the ORC scan
+    q = back.filter(back.event_type == "view").select("user_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan
+    got = {r.event_type for r in back.filter(back.event_type == "view").select("event_type").distinct().collect()}
+    assert got == {"view"}
