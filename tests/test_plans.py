@@ -227,3 +227,18 @@ class TestScaleShapes:
         plan = plan_of(spark, "q_media_byte_features")
         assert "MapInPandas" in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The verify join reads the shingled corpus twice (doc_a side,
+    doc_b side); both sides hash-partition the identical subplan on
+    doc_id, so Catalyst must plan a ReusedExchange — shingling is
+    computed at most twice overall (signature branch + one verify
+    branch), never once per join side."""
+    from data_pipeline_with_big_data_stack_spark.queries.textops import q_dedup_ngram_jaccard
+    from tests.conftest import SF_SMOKE
+
+    df = q_dedup_ngram_jaccard(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
