@@ -91,13 +91,19 @@ class _H5:
             return self._messages_v2(addr)
         return self._messages_v1(addr)
 
+    _MAX_BLOCKS = 4096  # malformed continuation chains must terminate
+
     def _messages_v1(self, addr):
         ver, _, nmsgs, _refcnt, hsize = self.u("BBHII", addr)
         if ver != 1:
             raise H5Error(f"object header version {ver} at {addr}")
         msgs = []
         blocks = [(addr + 16, hsize)]
+        seen = 0
         while blocks and len(msgs) < nmsgs:
+            seen += 1
+            if seen > self._MAX_BLOCKS:
+                raise H5Error("continuation chain too long")
             off, size = blocks.pop(0)
             end = off + size
             while off + 8 <= end and len(msgs) < nmsgs:
@@ -124,7 +130,11 @@ class _H5:
         corder = 2 if flags & 0x04 else 0
         msgs = []
         blocks = [(off, chunk0)]
+        seen = 0
         while blocks:
+            seen += 1
+            if seen > self._MAX_BLOCKS:
+                raise H5Error("continuation chain too long")
             start, size = blocks.pop(0)
             o, end = start, start + size
             while o + 4 + corder <= end:
@@ -453,8 +463,12 @@ def _apply_filters(chunk: bytes, filters, dt_size: int) -> bytes:
 def _chunk_tree(f: _H5, addr: int, ndims: int):
     """v1 B-tree chunk index → [(offset_coords, file_addr, nbytes)]."""
     out = []
+    visited: set[int] = set()
 
     def walk(a):
+        if a in visited or len(visited) > 100_000:
+            raise H5Error("chunk btree cycle")
+        visited.add(a)
         if f.b[a : a + 4] != b"TREE":
             raise H5Error("bad chunk TREE")
         ntype, level, used = f.u1(a + 4), f.u1(a + 5), f.u("H", a + 6)[0]
@@ -646,7 +660,12 @@ def _symtab_links(f: _H5, bt_addr: int, heap_addr: int):
         end = f.b.index(b"\x00", data_addr + off)
         return f.b[data_addr + off : end].decode("utf-8", "replace")
 
+    visited: set[int] = set()
+
     def walk(a):
+        if a in visited or len(visited) > 100_000:
+            raise H5Error("group btree cycle")
+        visited.add(a)
         if f.b[a : a + 4] != b"TREE":
             raise H5Error("bad group TREE")
         level, used = f.u1(a + 5), f.u("H", a + 6)[0]

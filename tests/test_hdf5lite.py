@@ -133,3 +133,45 @@ class TestOldStyleLayout:
         assert rows[0].irradiance_xrsb1 == pytest.approx(5e-7)
         # synonym zero-fill for absent channels
         assert rows[0].irradiance_xrsa1 == 0.0
+
+
+# ---------------------------------------------------------------------
+# malformed-input robustness: a distributed parser sees truncated and
+# corrupted blobs; it must raise (or skip cleanly), never hang or loop
+# ---------------------------------------------------------------------
+
+
+class TestMalformedInput:
+    @pytest.fixture(scope="class")
+    def good(self):
+        return write_minimal_hdf5(
+            {"time": [0.0, 1.0], "x": [1.0, 2.0]},
+            units={"time": "seconds since 2020-01-01 00:00:00"},
+        )
+
+    def test_truncations_never_hang(self, good):
+        # every truncation point either raises or returns a subset
+        for cut in range(8, len(good), 7):
+            try:
+                parse_hdf5_netcdf(good[:cut])
+            except Exception:
+                pass
+
+    def test_bitflips_never_hang(self, good):
+        for pos in range(8, len(good), 11):
+            mutated = bytearray(good)
+            mutated[pos] ^= 0xFF
+            try:
+                parse_hdf5_netcdf(bytes(mutated))
+            except Exception:
+                pass
+
+    @needs_ref
+    def test_real_fixture_truncations_never_hang(self):
+        with open(_ref_files[0], "rb") as fh:
+            buf = fh.read()
+        for cut in (16, 1024, 5000, 20000, 90000, len(buf) - 1):
+            try:
+                parse_hdf5_netcdf(buf[:cut])
+            except Exception:
+                pass
