@@ -161,6 +161,51 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media").mapInPandas(extract, schema)
 
 
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched image RESIZE (brief: "decode / feature-extract /
+    resize / frame-sample"): native-PNG inputs decode (operators/png.py),
+    resample by nearest neighbor (pure numpy index arithmetic — the
+    deterministic choice; no resampling-kernel float variance), and
+    re-encode as PNG. Non-PNG blobs pass through unchanged with
+    ``resized = false`` — the real-decoder gate stays in the decode op."""
+    schema = (
+        f"{id_col} long, resized boolean, width int, height int, "
+        f"media binary"
+    )
+
+    def do_resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from data_pipeline_with_big_data_stack_spark.operators.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                b = bytes(blob)
+                if not b.startswith(PNG_MAGIC):
+                    rows.append((_id, False, None, None, b))
+                    continue
+                w, h, nch, px = decode_png(b)
+                img = np.asarray(px).reshape(h, w, nch)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = img[ys][:, xs]
+                rows.append(
+                    (
+                        _id, True, out_w, out_h,
+                        encode_png(out_w, out_h, nch, out.reshape(-1)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "resized", "width", "height", "media"]
+            )
+
+    return df.select(id_col, "media").mapInPandas(do_resize, schema)
+
+
 _WAV_RATE = 8000
 _WAV_PAYLOAD = 128  # bytes = 8 md5 repeats of 16 bytes, u8 mono PCM
 

@@ -492,3 +492,96 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id", "cell_id", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means (Lloyd's): the codebook-training side of IVF.
+# Deterministic end to end — id-sampled init, decimal(28,14) centroid
+# sums (summation-order independent), (dist, cell_id) tie-break — so a
+# 2-iteration run is EXACTLY reproduced by the DuckDB oracle: the gate
+# checks the full training trajectory, not just one assignment.
+# Scale shape: assignment is a broadcast map-side argmin (zero corpus
+# shuffle); the update shuffles at most K×dim partially-aggregated rows
+# per task (operators/kmeans.py).
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_dist_sql(v: str, c: str) -> str:
+    return (
+        f"list_sum([({v}.emb[i]-{c}.emb[i])*({v}.emb[i]-{c}.emb[i]) "
+        f"for i in range(1, {_KM_DIM + 1})])"
+    )
+
+
+def _km_round_sql(src: str, cb: str, out_a: str, out_c: str) -> str:
+    """One Lloyd round: assign ``src`` against ``cb`` → ``out_a``;
+    decimal-mean update → ``out_c``."""
+    return f"""
+    {out_a} AS (
+      SELECT vec_id, emb, cell_id AS cluster_id FROM (
+        SELECT v.vec_id, v.emb, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_km_dist_sql('v', 'c')}, c.cell_id) AS rk
+        FROM {src} v CROSS JOIN {cb} c) WHERE rk = 1),
+    {out_c} AS (
+      SELECT cluster_id AS cell_id, list(m ORDER BY i) AS emb
+      FROM (SELECT cluster_id, i,
+                   (sum((emb[i])::DECIMAL(28,14)))::DOUBLE / count(*) AS m
+            FROM {out_a} CROSS JOIN range(1, {_KM_DIM + 1}) t(i)
+            GROUP BY cluster_id, i)
+      GROUP BY cluster_id)"""
+
+
+_KM_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+           FROM e WHERE vec_id % 100 = 0 AND vec_id < {_KM_K * 100}),
+    {_km_round_sql('e', 'c0', 'a1', 'c1')},
+    {_km_round_sql('e', 'c1', 'a2', 'c2')},
+    a3 AS (
+      SELECT vec_id, cell_id AS cluster_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_km_dist_sql('v', 'c')}, c.cell_id) AS rk
+        FROM e v CROSS JOIN c2 c) WHERE rk = 1)
+    SELECT a3.cluster_id,
+           count(*)::BIGINT            AS n_members,
+           round(any_value(c2.l1), 6)  AS centroid_l1
+    FROM a3 JOIN (SELECT cell_id, list_sum(emb) AS l1 FROM c2) c2
+      ON c2.cell_id = a3.cluster_id
+    GROUP BY a3.cluster_id
+"""
+
+
+@query("q_kmeans_embeddings", oracle=_KM_ORACLE)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    init = (
+        e.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _KM_K * 100)
+        )
+        .select(
+            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+            F.col("emb").alias("c_emb"),
+        )
+        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    )
+    assigned, cb = lloyd_kmeans(e, init, iters=_KM_ITERS)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    cents = (
+        cb.select(F.explode("cb").alias("c"))
+        .select(
+            F.col("c.cell_id").alias("cluster_id"),
+            F.round(
+                F.aggregate("c.c_emb", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("centroid_l1"),
+        )
+    )
+    return sizes.join(F.broadcast(cents), "cluster_id")

@@ -37,3 +37,35 @@ def test_winsorize_clamps_to_group_quantiles(spark):
         assert clamped[k][0] >= orig[k][0]
         assert clamped[k][1] <= orig[k][1]
         assert clamped[k][1] < orig[k][1]  # 90th pct < max with real data
+
+
+# ---------------------------------------------------------------------
+# distributed Lloyd's k-means (operators/kmeans.py)
+# ---------------------------------------------------------------------
+
+
+def test_lloyd_kmeans_separates_obvious_clusters(spark):
+    import pytest
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
+
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + [
+        (10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)
+    ]
+    vecs = spark.createDataFrame(pts, ["vec_id", "emb"])
+    init = (
+        vecs.filter(F.col("vec_id").isin([0, 10]))
+        .select(
+            (F.col("vec_id") / 10).cast("long").alias("cell_id"),
+            F.col("emb").alias("c_emb"),
+        )
+        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    )
+    assigned, cb = lloyd_kmeans(vecs, init, iters=2)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    assert all(got[i] == 0 for i in range(5))
+    assert all(got[10 + i] == 1 for i in range(5))
+    cents = {c.cell_id: c.c_emb for c in cb.head().cb}
+    assert cents[0][0] == pytest.approx(0.02)  # mean of 0.00..0.04
+    assert cents[1][1] == pytest.approx(10.0)

@@ -319,3 +319,21 @@ def test_attach_wav_is_byte_valid_and_features_roundtrip(spark):
     assert feats[1].mean_sample == sum(expected) / 16
     assert feats[1].peak_sample == max(expected)
     assert feats[1].duration_sec == 128 / 8000
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.multimodal import resize_images
+    from data_pipeline_with_big_data_stack_spark.operators.png import decode_png, encode_png
+
+    # 4x4 gray gradient -> 2x2 must pick pixels (0,0),(0,2),(2,0),(2,2)
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    png = encode_png(4, 4, 1, img.reshape(-1))
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(b"nota png"))],
+                               ["doc_id", "media"])
+    out = {r.doc_id: r for r in resize_images(df, 2, 2).collect()}
+    assert out[1].resized and (out[1].width, out[1].height) == (2, 2)
+    w, h, nch, px = decode_png(bytes(out[1].media))
+    assert np.asarray(px).reshape(2, 2).tolist() == [[0, 2], [8, 10]]
+    assert not out[2].resized and bytes(out[2].media) == b"nota png"

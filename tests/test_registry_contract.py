@@ -49,8 +49,9 @@ def test_oracle_references_only_fixture_tables(name):
         )
     )
     ctes |= set(re.findall(r"\)\s*,\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql))
+    table_fns = {"lateral", "range", "generate_series", "unnest"}
     for r in refs:
-        assert r in known or r in ctes or r == "lateral", (
+        assert r in known or r in ctes or r in table_fns, (
             f"{name}: oracle references unknown table {r!r}"
         )
 
