@@ -45,6 +45,12 @@ HEADLINE = [
     "q_percentiles_by_event_type",
     "q10_returned_item_revenue",
     "q_media_frame_sample",
+    # round-2 additions (new capabilities; absent from BENCH_r01)
+    "q_dedup_clusters",
+    "q_kmeans_embeddings",
+    "q_doc_gopher_quality",
+    "q_events_gapfill_locf",
+    "q_media_wav_features",
 ]
 
 
@@ -53,14 +59,24 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     setup; second run is the steady-state latency a dashboard user sees —
     the number comparable to the reference's warm sub-second Druid
     claims. Both are reported."""
-    df = QUERIES[name](spark, sf_dir)
+    # construction is INSIDE the timer: iterative operators (connected
+    # components, k-means convergence loops) run driver-coordinated
+    # actions while building their result — excluding construction would
+    # under-report them; for ordinary queries it adds only plan-build ms
     t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     cold = time.perf_counter() - t0
-    df2 = QUERIES[name](spark, sf_dir)
-    t0 = time.perf_counter()
-    df2.write.mode("overwrite").format("noop").save()
-    steady = time.perf_counter() - t0
+    # steady = min of two warm executions: single-sample timings on a
+    # shared host swing several-x under neighbor load; the minimum is
+    # the reproducible steady-state latency
+    steady = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df2 = QUERIES[name](spark, sf_dir)
+        df2.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        steady = dt if steady is None else min(steady, dt)
     return cold, steady
 
 

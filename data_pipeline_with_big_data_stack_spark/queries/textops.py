@@ -548,3 +548,51 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus TF-IDF term statistics: the classic text-analysis reduction
+# (term importance for indexing / keyword surfacing). One explode +
+# two term-keyed aggregations — linear, map-side-combinable; N rides
+# along as a broadcast 1-row aggregate. Ranking uses the ROUNDED score
+# (plus term tie-break) so a last-ulp ln() difference between engines
+# cannot reorder the result.
+# --------------------------------------------------------------------------
+_TFIDF_TOP = 20
+
+
+@query(
+    "q_doc_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    agg AS (SELECT term, (sum(tf))::BIGINT AS total_tf, count(*) AS df
+            FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, total_tf, df,
+           round(total_tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+    FROM agg CROSS JOIN n
+    ORDER BY tfidf DESC, term LIMIT {_TFIDF_TOP}
+    """,
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("words", F.split("text", " "))
+    tok = d.select("doc_id", F.explode("words").alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    agg = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = agg.crossJoin(F.broadcast(n)).select(
+        "term",
+        "total_tf",
+        "df",
+        F.round(
+            F.col("total_tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+            4,
+        ).alias("tfidf"),
+    )
+    return scored.orderBy(F.col("tfidf").desc(), "term").limit(_TFIDF_TOP)

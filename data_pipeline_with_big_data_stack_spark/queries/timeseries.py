@@ -327,3 +327,76 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-filled hourly series with last-observation-carried-forward — the
+# hypertable/dashboard operator for irregular event streams: a dense
+# hour grid per event_type, observed buckets aggregated exactly like
+# q_events_hourly_rollup, holes filled by the previous value. Scale
+# shape: the grid derives from a broadcast 1-row global min/max
+# aggregate × the (tiny) type dimension; the fill is one window over
+# the grid (grid rows = types × hours, orders of magnitude smaller
+# than the event stream it summarizes).
+# --------------------------------------------------------------------------
+@query(
+    "q_events_gapfill_locf",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+             round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events),
+    grid AS (
+      SELECT t.event_type, CAST(g.h AS TIMESTAMP) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(range((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds) + INTERVAL 1 HOUR,
+                                      INTERVAL 1 HOUR)) AS h) g)
+    SELECT g.event_type, g.hour,
+           (h.avg_value IS NOT NULL) AS observed,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hour = g.hour
+    """,
+)
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_value")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.col("avg_value").isNotNull().alias("observed"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_filled"),
+        )
+    )
