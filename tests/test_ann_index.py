@@ -1,0 +1,87 @@
+"""Materialized IVF index: build-once / partition-pruned search."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+    build_ivf_index,
+    search_ivf_index,
+)
+from data_pipeline_with_big_data_stack_spark.queries.vector import _emb
+from tests.conftest import SF_SMOKE
+
+
+def _codebook(e, k=4):
+    return (
+        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < k * 100))
+        .select(
+            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+            F.col("emb").alias("c_emb"),
+        )
+        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    )
+
+
+def test_build_search_roundtrip_and_pruning(spark, tmp_path):
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, _codebook(e))
+
+    # index is physically partitioned by cluster_id
+    import glob
+
+    parts = glob.glob(path + "/cluster_id=*")
+    assert len(parts) >= 2
+
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    out = search_ivf_index(spark, path, probes, nprobe=2, k=5)
+    res = out.collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.q_id, []).append(r)
+    assert set(got) == {0, 1, 2}
+    for q_id, rows in got.items():
+        assert len(rows) == 5
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q_id for r in rows)
+
+    # the scan only reads the probed partitions (partition pruning)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_search_matches_within_probed_cells(spark, tmp_path):
+    """Within the probed cells the index search is EXACT: equal to
+    brute-force cosine restricted to those cells."""
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    path = str(tmp_path / "ivf")
+    cb = _codebook(e)
+    build_ivf_index(e, path, cb)
+    probes = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    out = {r.vec_id: r.cosine for r in
+           search_ivf_index(spark, path, probes, nprobe=2, k=3).collect()}
+
+    idx = spark.read.parquet(path)
+    cells = sorted({r.cluster_id for r in
+                    idx.filter(F.col("vec_id").isin(list(out))).select("cluster_id").collect()})
+    brute = (
+        idx.filter(F.col("cluster_id").isin(cells))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import _dot, _norm
+
+    brute = brute.select(
+        "vec_id",
+        F.round(_dot(F.col("q_emb"), F.col("emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("emb"))), 6).alias("cosine"),
+    )
+    top = {r.vec_id: r.cosine for r in
+           brute.orderBy(F.col("cosine").desc(), "vec_id").limit(3).collect()}
+    assert out == top

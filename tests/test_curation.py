@@ -107,3 +107,21 @@ def test_gopher_quality_flags_vary(spark):
     assert out.mean_word_len.between(1, 20).all()
     assert out.dup_word_frac.between(0, 1).all()
     assert out.top_bigram_frac.between(0, 1).all()
+
+
+def test_gapfill_locf_fills_holes(spark):
+    from data_pipeline_with_big_data_stack_spark.queries.timeseries import q_events_gapfill_locf
+    from tests.conftest import SF_SMOKE
+
+    out = q_events_gapfill_locf(spark, SF_SMOKE).toPandas()
+    # dense grid: every type has every hour exactly once
+    per_type = out.groupby("event_type").hour.count()
+    assert per_type.nunique() == 1
+    # unobserved buckets after the first observation carry a value
+    for _, g in out.groupby("event_type"):
+        g = g.sort_values("hour")
+        seen = g.observed.cummax()
+        filled = g[seen & ~g.observed]
+        if len(filled):
+            assert filled.value_filled.notna().all()
+    assert (~out.observed).any(), "fixture should contain gaps"
