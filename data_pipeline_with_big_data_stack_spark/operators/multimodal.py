@@ -33,6 +33,7 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.gif import decode_gif
 from data_pipeline_with_big_data_stack_spark.operators.png import PNG_MAGIC, decode_png
 from data_pipeline_with_big_data_stack_spark.operators.wav import decode_wav
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
@@ -41,9 +42,9 @@ pickle_by_value(__name__)  # feature extractors ship by value to workers
 
 N_HIST_BINS = 16
 
-# Real-media magics that still require a library decoder (PNG and
-# RIFF/WAVE decode natively — operators/png.py, operators/wav.py).
-_REAL_MAGICS = (b"\xff\xd8\xff", b"GIF8")
+# Real-media magics that still require a library decoder (PNG, GIF and
+# RIFF/WAVE decode natively — operators/png.py, gif.py, wav.py).
+_REAL_MAGICS = (b"\xff\xd8\xff",)
 
 
 def _nibble(col: Column | str, i: int) -> Column:
@@ -130,11 +131,14 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if b.startswith(PNG_MAGIC):
                     w, h, nch, arr = decode_png(b)
                     geom = (True, w, h, nch)
+                elif b.startswith(b"GIF8"):
+                    w, h, _nf, arr = decode_gif(b)
+                    geom = (True, w, h, 3)
                 elif b[:4].startswith(_REAL_MAGICS) and not have_pil:
                     raise NotImplementedError(
-                        "non-PNG image decode requires PIL; container "
-                        "ships none — PNG decodes natively, synthetic "
-                        "media exercise the full path"
+                        "JPEG decode requires PIL; container ships none "
+                        "— PNG/GIF/WAV decode natively, synthetic media "
+                        "exercise the full path"
                     )
                 else:
                     arr = np.frombuffer(b, dtype=np.uint8)

@@ -337,3 +337,57 @@ def test_resize_images_nearest_neighbor_exact(spark):
     w, h, nch, px = decode_png(bytes(out[1].media))
     assert np.asarray(px).reshape(2, 2).tolist() == [[0, 2], [8, 10]]
     assert not out[2].resized and bytes(out[2].media) == b"nota png"
+
+
+# ---------------------------------------------------------------------
+# Native GIF decode (operators/gif.py)
+# ---------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.gif import decode_gif, encode_gif
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = bytes([(x + y) % 4 for y in range(4) for x in range(6)])
+    w, h, nf, px = decode_gif(encode_gif(6, 4, pal, idx))
+    assert (w, h, nf) == (6, 4, 1)
+    exp = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(-1)
+    assert np.array_equal(px, exp)
+
+
+def test_gif_256_colors_code_width_growth():
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(7)
+    pal = [(i, 255 - i, i // 2) for i in range(256)]
+    idx = bytes(rng.randint(0, 256, 5000).astype(np.uint8))
+    w, h, nf, px = decode_gif(encode_gif(100, 50, pal, idx))
+    exp = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(-1)
+    assert np.array_equal(px, exp)
+
+
+def test_gif_truncation_raises():
+    import pytest
+
+    from data_pipeline_with_big_data_stack_spark.operators.gif import GifError, decode_gif, encode_gif
+
+    g = encode_gif(8, 8, [(0, 0, 0), (255, 255, 255)], bytes(64))
+    for cut in (5, 12, 20, len(g) // 2):
+        with pytest.raises((GifError, ValueError, IndexError, Exception)):
+            decode_gif(g[:cut])
+
+
+def test_gif_flows_through_feature_extractor(spark):
+    from data_pipeline_with_big_data_stack_spark.operators.gif import encode_gif
+    from data_pipeline_with_big_data_stack_spark.operators.multimodal import decode_image_features
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    gif = encode_gif(4, 4, pal, bytes([0, 1] * 8))
+    df = spark.createDataFrame([(1, bytearray(gif))], ["doc_id", "media"])
+    r = decode_image_features(df).head()
+    assert r.decoded and (r.width, r.height, r.channels) == (4, 4, 3)
+    assert r.mean_byte == 127.5  # half black, half white RGB
