@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.gif import decode_gif
+from data_pipeline_with_big_data_stack_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
 from data_pipeline_with_big_data_stack_spark.operators.png import PNG_MAGIC, decode_png
 from data_pipeline_with_big_data_stack_spark.operators.wav import decode_wav
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
@@ -41,10 +42,6 @@ from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 pickle_by_value(__name__)  # feature extractors ship by value to workers
 
 N_HIST_BINS = 16
-
-# Real-media magics that still require a library decoder (PNG, GIF and
-# RIFF/WAVE decode natively — operators/png.py, gif.py, wav.py).
-_REAL_MAGICS = (b"\xff\xd8\xff",)
 
 
 def _nibble(col: Column | str, i: int) -> Column:
@@ -102,12 +99,14 @@ def attach_video(df: DataFrame, seed_col: str = "text", frame_bytes: int = 16,
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over the ``media`` column.
 
-    Real PNG bytes decode natively (``operators/png.py`` — no library)
-    to PIXEL-level features: width/height/channels plus mean and 16-bin
-    histogram over decoded pixel values, ``decoded = true``. Other real
-    encodings (JPEG/GIF/RIFF) require PIL and raise
-    ``NotImplementedError`` without it (clearly-marked stub). Synthetic
-    media yield deterministic BYTE-level features, ``decoded = false``.
+    All four real formats decode natively, no library: PNG
+    (``operators/png.py``), baseline JPEG (``operators/jpeg.py``), GIF
+    (``operators/gif.py``) to PIXEL-level features — width/height/
+    channels plus mean and 16-bin histogram over decoded values,
+    ``decoded = true`` — and WAV through ``decode_audio_features``.
+    Unsupported encodings inside those containers (progressive JPEG,
+    arithmetic coding) raise — never silently misread. Synthetic media
+    yield deterministic BYTE-level features, ``decoded = false``.
     """
     schema = (
         f"{id_col} long, n_bytes int, decoded boolean, width int, "
@@ -117,12 +116,6 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def extract(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
-
-        try:
-            from PIL import Image  # noqa: F401 - real decoder, absent here
-            have_pil = True
-        except ImportError:
-            have_pil = False
 
         for pdf in batches:
             rows = []
@@ -134,12 +127,9 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 elif b.startswith(b"GIF8"):
                     w, h, _nf, arr = decode_gif(b)
                     geom = (True, w, h, 3)
-                elif b[:4].startswith(_REAL_MAGICS) and not have_pil:
-                    raise NotImplementedError(
-                        "JPEG decode requires PIL; container ships none "
-                        "— PNG/GIF/WAV decode natively, synthetic media "
-                        "exercise the full path"
-                    )
+                elif b.startswith(JPEG_MAGIC):
+                    w, h, nch, arr = decode_jpeg(b)
+                    geom = (True, w, h, nch)
                 else:
                     arr = np.frombuffer(b, dtype=np.uint8)
                     geom = (False, None, None, None)

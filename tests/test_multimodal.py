@@ -48,20 +48,14 @@ class TestDecode:
         again = M.decode_image_features(M.attach_image(docs)).collect()
         assert sorted(map(str, feats)) == sorted(map(str, again))
 
-    def test_real_magic_without_pil_raises(self, spark):
-        # JPEG magic + junk -> the decode stub must refuse, not
-        # fake-decode (PNG now decodes natively — TestPngDecode)
+    def test_jpeg_magic_with_junk_raises(self, spark):
+        # JPEG magic + junk -> the native decoder must refuse, not
+        # fake-decode (all four real formats decode natively now)
         jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
         df = spark.createDataFrame([(1, jpg)], ["doc_id", "media"])
-        try:
-            import PIL  # noqa: F401
-
-            pytest.skip("PIL present; stub path not reachable")
-        except ImportError:
-            pass
         with pytest.raises(Exception) as ei:
             M.decode_image_features(df).collect()
-        assert "NotImplementedError" in str(ei.value) or "requires PIL" in str(ei.value)
+        assert "Jpeg" in str(ei.value) or "marker" in str(ei.value)
 
 
 class TestFrameSample:
@@ -391,3 +385,87 @@ def test_gif_flows_through_feature_extractor(spark):
     r = decode_image_features(df).head()
     assert r.decoded and (r.width, r.height, r.channels) == (4, 4, 3)
     assert r.mean_byte == 127.5  # half black, half white RGB
+
+
+# ---------------------------------------------------------------------
+# Native baseline JPEG decode (operators/jpeg.py)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 16, 3), [200, 64, 32], dtype=np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(16, 16, flat.reshape(-1)))
+    assert (w, h, c) == (16, 16, 3)
+    assert np.abs(px.reshape(16, 16, 3).astype(int) - flat.astype(int)).max() <= 3
+
+    grad = np.zeros((24, 40, 3), dtype=np.uint8)
+    for yy in range(24):
+        for xx in range(40):
+            grad[yy, xx] = (xx * 6, yy * 10, (xx + yy) * 3)
+    for subsample in (False, True):
+        w, h, c, px = decode_jpeg(
+            encode_jpeg(40, 24, grad.reshape(-1), subsample=subsample)
+        )
+        err = np.abs(px.reshape(24, 40, 3).astype(int) - grad.astype(int))
+        assert err.mean() < 6, (subsample, err.mean())
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    import numpy as np
+    import pytest
+
+    from data_pipeline_with_big_data_stack_spark.operators.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00" * 20)  # SOF2 progressive
+    good = encode_jpeg(16, 16, np.zeros(16 * 16 * 3, dtype=np.uint8))
+    for cut in (4, 30, len(good) // 2):
+        try:
+            decode_jpeg(good[:cut])
+        except Exception:
+            pass  # raise is fine; silent garbage is what we guard against
+
+
+def test_jpeg_decodes_independent_real_file():
+    """A libjpeg-produced file from the container (not our encoder) —
+    catches symmetric encoder/decoder bugs that roundtrips mask."""
+    import os
+
+    import pytest
+
+    path = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/"
+        "ext/flower-of-life.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no third-party jpeg in container")
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.jpeg import decode_jpeg
+
+    with open(path, "rb") as fh:
+        w, h, c, px = decode_jpeg(fh.read())
+    arr = px.reshape(h, w, 3)
+    assert (w, h) == (161, 161)
+    # known content: dark line-art on a white background
+    assert arr[0, 0].tolist() == [255, 255, 255]
+    assert 180 < arr.mean() < 250
+
+
+def test_jpeg_flows_through_feature_extractor(spark):
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.jpeg import encode_jpeg
+    from data_pipeline_with_big_data_stack_spark.operators.multimodal import decode_image_features
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(8, 8, img.reshape(-1))))], ["doc_id", "media"]
+    )
+    r = decode_image_features(df).head()
+    assert r.decoded and (r.width, r.height, r.channels) == (8, 8, 3)
+    assert abs(r.mean_byte - 128) <= 2
