@@ -406,3 +406,128 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("cluster_id"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# The full curation pipeline as ONE query — the corpus-prep flow a
+# training run actually executes, composed from the operators above:
+#   1. fuzzy-dedup the corpus (LSH candidates → connected components →
+#      keep each cluster's canonical doc),
+#   2. quality-filter the survivors (Gopher rules),
+#   3. assign deterministic train/val/test splits,
+#   4. report per (split, lang) document and token counts.
+# Everything stays linear + bucketed (the cluster step touches only the
+# candidate-pair edge set); the oracle reproduces the ENTIRE pipeline,
+# so a regression in any stage fails the gate.
+# --------------------------------------------------------------------------
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_DUCK},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand),
+    reach AS (
+      SELECT a AS node, b AS peer FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a),
+    clusters AS (
+      SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+      FROM reach GROUP BY node),
+    survivors AS (
+      SELECT d.* FROM documents d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id),
+    w AS (SELECT doc_id, lang, text,
+                 string_split(text, ' ') AS words FROM survivors),
+    m AS (
+      SELECT doc_id, lang, len(words) AS n_tokens,
+             list_sum([len(x) for x in words])::DOUBLE / len(words) AS mwl
+      FROM w),
+    bx AS (SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1]
+                          for i in range(1, len(words))]) AS bg
+           FROM w),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bx GROUP BY doc_id, bg),
+    tp AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM bc GROUP BY doc_id),
+    kept AS (
+      SELECT m.doc_id, m.lang, m.n_tokens
+      FROM m LEFT JOIN tp ON m.doc_id = tp.doc_id
+      WHERE m.mwl BETWEEN 3 AND 10 AND coalesce(tp.tbf, 1) <= 0.18),
+    split AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'),
+                        1, 8))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'),
+                        1, 8))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept)
+    SELECT split, lang,
+           count(*)::BIGINT          AS n_docs,
+           (sum(n_tokens))::BIGINT   AS total_tokens
+    FROM split GROUP BY split, lang
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    # canonical-keep: drop any doc that belongs to a cluster it doesn't
+    # lead (docs outside every cluster survive via the left join)
+    survivors = (
+        d.join(F.broadcast(labels), "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .drop("cluster_id")
+    )
+    w = survivors.withColumn("words", F.split("text", " "))
+    n = F.size("words")
+    mwl = F.aggregate(
+        F.transform("words", F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    ).cast("double") / n
+    m = w.select(
+        "doc_id", "lang", n.alias("n_tokens"), mwl.alias("mwl"), "words"
+    )
+    bx = m.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2), "
+                "i -> concat_ws(' ', words[i], words[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    tp = (
+        bx.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count").cast("double") / F.sum("count")).alias("tbf"))
+    )
+    kept = (
+        m.drop("words")
+        .join(tp, "doc_id", "left")
+        .filter(
+            F.col("mwl").between(3, 10)
+            & (F.coalesce("tbf", F.lit(1.0)) <= 0.18)
+        )
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(_SPLIT_SALT))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
