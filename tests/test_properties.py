@@ -100,3 +100,82 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+class TestDecoderProperties:
+    """Roundtrip invariants for the native media decoders — any palette,
+    any index stream, any PCM params must survive encode→decode exactly
+    (GIF/WAV are lossless); arbitrary byte blobs must never decode as a
+    valid image silently."""
+
+    @given(
+        n_colors_log=st.integers(1, 8),
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        data=st.data(),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_gif_roundtrip_any_palette(self, n_colors_log, w, h, data):
+        import numpy as np
+
+        from data_pipeline_with_big_data_stack_spark.operators.gif import decode_gif, encode_gif
+
+        n = 1 << n_colors_log
+        rng = np.random.RandomState(
+            data.draw(st.integers(0, 2**31 - 1), label="seed")
+        )
+        pal = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(n)]
+        idx = bytes(rng.randint(0, n, w * h).astype(np.uint8))
+        gw, gh, nf, px = decode_gif(encode_gif(w, h, pal, idx))
+        assert (gw, gh, nf) == (w, h, 1)
+        exp = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(-1)
+        assert np.array_equal(px, exp)
+
+    @given(
+        nch=st.integers(1, 2),
+        bits=st.sampled_from([8, 16, 32]),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        n=st.integers(1, 200),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_wav_roundtrip_any_pcm(self, nch, bits, rate, n, seed):
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        from data_pipeline_with_big_data_stack_spark.operators.wav import decode_wav
+
+        rng = np.random.RandomState(seed)
+        lo, hi = (0, 256) if bits == 8 else (-(1 << (bits - 1)), 1 << (bits - 1))
+        frames = rng.randint(lo, hi, n * nch)
+        buf = io.BytesIO()
+        wv = wave.open(buf, "wb")
+        wv.setnchannels(nch)
+        wv.setsampwidth(bits // 8)
+        wv.setframerate(rate)
+        fmt = {8: "B", 16: "h", 32: "i"}[bits]
+        wv.writeframes(struct.pack(f"<{len(frames)}{fmt}", *frames))
+        wv.close()
+        grate, gnch, gbits, arr = decode_wav(buf.getvalue())
+        assert (grate, gnch, gbits) == (rate, nch, bits)
+        assert arr.tolist() == frames.tolist()
+
+    @given(blob=st.binary(min_size=0, max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_garbage_never_decodes_as_media(self, blob):
+        import pytest
+
+        from data_pipeline_with_big_data_stack_spark.operators.gif import GifError, decode_gif
+        from data_pipeline_with_big_data_stack_spark.operators.jpeg import JpegError, decode_jpeg
+        from data_pipeline_with_big_data_stack_spark.operators.wav import WavError, decode_wav
+        from data_pipeline_with_big_data_stack_spark.sources.hdf5lite import parse_hdf5_netcdf
+
+        for fn in (decode_gif, decode_jpeg, decode_wav):
+            with pytest.raises(Exception):
+                fn(blob)
+        # hdf5: random blobs lack the magic and must raise H5Error
+        with pytest.raises(Exception):
+            parse_hdf5_netcdf(blob)
