@@ -106,3 +106,38 @@ class TestCappedBuckets:
         }
         # singleton bucket (0,'k2') dropped; others intact and sorted
         assert rows == {(0, "k1"): [1, 2], (1, "k1"): [4, 5]}
+
+
+# ---------------------------------------------------------------------
+# scan-rebalance guards (tables._scan_rebalance)
+# ---------------------------------------------------------------------
+
+
+def test_scan_rebalance_guards(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark import tables as T
+
+    # small file: guard off — plan unchanged (no extra exchange)
+    small = str(tmp_path / "small.parquet")
+    spark.range(100).withColumn("x", F.rand(1)).coalesce(1).write.parquet(small)
+    import glob as g
+
+    part = g.glob(small + "/part-*.parquet")[0]
+    df = spark.read.parquet(small)
+    assert T._scan_rebalance(df, part) is df
+
+    # multi-file dataset path (directory): guard off
+    assert T._scan_rebalance(df, small) is df
+
+    # big single-row-group single file: rebalanced to default parallelism
+    big = str(tmp_path / "big")
+    spark.range(300_000).withColumn("s", F.repeat(F.lit("x"), 10)).coalesce(
+        1
+    ).write.parquet(big)
+    bigfile = g.glob(big + "/part-*.parquet")[0]
+    import os
+
+    if os.path.getsize(bigfile) >= T._REBALANCE_MIN_BYTES:
+        out = T._scan_rebalance(spark.read.parquet(bigfile), bigfile)
+        assert "Repartition" in out._jdf.queryExecution().logical().toString()
