@@ -27,24 +27,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_rotation_order(names: list[str]) -> list[str]:
-    """Order queries by how rarely past CORRECTNESS_r*.json rounds have
-    checked them (least-checked first, stable by name within a tier). The
-    round-1 gate only reached 50/82 registered queries; if the driver
-    walks the dict in order, this rotates the checked set each round so
-    every query eventually gets a driver-verified green row."""
+    """Order queries so the driver's bounded gate window (≈50/94 per
+    round) lands on the rows that most need a driver-verified green:
+    first queries NEVER green in any past CORRECTNESS_r*.json (new this
+    round, or previously red — e.g. fixed-but-unreverified), then
+    least-recently/least-often checked, stable by name within a tier."""
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
+    green: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                for name in json.load(f):
+                for name, row in json.load(f).items():
                     seen[name] = seen.get(name, 0) + 1
+                    ok = row.get("hash_match") or (
+                        row.get("err") == "no_oracle" and row.get("spark_rows")
+                    )
+                    if ok:
+                        green[name] = green.get(name, 0) + 1
         except Exception:
             continue
-    return sorted(names, key=lambda n: (seen.get(n, 0), n))
+    return sorted(names, key=lambda n: (green.get(n, 0), seen.get(n, 0), n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -121,30 +121,61 @@ def main() -> None:
     # Warm up the JVM/codegen and parquet footer cache with a trivial scan.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Crash-proof per query: one broken query must never erase the whole
+    # bench line (round 2 lost every number to a single crasher). Failures
+    # are reported under "errors" and excluded from the totals; the JSON
+    # line always prints and the process always exits 0.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        c, s = run_query(spark, name, sf_dir)
+        try:
+            c, s = run_query(spark, name, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         cold[name] = round(c, 3)
         times[name] = round(s, 3)
 
     total = round(sum(times.values()), 3)
-    rows_s = round(ingest_throughput(spark), 0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "ingest_rows_per_sec": rows_s,
-            }
-        )
-    )
-    spark.stop()
+    try:
+        rows_s = round(ingest_throughput(spark), 0)
+    except Exception as exc:  # noqa: BLE001
+        errors["__ingest__"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"[bench] ingest FAILED: {errors['__ingest__']}", file=sys.stderr)
+        rows_s = None
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "ingest_rows_per_sec": rows_s,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - the JSON line already printed
+        pass
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 - last-resort: still emit JSON, rc=0
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": -1.0,
+                    "errors": {"__fatal__": f"{type(exc).__name__}: {exc}"[:500]},
+                }
+            )
+        )

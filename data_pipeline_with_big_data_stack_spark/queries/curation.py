@@ -328,23 +328,28 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidate pairs alone don't dedup a corpus — transitive duplicates
 # (A~B, B~C) must land in ONE cluster so exactly one doc survives.
 #
-# Spark side: iterative min-label propagation. The edge set is the LSH
-# candidate list — orders of magnitude smaller than the corpus — and
-# every iteration is two hash joins on it; iterations needed = graph
-# diameter (near-dup clusters are near-cliques, so 2-4 in practice,
-# bounded at _CC_MAX_ITERS). Each iteration localCheckpoints to cut
-# lineage growth. This is the documented non-SQL-shape exception in the
-# engine (driver-side convergence loop; per-iteration work fully
-# distributed).
+# Spark side: min-label propagation with POINTER DOUBLING (each round
+# also shortcuts label := label(label), the Shiloach-Vishkin / pointer-
+# jumping trick), so convergence takes O(log diameter) rounds instead of
+# O(diameter) — a 1M-node duplicate chain converges in ~21 rounds, not
+# 1M. The edge set is the LSH candidate list — orders of magnitude
+# smaller than the corpus — and every round is three hash joins on it.
+# Each round localCheckpoints to cut lineage growth. Non-convergence
+# within _CC_MAX_ITERS raises rather than returning wrong labels (the
+# bound allows diameters ~2^_CC_MAX_ITERS — unreachable in practice).
+# This is the documented non-SQL-shape exception in the engine
+# (driver-side convergence loop; per-round work fully distributed).
 # --------------------------------------------------------------------------
-_CC_MAX_ITERS = 20
+_CC_MAX_ITERS = 40
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected edge list (``a``/``b``
-    long columns). Returns (node, label) with label = min node id
-    reachable. Exact fixpoint (not hash-approximate), so the DuckDB
-    transitive-closure oracle matches bit-for-bit."""
+    """Min-label propagation + pointer doubling over an undirected edge
+    list (``a``/``b`` long columns). Returns (node, label) with label =
+    min node id reachable. Exact fixpoint (not hash-approximate), so the
+    DuckDB transitive-closure oracle matches bit-for-bit. Raises
+    ``RuntimeError`` if the fixpoint is not reached in ``_CC_MAX_ITERS``
+    rounds (needs ~log2(diameter) rounds)."""
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
     labels = (
@@ -352,31 +357,49 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    sentinel = F.lit(2**62)
     for _ in range(_CC_MAX_ITERS):
+        # one-hop: min label among my neighbors
         neigh = (
             sym.join(labels, sym.a == labels.node)
             .select(F.col("b").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer jump: the label of my label. Every label value is a
+        # node id (labels start as node ids and only propagate), so the
+        # self-join always hits; "left" is belt-and-braces.
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
         new = (
             labels.join(neigh, "node", "left")
+            .join(jump, F.col("label") == F.col("jnode"), "left")
             .select(
                 "node",
                 F.least(
-                    "label", F.coalesce("nlabel", F.lit(2**62))
+                    "label",
+                    F.coalesce("nlabel", sentinel),
+                    F.coalesce("jlabel", sentinel),
                 ).alias("label"),
-                (F.coalesce("nlabel", F.lit(2**62)) < F.col("label")).alias(
-                    "chg"
-                ),
+                (
+                    F.least(
+                        F.coalesce("nlabel", sentinel),
+                        F.coalesce("jlabel", sentinel),
+                    )
+                    < F.col("label")
+                ).alias("chg"),
             )
         )
         new = new.localCheckpoint(eager=True)
         changed = new.filter("chg").limit(1).count()
         labels = new.drop("chg")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {_CC_MAX_ITERS} rounds "
+        "(graph diameter > 2^rounds is implausible; investigate the edge set)"
+    )
 
 
 @query(

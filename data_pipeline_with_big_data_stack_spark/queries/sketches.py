@@ -60,8 +60,14 @@ def q_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_approx_percentiles_value", oracle=None)
 def q_approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-quantile percentiles per event type. Three scalar double
+    columns (not one array column — array cells break row-hash
+    canonicalization downstream); one aggregation pass computes the
+    shared sketch, Catalyst dedups the three percentile_approx calls."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+        F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"),
     )

@@ -41,6 +41,10 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirror load_table's nano→micro normalization when needed
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # mirror load_table's NTZ → session-UTC TIMESTAMP normalization:
+    # withWatermark rejects TIMESTAMP_NTZ event-time columns.
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -311,10 +311,14 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # epoch-micros arithmetic: CAST(ts AS DOUBLE) is illegal on
+    # TIMESTAMP_NTZ inputs (the round-2 bench crasher); unix_micros over
+    # a timestamp-cast column is NTZ-proof and keeps sub-second precision.
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
     new_session = F.when(
-        prev_ts.isNull()
-        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > 1800),
-        1,
+        prev_ts.isNull() | (gap_us > 1800 * 1_000_000), 1
     ).otherwise(0)
     marked = e.select("user_id", "ts", "event_id", new_session.alias("new_session"))
     sessions = marked.select(

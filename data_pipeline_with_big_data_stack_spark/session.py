@@ -25,6 +25,12 @@ _RUNTIME_CONF = {
     # rejected by Spark 4 by default; read them as epoch-nano longs and
     # let the table loader convert to TimestampType (micro truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (isAdjustedToUTC=false) parquet timestamps must read as
+    # session-UTC TIMESTAMP, not TIMESTAMP_NTZ: event-time watermarks
+    # require TimestampType, and the DuckDB oracle treats the same bytes
+    # as UTC-naive. Fixture dtype drift (ns → naive µs) flipped this on
+    # us in round 2; pin it off.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -85,6 +85,12 @@ def load_table(
     # session._RUNTIME_CONF); convert to TimestampType at micro precision.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Defensive: if inferTimestampNTZ was set before this session's conf
+    # took effect (or a cached scan kept it), normalize NTZ → session-UTC
+    # TIMESTAMP so watermarks and epoch arithmetic work uniformly.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return _scan_rebalance(df, path) if rebalance else df
 
 

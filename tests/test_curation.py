@@ -66,14 +66,71 @@ def test_connected_components_exact(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    # diameter > 2 forces multiple propagation rounds
-    n = 12
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(n)], ["a", "b"]
-    )
-    labels = connected_components(edges).collect()
-    assert {r.label for r in labels} == {0}
-    assert len(labels) == n + 1
+    # 64-node path graph: diameter 63 exceeds the old one-hop 20-round
+    # bound (which silently returned wrong labels); pointer doubling must
+    # collapse it in ~log2(63) rounds. Oracle: DuckDB recursive CTE.
+    import duckdb
+
+    n = 63
+    pairs = [(i, i + 1) for i in range(n)]
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    labels = {(r.node, r.label) for r in connected_components(edges).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    oracle = {
+        (node, lab)
+        for node, lab in con.execute(
+            """
+            WITH RECURSIVE sym AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach AS (
+              SELECT a AS node, b AS peer FROM sym
+              UNION
+              SELECT r.node, s.b FROM reach r JOIN sym s ON r.peer = s.a)
+            SELECT node, least(node, min(peer)) FROM reach GROUP BY node
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert labels == oracle
+    assert {lab for _, lab in labels} == {0}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    # fixed-seed random sparse graph vs a driver-side union-find
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    pairs = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(300)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component for every node that appears in an edge
+    touched = {x for p in pairs for x in p}
+    expected = {}
+    comp_min = {}
+    for x in sorted(touched):
+        comp_min.setdefault(find(x), x)
+    for x in touched:
+        expected[x] = comp_min[find(x)]
+
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == expected
 
 
 def test_chunking_covers_every_token_once_per_window(spark):

@@ -35,7 +35,7 @@ def test_hll_sketch_merge_close_to_global_exact(spark):
 
 def test_approx_percentile_between_bounds(spark):
     for r in q_approx_percentiles_value(spark, SF_CORRECTNESS).collect():
-        p50, p95, p99 = r["approx_pcts"]
+        p50, p95, p99 = r["approx_p50"], r["approx_p95"], r["approx_p99"]
         assert p50 <= p95 <= p99
         # percentile_approx returns an actual data point near the exact p50
         assert abs(p50 - r["exact_p50"]) / max(abs(r["exact_p50"]), 1e-9) < 0.05
