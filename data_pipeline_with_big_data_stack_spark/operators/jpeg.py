@@ -1,17 +1,22 @@
-"""Native baseline JPEG (JFIF) decode/encode — no image library.
+"""Native JPEG (JFIF) decode/encode — no image library.
 
 Completes the real-decode set (PNG ``png.py``, GIF ``gif.py``, WAV
-``wav.py``): baseline sequential DCT JPEG per the public ITU T.81
-spec. Decoder: marker parse (DQT/SOF0/DHT/SOS/DRI), huffman entropy
-decode with byte-unstuffing and restart markers, dequantization,
-zigzag, float IDCT (orthonormal DCT-III via matrix multiply),
-per-component sampling factors with nearest-neighbor chroma upsample,
-JFIF YCbCr→RGB. Encoder: the reverse with the T.81 Annex K example
-tables at fixed quality, 4:4:4 or 4:2:0 — enough to roundtrip tests
-without PIL.
+``wav.py``): baseline sequential AND progressive DCT JPEG per the
+public ITU T.81 spec. Decoder: marker parse (DQT/SOF0/SOF2/DHT/SOS/
+DRI), huffman entropy decode with byte-unstuffing and restart markers;
+for progressive (SOF2), spectral-selection + successive-approximation
+scan accumulation into a per-component coefficient store (DC first/
+refine, AC first/refine with EOB runs, T.81 G.1.2 / figure G.7
+semantics) reconstructed once at EOI; dequantization, zigzag, float
+IDCT (orthonormal DCT-III via matrix multiply), per-component sampling
+factors with nearest-neighbor chroma upsample, JFIF YCbCr→RGB.
+Encoder: baseline with the T.81 Annex K example tables at fixed
+quality, 4:4:4 or 4:2:0, plus a progressive encoder (multi-scan
+spectral bands + successive approximation, buffered correction bits,
+EOB-run accumulation) — enough to roundtrip tests without PIL.
 
-Out of scope (raise, never misread): progressive (SOF2), arithmetic
-coding, 12-bit precision, CMYK.
+Out of scope (raise, never misread): arithmetic coding, 12-bit
+precision, CMYK, hierarchical (SOF3/5/6/7/9-11/13-15).
 """
 
 from __future__ import annotations
@@ -183,6 +188,193 @@ def _extend(v, size):
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+# ---------------------------------------------------------------------
+# progressive scan decoding (T.81 G.1.2, figure G.7 block procedures)
+# ---------------------------------------------------------------------
+
+
+def _mcu_geometry(comps, w, h):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _ac_first_block(r, blk, ss0, se0, al, ac_table, eobrun):
+    """AC coefficients, first scan of a band: magnitudes shifted by the
+    point transform, zero runs + EOB-run codes across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss0
+    while k <= se0:
+        rs = r.huff(ac_table)
+        rr, ss = rs >> 4, rs & 0xF
+        if ss == 0:
+            if rr == 15:
+                k += 16  # ZRL: 16 zeros
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.bits(rr)
+            break
+        k += rr
+        if k > se0:
+            raise JpegError("AC index overrun")
+        blk[k] = _extend(r.bits(ss), ss) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(r, blk, ss0, se0, al, ac_table, eobrun):
+    """AC refinement scan: one new magnitude bit per already-nonzero
+    coefficient, newly-significant coefficients coded ±1<<Al. Follows
+    the figure-G.7 control flow (correction bits interleave with run
+    codes; EOB-run blocks still carry correction bits)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss0
+    if eobrun == 0:
+        while k <= se0:
+            rs = r.huff(ac_table)
+            rr, ss = rs >> 4, rs & 0xF
+            newval = 0
+            if ss:
+                if ss != 1:
+                    raise JpegError("bad refinement magnitude code")
+                newval = p1 if r.bits(1) else m1
+            elif rr != 15:
+                eobrun = 1 << rr
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            # advance over rr zero-history coefficients; already-nonzero
+            # ones are corrected in passing and don't count toward the run
+            while k <= se0:
+                c = int(blk[k])
+                if c:
+                    if r.bits(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se0:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # inside the EOB run every remaining nonzero coef gets one bit
+        while k <= se0:
+            c = int(blk[k])
+            if c:
+                if r.bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, pos, scan_comps, ss0, se0, ah, al, comps, coef,
+                      huff_dc, huff_ac, restart_interval, w, h):
+    """Decode one progressive scan into the coefficient store; returns
+    the stream position of the next marker."""
+    r = _BitReader(data, pos)
+    hmax, vmax, mcux, mcuy = _mcu_geometry(comps, w, h)
+    comp_info = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    pred = {cid: 0 for cid, _td, _ta in scan_comps}
+    eobrun = 0
+
+    def dc_block(cid, td, blk):
+        if ah == 0:
+            s = r.huff(huff_dc[td])
+            diff = _extend(r.bits(s), s) if s else 0
+            pred[cid] += diff
+            blk[0] = pred[cid] << al
+        elif r.bits(1):
+            blk[0] = int(blk[0]) | (1 << al)
+
+    if len(scan_comps) > 1:
+        if ss0 != 0:
+            raise JpegError("interleaved AC scan is not allowed")
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and count % restart_interval == 0:
+                    r.resync_restart()
+                    eobrun = 0
+                    for cid in pred:
+                        pred[cid] = 0
+                for cid, td, _ta in scan_comps:
+                    ch, cv = comp_info[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc_block(cid, td, coef[cid][my * cv + by, mx * ch + bx])
+                count += 1
+    else:
+        cid, td, ta = scan_comps[0]
+        ch, cv = comp_info[cid]
+        nbx = (-(-(w * ch) // hmax) + 7) // 8
+        nby = (-(-(h * cv) // vmax) + 7) // 8
+        count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and count and count % restart_interval == 0:
+                    r.resync_restart()
+                    eobrun = 0
+                    pred[cid] = 0
+                blk = coef[cid][by, bx]
+                if ss0 == 0:
+                    dc_block(cid, td, blk)
+                elif ah == 0:
+                    eobrun = _ac_first_block(r, blk, ss0, se0, al, huff_ac[ta], eobrun)
+                else:
+                    eobrun = _ac_refine_block(r, blk, ss0, se0, al, huff_ac[ta], eobrun)
+                count += 1
+
+    p = r.pos
+    while p < len(data) - 1 and not (
+        data[p] == 0xFF
+        and data[p + 1] != 0x00
+        and not (0xD0 <= data[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _assemble_rgb(out, np):
+    """[(plane_cropped_to_w_h), ...] 1 or 3 planes → flat RGB."""
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=-1)
+        return rgb.reshape(-1)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
+
+
+def _reconstruct_progressive(comps, coef, qt, w, h, np):
+    """Coefficient store → pixels: vectorized dequant + IDCT per
+    component, then the shared upsample / color-convert tail."""
+    C = _dct_matrix()
+    hmax, vmax, _mcux, _mcuy = _mcu_geometry(comps, w, h)
+    out = []
+    for cid, ch, cv, tq in comps:
+        arr = coef[cid].astype(np.float64)  # (nby, nbx, 64) zigzag order
+        q = np.array(qt[tq], dtype=np.float64)
+        deq = np.zeros_like(arr)
+        deq[..., _ZIGZAG] = arr * q
+        blocks = deq.reshape(arr.shape[0], arr.shape[1], 8, 8)
+        px = np.einsum("ia,yxij,jb->yxab", C, blocks, C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(arr.shape[0] * 8, arr.shape[1] * 8)
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        out.append(plane[:h, :w])
+    return w, h, 3, _assemble_rgb(out, np)
+
+
 def decode_jpeg(data: bytes):
     """bytes → (width, height, 3, rgb_pixels flat uint8 array)."""
     import numpy as np
@@ -195,6 +387,8 @@ def decode_jpeg(data: bytes):
     comps = None  # [(cid, h, v, tq)]
     w = h = 0
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive: cid → (nby, nbx, 64) int32, zigzag order
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -226,7 +420,8 @@ def decode_jpeg(data: bytes):
                     counts, syms
                 )
                 o += 17 + n
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = m == 0xC2
             prec = data[body]
             if prec != 8:
                 raise JpegError("only 8-bit precision")
@@ -237,23 +432,43 @@ def decode_jpeg(data: bytes):
                 cid = data[body + 6 + 3 * i]
                 hv = data[body + 7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, data[body + 8 + 3 * i]))
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise JpegError("only baseline sequential JPEG supported")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise JpegError("unsupported JPEG coding process")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, body)
         elif m == 0xDA:  # SOS
+            if comps is None:
+                raise JpegError("SOS before SOF")
             ns = data[body]
-            sel = {}
+            scan_comps = []
             for i in range(ns):
                 cid = data[body + 1 + 2 * i]
                 tt = data[body + 2 + 2 * i]
-                sel[cid] = (tt >> 4, tt & 0xF)
-            scan_start = body + 1 + 2 * ns + 3
-            return _decode_scan(
-                data, scan_start, w, h, comps, qt, huff_dc, huff_ac, sel,
-                restart_interval, np,
+                scan_comps.append((cid, tt >> 4, tt & 0xF))
+            ss0 = data[body + 1 + 2 * ns]
+            se0 = data[body + 2 + 2 * ns]
+            a = data[body + 3 + 2 * ns]
+            scan_start = body + 4 + 2 * ns
+            if not progressive:
+                sel = {cid: (td, ta) for cid, td, ta in scan_comps}
+                return _decode_scan(
+                    data, scan_start, w, h, comps, qt, huff_dc, huff_ac, sel,
+                    restart_interval, np,
+                )
+            if coef is None:
+                _hmax, _vmax, mcux, mcuy = _mcu_geometry(comps, w, h)
+                coef = {
+                    cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                    for cid, ch, cv, _tq in comps
+                }
+            pos = _decode_prog_scan(
+                data, scan_start, scan_comps, ss0, se0, a >> 4, a & 0xF,
+                comps, coef, huff_dc, huff_ac, restart_interval, w, h,
             )
+            continue
         pos += 2 + seglen
+    if progressive and coef is not None:
+        return _reconstruct_progressive(comps, coef, qt, w, h, np)
     raise JpegError("no scan found")
 
 
@@ -314,17 +529,7 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac, sel,
         p = planes[cid]
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out.append(p[:h, :w])
-    if len(out) == 1:
-        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-        rgb = np.stack([g, g, g], axis=-1)
-        return w, h, 3, rgb.reshape(-1)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-        axis=-1,
-    )
-    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return w, h, 3, rgb.reshape(-1)
+    return w, h, 3, _assemble_rgb(out, np)
 
 
 # ---------------------------------------------------------------------
@@ -460,4 +665,224 @@ def encode_jpeg(width, height, rgb, subsample=False) -> bytes:
                 pred[i] = _encode_block(bw, blk, _QC, dc_c, ac_c, pred[i])
     bw.flush()
     out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# progressive encoder (test support): spectral selection + successive
+# approximation scans with EOB-run accumulation and buffered correction
+# bits (T.81 G.1.2 encoder procedures)
+# ---------------------------------------------------------------------
+
+# Generic AC huffman table covering every symbol 0x00-0xFF (EOBn codes
+# 0x10..0xE0 are absent from the Annex K baseline tables): 255 symbols
+# at 8 bits + 1 at 9 bits satisfies Kraft with code space to spare.
+_AC_GENERIC = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+# Default scan script: exercises every progressive scan type — DC
+# first + refine (interleaved), AC first split across spectral bands,
+# and two levels of AC successive-approximation refinement on luma.
+# (comp indices, Ss, Se, Ah, Al)
+_DEFAULT_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+def _prep_planes(width, height, rgb, subsample, np):
+    img = np.asarray(rgb, dtype=np.float64).reshape(height, width, 3)
+    y = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    cb = -0.168736 * img[..., 0] - 0.331264 * img[..., 1] + 0.5 * img[..., 2] + 128
+    cr = 0.5 * img[..., 0] - 0.418688 * img[..., 1] - 0.081312 * img[..., 2] + 128
+    hs = vs = 2 if subsample else 1
+    mw, mh = 8 * hs, 8 * vs
+    pw, ph = -width % mw, -height % mh
+    pad = lambda p: np.pad(p, ((0, ph), (0, pw)), mode="edge")  # noqa: E731
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    if subsample:
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+    return y, cb, cr, hs, vs
+
+
+def _quantize_plane(plane, q, np):
+    """8x8 forward DCT + quantize; returns (nby, nbx, 64) int zigzag."""
+    C = _dct_matrix()
+    H, W = plane.shape
+    blocks = plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ai,yxij,bj->yxab", C, blocks - 128.0, C)
+    zz = f.reshape(H // 8, W // 8, 64)[..., _ZIGZAG]
+    return np.round(zz / np.asarray(q, dtype=np.float64)).astype(np.int64)
+
+
+def _flush_eobrun(bw, ac_enc, state):
+    e = state["eobrun"]
+    if e > 0:
+        nbits = e.bit_length() - 1
+        bw.write(*ac_enc[nbits << 4])
+        if nbits:
+            bw.write(nbits, e & ((1 << nbits) - 1))
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        bw.write(1, b)
+    state["pending"] = []
+
+
+def _emit_ac_first(bw, zz, ss0, se0, al, ac_enc, state):
+    run = 0
+    for k in range(ss0, se0 + 1):
+        v = int(zz[k])
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            run += 1
+            continue
+        _flush_eobrun(bw, ac_enc, state)
+        while run > 15:
+            bw.write(*ac_enc[0xF0])
+            run -= 16
+        s = t.bit_length()
+        bw.write(*ac_enc[(run << 4) | s])
+        sv = t if v > 0 else -t
+        bw.write(s, sv if sv >= 0 else sv + (1 << s) - 1)
+        run = 0
+    if run > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_enc, state)
+
+
+def _emit_ac_refine(bw, zz, ss0, se0, al, ac_enc, state):
+    ab = []
+    eob = 0
+    for k in range(ss0, se0 + 1):
+        v = int(zz[k])
+        t = (-v if v < 0 else v) >> al
+        ab.append(t)
+        if t == 1:
+            eob = k  # last newly-significant coefficient
+    run = 0
+    br = []  # correction bits since the last emitted symbol
+    for k in range(ss0, se0 + 1):
+        t = ab[k - ss0]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            _flush_eobrun(bw, ac_enc, state)
+            bw.write(*ac_enc[0xF0])
+            run -= 16
+            for b in br:
+                bw.write(1, b)
+            br = []
+        if t > 1:
+            # previously significant: buffer its next magnitude bit
+            br.append(t & 1)
+            continue
+        _flush_eobrun(bw, ac_enc, state)
+        bw.write(*ac_enc[(run << 4) | 1])
+        bw.write(1, 1 if int(zz[k]) > 0 else 0)
+        for b in br:
+            bw.write(1, b)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF or len(state["pending"]) > 937:
+            _flush_eobrun(bw, ac_enc, state)
+
+
+def encode_jpeg_progressive(width, height, rgb, subsample=False, scans=_DEFAULT_SCANS) -> bytes:
+    """RGB uint8 (h*w*3 flat) → progressive (SOF2) JFIF bytes.
+
+    Same quantization as the baseline encoder, so a progressive encode
+    decodes to byte-identical pixels as the baseline encode of the same
+    image — the cross-path invariant the roundtrip tests pin.
+    """
+    import numpy as np
+
+    y, cb, cr, hs, vs = _prep_planes(width, height, rgb, subsample, np)
+    coefs = [
+        _quantize_plane(y, _QL, np),
+        _quantize_plane(cb, _QC, np),
+        _quantize_plane(cr, _QC, np),
+    ]
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    mcux, mcuy = y.shape[1] // (8 * hs), y.shape[0] // (8 * vs)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, _QL), (1, _QC)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(q)
+    sof = struct.pack(">HB", 17, 8) + struct.pack(">HH", height, width) + bytes([3])
+    sof += bytes([1, (hs << 4) | vs, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += b"\xff\xc2" + sof
+    for tc, th, (counts, syms) in ((0, 0, _DC_L), (1, 0, _AC_GENERIC)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + sum(counts))
+        out += bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+    dc_enc = _huff_encode_table(*_DC_L)
+    ac_enc = _huff_encode_table(*_AC_GENERIC)
+
+    for comp_idxs, ss0, se0, ah, al in scans:
+        ns = len(comp_idxs)
+        sos = struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idxs:
+            sos += bytes([ci + 1, 0x00])  # dc table 0, ac table 0
+        sos += bytes([ss0, se0, (ah << 4) | al])
+        out += b"\xff\xda" + sos
+        bw = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        if ss0 == 0:  # DC scan (interleaved when ns > 1)
+            pred = {ci: 0 for ci in comp_idxs}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_idxs:
+                        ch, cv = samp[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc = int(coefs[ci][my * cv + by, mx * ch + bx, 0])
+                                if ah == 0:
+                                    val = dc >> al
+                                    diff = val - pred[ci]
+                                    pred[ci] = val
+                                    s = _category(diff)
+                                    bw.write(*dc_enc[s])
+                                    if s:
+                                        bw.write(
+                                            s,
+                                            diff if diff >= 0 else diff + (1 << s) - 1,
+                                        )
+                                else:
+                                    bw.write(1, (dc >> al) & 1)
+        else:  # AC scan: single component, raster over its block grid
+            # non-interleaved block count derives from the component's
+            # true dimensions (ceil(comp/8)), NOT the MCU-padded grid
+            ci = comp_idxs[0]
+            arr = coefs[ci]
+            ch, cv = samp[ci]
+            cw = -(-(width * ch) // hs)
+            chh = -(-(height * cv) // vs)
+            nbx, nby = -(-cw // 8), -(-chh // 8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ah == 0:
+                        _emit_ac_first(bw, arr[by, bx], ss0, se0, al, ac_enc, state)
+                    else:
+                        _emit_ac_refine(bw, arr[by, bx], ss0, se0, al, ac_enc, state)
+            _flush_eobrun(bw, ac_enc, state)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -100,13 +100,14 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over the ``media`` column.
 
     All four real formats decode natively, no library: PNG
-    (``operators/png.py``), baseline JPEG (``operators/jpeg.py``), GIF
-    (``operators/gif.py``) to PIXEL-level features — width/height/
-    channels plus mean and 16-bin histogram over decoded values,
-    ``decoded = true`` — and WAV through ``decode_audio_features``.
-    Unsupported encodings inside those containers (progressive JPEG,
-    arithmetic coding) raise — never silently misread. Synthetic media
-    yield deterministic BYTE-level features, ``decoded = false``.
+    (``operators/png.py``), baseline + progressive JPEG
+    (``operators/jpeg.py``), GIF (``operators/gif.py``) to PIXEL-level
+    features — width/height/channels plus mean and 16-bin histogram
+    over decoded values, ``decoded = true`` — and WAV through
+    ``decode_audio_features``. Unsupported encodings inside those
+    containers (arithmetic-coded or lossless JPEG) raise — never
+    silently misread. Synthetic media yield deterministic BYTE-level
+    features, ``decoded = false``.
     """
     schema = (
         f"{id_col} long, n_bytes int, decoded boolean, width int, "

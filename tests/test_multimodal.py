@@ -414,20 +414,73 @@ def test_jpeg_roundtrip_within_quantization_error():
         assert err.mean() < 6, (subsample, err.mean())
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_rejects_unsupported_and_truncated():
     import numpy as np
     import pytest
 
     from data_pipeline_with_big_data_stack_spark.operators.jpeg import JpegError, decode_jpeg, encode_jpeg
 
     with pytest.raises(JpegError):
-        decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00" * 20)  # SOF2 progressive
+        decode_jpeg(b"\xff\xd8\xff\xc3" + b"\x00" * 20)  # SOF3 lossless
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\xff\xd8\xff\xc9" + b"\x00" * 20)  # arithmetic coding
     good = encode_jpeg(16, 16, np.zeros(16 * 16 * 3, dtype=np.uint8))
     for cut in (4, 30, len(good) // 2):
         try:
             decode_jpeg(good[:cut])
         except Exception:
             pass  # raise is fine; silent garbage is what we guard against
+
+
+def test_progressive_jpeg_matches_baseline_exactly():
+    """Progressive and baseline encodes share quantization, so both
+    paths must decode to byte-identical pixels — a cross-path oracle
+    that catches scan-accumulation bugs without an image library."""
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    for (w, h) in [(16, 16), (17, 13), (40, 24)]:
+        for sub in (False, True):
+            img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            flat = img.reshape(-1)
+            base = np.asarray(decode_jpeg(encode_jpeg(w, h, flat, subsample=sub))[3])
+            prog = np.asarray(
+                decode_jpeg(encode_jpeg_progressive(w, h, flat, subsample=sub))[3]
+            )
+            assert np.array_equal(base, prog), (w, h, sub)
+
+
+def test_progressive_jpeg_decodes_independent_real_file():
+    """tests/fixtures/progressive_f3.jpg is a libjpeg-produced 10-scan
+    progressive photo (STM32F3 Discovery board, from the public Rust
+    embedded-book assets) — 720x477, 2x1 subsampling, EOB runs and
+    successive approximation throughout. Goldens pinned from a decode
+    that was verified visually (sharp, correctly colored, legible
+    silkscreen text)."""
+    import os
+
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.jpeg import decode_jpeg
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "progressive_f3.jpg")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[3] == 0xDB and b"\xff\xc2" in data[:600]  # really progressive
+    w, h, c, px = decode_jpeg(data)
+    assert (w, h, c) == (720, 477, 3)
+    arr = np.asarray(px).reshape(h, w, 3)
+    mean = arr.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(mean, [84.30, 138.54, 100.75], atol=0.5), mean
+    assert arr[0, 0].tolist() == [236, 240, 235]  # white background corner
+    assert arr[h - 1, w - 1].tolist() == [223, 222, 229]
+    assert arr[h // 2, w // 2].tolist() == [80, 81, 79]  # dark chip center
 
 
 def test_jpeg_decodes_independent_real_file():

@@ -163,6 +163,32 @@ class TestDecoderProperties:
         assert (grate, gnch, gbits) == (rate, nch, bits)
         assert arr.tolist() == frames.tolist()
 
+    @given(
+        w=st.integers(1, 32),
+        h=st.integers(1, 32),
+        subsample=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_progressive_jpeg_equals_baseline(self, w, h, subsample, seed):
+        # same quantization on both paths ⇒ identical decoded pixels;
+        # any drift means a scan-accumulation bug in one of the paths
+        import numpy as np
+
+        from data_pipeline_with_big_data_stack_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(seed)
+        flat = rng.randint(0, 256, size=w * h * 3).astype(np.uint8)
+        base = np.asarray(decode_jpeg(encode_jpeg(w, h, flat, subsample=subsample))[3])
+        prog = np.asarray(
+            decode_jpeg(encode_jpeg_progressive(w, h, flat, subsample=subsample))[3]
+        )
+        assert np.array_equal(base, prog)
+
     @given(blob=st.binary(min_size=0, max_size=300))
     @settings(max_examples=50, deadline=None)
     def test_garbage_never_decodes_as_media(self, blob):
