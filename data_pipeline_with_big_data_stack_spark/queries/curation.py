@@ -554,3 +554,174 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk assignment of documents into
+# fixed-length training sequences (the GPT-style "pack the corpus into
+# 2048-token rows" step), sharded by source so shards pack in parallel.
+# Scale shape: one window per shard (hash-partitioned by source, sorted
+# by doc_id inside the shard) — the cumulative offset never crosses
+# shards, so there is no global sort and no single-task window; at
+# 100 TB you add more shards (e.g. source × date), not more memory.
+# --------------------------------------------------------------------------
+_SEQ_LEN = 512
+
+
+@query(
+    "q_doc_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_tok
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM t)
+    SELECT doc_id, source, n_tok, start_offset,
+           (start_offset // {_SEQ_LEN})::BIGINT                AS seq_first,
+           ((start_offset + n_tok - 1) // {_SEQ_LEN})::BIGINT  AS seq_last,
+           ((start_offset + n_tok - 1) // {_SEQ_LEN}
+             - start_offset // {_SEQ_LEN} + 1)::BIGINT         AS n_seqs_spanned
+    FROM s
+    """,
+)
+def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each doc's token span in the packed stream of its source shard:
+    start offset, first/last sequence index, sequences spanned."""
+    from pyspark.sql.window import Window as W
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    s = t.withColumn("start_offset", start)
+    last_tok = F.col("start_offset") + F.col("n_tok") - 1
+    seq_first = F.floor(F.col("start_offset") / _SEQ_LEN).cast("long")
+    seq_last = F.floor(last_tok / _SEQ_LEN).cast("long")
+    return s.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "start_offset",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + 1).alias("n_seqs_spanned"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level repeated-chunk removal (the RefinedWeb/C4 "drop text
+# repeated across documents, keep the first occurrence" pass), on
+# non-overlapping {_CHUNK}-token chunks (this corpus has no newlines, so
+# fixed-width chunks stand in for paragraphs). Scale shape: one explode,
+# one combiner-friendly groupBy on the chunk hash (first occurrence =
+# min(packed doc_id·stride + idx), an order-independent aggregate), one
+# hash-co-partitioned join back, one doc_id aggregation — all linear.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_repeated_chunk_removal",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id,
+             doc_id * 4096 + s // {_CHUNK}                 AS pos,
+             array_to_string(words[s+1 : s+{_CHUNK}], ' ') AS chunk,
+             len(words[s+1 : s+{_CHUNK}])::BIGINT          AS n_tok
+      FROM (SELECT doc_id, words, unnest(range(0, len(words), {_CHUNK})) AS s
+            FROM w)),
+    firsts AS (
+      SELECT chunk, min(pos) AS first_pos, count(*) AS n_occ
+      FROM c GROUP BY chunk)
+    SELECT c.doc_id,
+           count(*)::BIGINT                            AS n_chunks,
+           sum(CASE WHEN f.n_occ > 1 AND c.pos <> f.first_pos
+                    THEN 1 ELSE 0 END)::BIGINT         AS n_removed,
+           sum(CASE WHEN f.n_occ > 1 AND c.pos <> f.first_pos
+                    THEN 0 ELSE c.n_tok END)::BIGINT   AS kept_tokens
+    FROM c JOIN firsts f ON c.chunk = f.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def q_doc_repeated_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: chunks dropped because an identical chunk appeared
+    earlier in the corpus (position-packed min), and tokens kept."""
+    d = _docs(spark, sf_dir, rebalance=True).withColumn(
+        "words", F.split("text", " ")
+    )
+    ex = d.select(
+        "doc_id",
+        "words",
+        F.explode(F.expr(f"sequence(0, size(words) - 1, {_CHUNK})")).alias("s"),
+    )
+    chunk = F.expr(f"slice(words, s + 1, {_CHUNK})")
+    c = ex.select(
+        "doc_id",
+        (F.col("doc_id") * 4096 + (F.col("s") / _CHUNK).cast("long")).alias("pos"),
+        F.concat_ws(" ", chunk).alias("chunk"),
+        F.size(chunk).cast("long").alias("n_tok"),
+    )
+    firsts = c.groupBy("chunk").agg(
+        F.min("pos").alias("first_pos"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    j = c.join(firsts, "chunk")
+    removed = (F.col("n_occ") > 1) & (F.col("pos") != F.col("first_pos"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(removed.cast("long")).alias("n_removed"),
+        F.sum(F.when(removed, 0).otherwise(F.col("n_tok"))).cast("long").alias(
+            "kept_tokens"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality score: average log-probability of a document under
+# the corpus's own unigram distribution — the cheap perplexity proxy
+# used to rank/filter web text before an expensive model-based pass.
+# Scale shape: the vocabulary is Zipf-bounded (≪ corpus), built with one
+# combiner-friendly groupBy and broadcast back; per-doc scoring is one
+# explode + one doc_id aggregation. No shuffle touches full documents.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    total AS (SELECT sum(c)::DOUBLE AS n FROM vocab)
+    SELECT doc_id,
+           count(*)::BIGINT                              AS n_tok,
+           round(sum(ln(c / (SELECT n FROM total)))
+                 / count(*), 4)                          AS avg_logprob
+    FROM tok JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _docs(spark, sf_dir, rebalance=True)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = tok.join(F.broadcast(vocab), "tok").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.round(
+            F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 4
+        ).alias("avg_logprob"),
+    )

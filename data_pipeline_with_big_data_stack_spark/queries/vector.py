@@ -585,3 +585,119 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sizes.join(F.broadcast(cents), "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# Product quantization: the embedding is split into subspaces, each
+# quantized by its own small k-means codebook — the memory-compression
+# half of IVF-PQ ANN serving (a 64-dim float vector becomes 2 bytes of
+# codes here). Same determinism contract as q_kmeans_embeddings: the
+# oracle replays both subspace codebooks' full 2-iteration trajectory,
+# so codes AND reconstruction error are value-checked. Scale shape per
+# subspace: broadcast-argmin assignment (zero corpus shuffle) and a
+# ≤ K×dim-row combiner-friendly centroid update; the M subspaces are
+# independent plans over column slices of one scan.
+# --------------------------------------------------------------------------
+_PQ_K = 4
+_PQ_ITERS = 2
+_PQ_SUB = 32  # dims per subspace → 2 subspaces over the 64-dim embedding
+
+
+def _pq_dist_sql(v: str, c: str) -> str:
+    return (
+        f"list_sum([({v}.emb[i]-{c}.emb[i])*({v}.emb[i]-{c}.emb[i]) "
+        f"for i in range(1, {_PQ_SUB + 1})])"
+    )
+
+
+def _pq_round_sql(src: str, cb: str, out_a: str, out_c: str) -> str:
+    return f"""
+    {out_a} AS (
+      SELECT vec_id, emb, cell_id AS cluster_id FROM (
+        SELECT v.vec_id, v.emb, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_pq_dist_sql('v', 'c')}, c.cell_id) AS rk
+        FROM {src} v CROSS JOIN {cb} c) WHERE rk = 1),
+    {out_c} AS (
+      SELECT cluster_id AS cell_id, list(m ORDER BY i) AS emb
+      FROM (SELECT cluster_id, i,
+                   (sum((emb[i])::DECIMAL(28,14)))::DOUBLE / count(*) AS m
+            FROM {out_a} CROSS JOIN range(1, {_PQ_SUB + 1}) t(i)
+            GROUP BY cluster_id, i)
+      GROUP BY cluster_id)"""
+
+
+def _pq_final_sql(src: str, cb: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT vec_id, cell_id AS code, d AS err FROM (
+        SELECT v.vec_id, c.cell_id, {_pq_dist_sql('v', 'c')} AS d,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_pq_dist_sql('v', 'c')}, c.cell_id) AS rk
+        FROM {src} v CROSS JOIN {cb} c) WHERE rk = 1)"""
+
+
+_PQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    e0 AS (SELECT vec_id, emb[1:{_PQ_SUB}] AS emb FROM e),
+    e1 AS (SELECT vec_id, emb[{_PQ_SUB + 1}:{2 * _PQ_SUB}] AS emb FROM e),
+    c0_0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+             FROM e0 WHERE vec_id % 100 = 0 AND vec_id < {_PQ_K * 100}),
+    c1_0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+             FROM e1 WHERE vec_id % 100 = 0 AND vec_id < {_PQ_K * 100}),
+    {_pq_round_sql('e0', 'c0_0', 'a0_1', 'c0_1')},
+    {_pq_round_sql('e0', 'c0_1', 'a0_2', 'c0_2')},
+    {_pq_round_sql('e1', 'c1_0', 'a1_1', 'c1_1')},
+    {_pq_round_sql('e1', 'c1_1', 'a1_2', 'c1_2')},
+    {_pq_final_sql('e0', 'c0_2', 'f0')},
+    {_pq_final_sql('e1', 'c1_2', 'f1')}
+    SELECT f0.vec_id,
+           f0.code                        AS code_0,
+           f1.code                        AS code_1,
+           round(f0.err + f1.err, 4)      AS recon_err
+    FROM f0 JOIN f1 ON f0.vec_id = f1.vec_id
+"""
+
+
+@query("q_embed_pq_codes", oracle=_PQ_ORACLE)
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import _sqdist, lloyd_kmeans
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    subs = []
+    for m in range(2):
+        sub = e.select(
+            "vec_id", F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("emb")
+        )
+        init = (
+            sub.filter(
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _PQ_K * 100)
+            )
+            .select(
+                (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+                F.col("emb").alias("c_emb"),
+            )
+            .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+        )
+        assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
+        cents = cb.select(F.explode("cb").alias("c")).select(
+            F.col("c.cell_id").alias("cluster_id"),
+            F.col("c.c_emb").alias("c_emb"),
+        )
+        subs.append(
+            assigned.join(F.broadcast(cents), "cluster_id").select(
+                "vec_id",
+                F.col("cluster_id").alias(f"code_{m}"),
+                _sqdist(F.col("emb"), F.col("c_emb")).alias(f"err_{m}"),
+            )
+        )
+    return (
+        subs[0]
+        .join(subs[1], "vec_id")
+        .select(
+            "vec_id",
+            "code_0",
+            "code_1",
+            F.round(F.col("err_0") + F.col("err_1"), 4).alias("recon_err"),
+        )
+    )
