@@ -51,6 +51,13 @@ HEADLINE = [
     "q_doc_gopher_quality",
     "q_events_gapfill_locf",
     "q_media_wav_features",
+    # round-3 additions
+    "q_doc_sequence_packing",
+    "q_doc_repeated_chunk_removal",
+    "q_doc_unigram_logprob",
+    "q_embed_pq_codes",
+    "q_events_funnel",
+    "q_events_retention_cohorts",
 ]
 
 

@@ -71,3 +71,96 @@ def q_approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theta sketches (Apache DataSketches — the other half of Druid's
+# druid-datasketches extension): distinct-user SETS with intersection /
+# difference / union, the operation family plain HLL cannot do. Below
+# the sketch's nominal entries (4096) theta runs in exact mode, so this
+# query carries a FULL value oracle; at production cardinality the same
+# plan degrades gracefully to ±1.6% estimates. Scale shape: one
+# groupBy builds per-type sketches (constant-size state per group), the
+# set algebra runs on two sketch blobs — no re-shuffle of raw users.
+# --------------------------------------------------------------------------
+@query(
+    "q_theta_sketch_user_sets",
+    oracle="""
+    WITH hv AS (
+      SELECT event_type, user_id FROM events WHERE value > 95),
+    v AS (SELECT DISTINCT user_id FROM hv WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM hv WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM v)::BIGINT      AS n_view,
+           (SELECT count(*) FROM p)::BIGINT      AS n_purchase,
+           (SELECT count(*) FROM
+              (SELECT * FROM v INTERSECT SELECT * FROM p))::BIGINT AS n_both,
+           (SELECT count(*) FROM
+              (SELECT * FROM v EXCEPT SELECT * FROM p))::BIGINT    AS n_view_only,
+           (SELECT count(*) FROM
+              (SELECT * FROM v UNION SELECT * FROM p))::BIGINT     AS n_either
+    """,
+)
+def q_theta_sketch_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 95)
+    per = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    row = per.groupBy().pivot("event_type", ["view", "purchase"]).agg(F.first("sk"))
+    est = F.theta_sketch_estimate
+    return row.select(
+        est("view").cast("long").alias("n_view"),
+        est("purchase").cast("long").alias("n_purchase"),
+        est(F.theta_intersection("view", "purchase")).cast("long").alias("n_both"),
+        est(F.theta_difference("view", "purchase")).cast("long").alias("n_view_only"),
+        est(F.theta_union("view", "purchase")).cast("long").alias("n_either"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketches (DataSketches — Druid's quantiles family):
+# per-type mergeable quantile state, merged once more into a global
+# sketch — the pre-aggregate-then-merge rollup Druid materializes.
+# KLL compaction is randomized, so estimates are non-deterministic:
+# registered ROWS-ONLY; the ±normalized-rank-error accuracy contract is
+# pinned in tests/test_sketches.py against the exact percentiles.
+# --------------------------------------------------------------------------
+@query("q_kll_quantile_sketch", oracle=None)
+def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_type = per.select(
+        "event_type",
+        "n_events",
+        F.kll_sketch_get_n_double("sk").alias("sketch_n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("kll_p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("kll_p95"),
+    )
+    # kll_sketch_merge_double is a binary scalar merge: fold the per-type
+    # sketch blobs (one small array row) left-to-right into one sketch
+    merged = (
+        per.agg(
+            F.sum("n_events").alias("n_events"),
+            F.collect_list("sk").alias("arr"),
+        )
+        .select(
+            "n_events",
+            F.aggregate(
+                F.slice("arr", 2, 1_000_000),
+                F.element_at("arr", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("msk"),
+        )
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_events",
+            F.kll_sketch_get_n_double("msk").alias("sketch_n"),
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("kll_p50"),
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.95)).alias("kll_p95"),
+        )
+    )
+    return per_type.unionByName(merged)

@@ -404,3 +404,113 @@ def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("value_filled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered conversion funnel: view → click → purchase, each step's
+# timestamp strictly after the previous step's (the Druid/ClickHouse
+# `windowFunnel` shape). Scale shape: three min-aggregations keyed on
+# user_id — after the first shuffle every later join is co-partitioned
+# on the same key; event rows are filtered to one type before each agg,
+# so no step touches the full stream twice.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id),
+    j AS (
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id)
+    SELECT count(*)::BIGINT                                    AS n_step_view,
+           count(t_click)::BIGINT                              AS n_step_click,
+           count(t_purchase)::BIGINT                           AS n_step_purchase,
+           round(count(t_click)::DOUBLE / count(*), 4)         AS click_rate,
+           round(count(t_purchase)::DOUBLE / count(*), 4)      AS purchase_rate,
+           round(avg(CASE WHEN t_purchase IS NOT NULL
+                 THEN epoch_us(t_purchase - t_view) END), 4)   AS avg_us_to_convert
+    FROM j
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    j = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    n = F.count(F.lit(1))
+    convert_us = F.when(
+        F.col("t_purchase").isNotNull(),
+        F.unix_micros("t_purchase") - F.unix_micros("t_view"),
+    )
+    return j.agg(
+        n.cast("long").alias("n_step_view"),
+        F.count("t_click").cast("long").alias("n_step_click"),
+        F.count("t_purchase").cast("long").alias("n_step_purchase"),
+        F.round(F.count("t_click").cast("double") / n, 4).alias("click_rate"),
+        F.round(F.count("t_purchase").cast("double") / n, 4).alias(
+            "purchase_rate"
+        ),
+        F.round(F.avg(convert_us), 4).alias("avg_us_to_convert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity day, counted on
+# each later activity day — the dashboard triangle behind every
+# engagement report. Scale shape: the (user, day) activity set is a
+# pre-aggregated distinct (orders of magnitude smaller than the event
+# stream); cohort assignment is one more min-agg on the same user_id
+# partitioning, and the final join is co-partitioned.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_retention_cohorts",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.day)::BIGINT AS day_offset,
+           count(*)::BIGINT                              AS n_users
+    FROM a JOIN c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    a = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    c = a.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        a.join(c, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -39,3 +39,45 @@ def test_approx_percentile_between_bounds(spark):
         assert p50 <= p95 <= p99
         # percentile_approx returns an actual data point near the exact p50
         assert abs(p50 - r["exact_p50"]) / max(abs(r["exact_p50"]), 1e-9) < 0.05
+
+
+def test_theta_sketch_exact_at_fixture_cardinality(spark, duck):
+    """Below 4096 nominal entries theta runs exact — the driver gate
+    value-checks it; this pins the same invariant in CI plus the set
+    algebra being internally consistent."""
+    from data_pipeline_with_big_data_stack_spark.queries.sketches import q_theta_sketch_user_sets
+
+    r = q_theta_sketch_user_sets(spark, SF_CORRECTNESS).collect()[0]
+    assert r.n_both + r.n_view_only == r.n_view
+    assert r.n_view + r.n_purchase - r.n_both == r.n_either
+    assert 0 < r.n_both <= min(r.n_view, r.n_purchase)
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """KLL default k=200 → normalized rank error ~1.65%; allow a value
+    tolerance derived from a generous 5% rank window around the exact
+    quantile (values are ~uniform on [0,100] so rank≈value/100)."""
+    from data_pipeline_with_big_data_stack_spark.queries.sketches import q_kll_quantile_sketch
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+
+    rows = {r.event_type: r for r in q_kll_quantile_sketch(spark, SF_CORRECTNESS).collect()}
+    e = load_table(spark, SF_CORRECTNESS, "events")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    total = sum(x.n for x in exact.values())
+    assert rows["__all__"].sketch_n == total  # merge loses nothing
+    spread = max(x.p95 for x in exact.values()) - min(x.p50 for x in exact.values())
+    for t, x in exact.items():
+        assert rows[t].sketch_n == x.n
+        assert abs(rows[t].kll_p50 - x.p50) <= 0.05 * spread + 1e-9, t
+        assert abs(rows[t].kll_p95 - x.p95) <= 0.05 * spread + 1e-9, t
