@@ -323,3 +323,51 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out
+
+
+@query(
+    "q_stream_user_profile_final",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           count(*)                 AS n_events,
+           round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total,
+           round(max(value), 4)     AS max_value,
+           count(DISTINCT event_type)::BIGINT AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_user_profile_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState (Spark 4 arbitrary-state API) end to end:
+    ValueState totals + MapState per-type counts per user, RocksDB
+    state store, availableNow drain, final state per key — which is
+    deterministic and therefore fully value-oracled."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(*streaming.ROCKSDB_CONF)
+    try:
+        st = _events_stream_dir(spark, sf_dir)
+        prof = streaming.user_profile_stats(st, "user_id", "value", "event_type")
+        drained = streaming.run_available_now(
+            prof,
+            checkpoint=tempfile.mkdtemp(prefix="ckpt_twstate_"),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "key",
+            "n_events",
+            F.round("total", 4).alias("total"),
+            F.round("max_value", 4).alias("max_value"),
+            "n_types",
+        )
+    )

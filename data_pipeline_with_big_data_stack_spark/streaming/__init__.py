@@ -8,8 +8,11 @@ from data_pipeline_with_big_data_stack_spark.streaming.runner import (  # noqa: 
     run_to_parquet_available_now,
 )
 from data_pipeline_with_big_data_stack_spark.streaming.stateful import (  # noqa: F401
+    ROCKSDB_CONF,
+    ensure_tws_runtime,
     running_totals,
     threshold_alerts,
+    user_profile_stats,
 )
 from data_pipeline_with_big_data_stack_spark.streaming.windows import (  # noqa: F401
     session_agg,

@@ -123,3 +123,182 @@ def threshold_alerts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API): the successor to
+# applyInPandasWithState — named, typed state variables (ValueState /
+# MapState / ListState, optional TTL and timers) behind a
+# StatefulProcessor lifecycle, required to run on the RocksDB state
+# store (state spills to disk instead of executor heap — the 100 TB
+# shape for billions of keys). ``user_profile_stats`` keeps per-key
+# scalar totals in a ValueState and per-event-type counts in a
+# MapState, something the single-tuple applyInPandasWithState state
+# cannot express without packing maps into strings.
+# ---------------------------------------------------------------------
+
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+
+_PROFILE_SCHEMA = (
+    "key string, n_events long, total double, max_value double, n_types long"
+)
+
+
+class _ProfileProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        # integer micro-units: see _running_fn's accumulation note
+        self.totals = handle.getValueState(
+            "totals", "n long, total_micros long, mx double"
+        )
+        self.types = handle.getMapState("types", "t string", "c long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self.totals.exists():
+            n, tm, mx = self.totals.get()
+        else:
+            n, tm, mx = 0, 0, float("-inf")
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            tm += int(round(pdf["value"] * 1_000_000).sum())
+            mx = max(mx, float(pdf["value"].max()))
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self.types.getValue((str(t),))[0]
+                    if self.types.containsKey((str(t),))
+                    else 0
+                )
+                self.types.updateValue((str(t),), (int(prev) + int(c),))
+        self.totals.update((n, tm, mx))
+        n_types = sum(1 for _ in self.types.keys())
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "total": [tm / 1_000_000],
+                "max_value": [mx],
+                "n_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def user_profile_stats(
+    df: DataFrame, key_col: str, value_col: str, type_col: str
+) -> DataFrame:
+    """Per-key running (count, sum, max) + distinct-type count.
+
+    Uses transformWithState when its python worker can run here
+    (``ensure_tws_runtime``) — in that case run the stream with the
+    RocksDB state store provider (``stateful.ROCKSDB_CONF``) — else
+    falls back to the applyInPandasWithState twin; the output contract
+    (and the registry oracle) is identical either way."""
+    from pyspark.sql import functions as F
+
+    slim = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(type_col).cast("string").alias("event_type"),
+    )
+    if ensure_tws_runtime(df.sparkSession):
+        return slim.groupBy("key").transformWithStateInPandas(
+            statefulProcessor=_ProfileProcessor(),
+            outputStructType=_PROFILE_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    return slim.groupBy("key").applyInPandasWithState(
+        _profile_fallback_fn,
+        outputStructType=_PROFILE_SCHEMA,
+        stateStructType=_PROFILE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ROCKSDB_CONF = ("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+
+
+def ensure_tws_runtime(spark) -> bool:
+    """True if transformWithState's python worker can run here.
+
+    The worker needs ``google.protobuf``. If the interpreter has it,
+    nothing to do. Otherwise look for a vendored copy
+    (``$SPARK_GRAFT_PROTOBUF_DIR``, or the google-cloud-sdk appengine
+    platform, which bundles a full runtime) and inject it into the
+    worker environment via ``sc.environment`` + the compat_site
+    sitecustomize shim — PythonFunction env vars reach the worker
+    without restarting the JVM, so this works on a harness-provided
+    session too."""
+    import importlib.util
+    import os
+
+    try:
+        # find_spec raises if the parent "google" namespace is absent
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return True
+    except ModuleNotFoundError:
+        pass
+    candidates = [
+        os.environ.get("SPARK_GRAFT_PROTOBUF_DIR"),
+        "/usr/lib/google-cloud-sdk/platform/google_appengine",
+    ]
+    for cand in candidates:
+        if cand and os.path.isfile(
+            os.path.join(cand, "google", "protobuf", "descriptor.py")
+        ):
+            import data_pipeline_with_big_data_stack_spark.compat_site as _cs
+
+            shim = os.path.dirname(os.path.abspath(_cs.__file__))
+            sc = spark.sparkContext
+            prev = sc.environment.get(
+                "PYTHONPATH", os.environ.get("PYTHONPATH", "")
+            )
+            if shim not in prev.split(os.pathsep):
+                sc.environment["PYTHONPATH"] = (
+                    shim + ((os.pathsep + prev) if prev else "")
+                )
+            sc.environment["SPARK_GRAFT_TWS_PROTOBUF"] = cand
+            return True
+    return False
+
+
+# applyInPandasWithState twin of _ProfileProcessor — used when the
+# transformWithState worker cannot run (no protobuf anywhere); the
+# distinct-type set is packed into a sorted CSV string because this
+# API's state is one flat tuple.
+_PROFILE_STATE = "n long, total_micros long, mx double, types string"
+
+
+def _profile_fallback_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, tm, mx, types) = (
+        state.get if state.exists else (0, 0, float("-inf"), "")
+    )
+    seen = set(types.split(",")) - {""}
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        tm += int(round(pdf["value"] * 1_000_000).sum())
+        mx = max(mx, float(pdf["value"].max()))
+        seen.update(str(t) for t in pdf["event_type"].unique())
+    state.update((n, tm, mx, ",".join(sorted(seen))))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [n],
+            "total": [tm / 1_000_000],
+            "max_value": [mx],
+            "n_types": [len(seen)],
+        }
+    )

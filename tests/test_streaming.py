@@ -409,3 +409,48 @@ class TestStreamingRollup:
         stream = streaming.json_dir_stream(spark, feed, schema)
         with pytest.raises(ValueError, match="fixed-length"):
             ingest.compile_stream(spec, stream)
+
+
+class TestTransformWithState:
+    def test_profile_fallback_matches_batch(self, spark, monkeypatch):
+        """The applyInPandasWithState twin (used when the TWS worker
+        can't run) must produce the same final state as a batch agg."""
+        import tempfile
+
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from data_pipeline_with_big_data_stack_spark import streaming
+        from data_pipeline_with_big_data_stack_spark.queries.streaming_queries import _events_stream_dir
+        from data_pipeline_with_big_data_stack_spark.streaming import stateful
+        from data_pipeline_with_big_data_stack_spark.tables import load_table
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.setattr(stateful, "ensure_tws_runtime", lambda _s: False)
+        st = _events_stream_dir(spark, SF_SMOKE)
+        prof = stateful.user_profile_stats(st, "user_id", "value", "event_type")
+        drained = streaming.run_available_now(
+            prof,
+            checkpoint=tempfile.mkdtemp(prefix="ckpt_twsfb_"),
+            output_mode="update",
+        )
+        w = W.partitionBy("key").orderBy(F.col("n_events").desc())
+        final = (
+            drained.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", "n_events", F.round("total", 4).alias("total"), "n_types")
+        )
+        batch = (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy(F.col("user_id").cast("string").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                .cast("double")
+                .alias("total"),
+                F.countDistinct("event_type").cast("long").alias("n_types"),
+            )
+        )
+        got = {tuple(r) for r in final.collect()}
+        exp = {tuple(r) for r in batch.collect()}
+        assert got == exp
