@@ -28,7 +28,10 @@ from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.queries.textops import _docs
 from data_pipeline_with_big_data_stack_spark.queries.textops import (
     _LSH_DUCK,
+    _SHINGLES_DUCK,
+    _lsh_bands,
     _lsh_candidate_pairs,
+    _shingled,
 )
 
 # --------------------------------------------------------------------------
@@ -724,4 +727,168 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 4
         ).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# FUZZY benchmark decontamination: q_contamination_check flags exact
+# 5-gram overlap; real leakage is usually near-duplicate (reformatted /
+# lightly edited benchmark items), which exact n-grams miss. This pass
+# LSH-matches corpus docs against the probe set (docs 0..19 stand in
+# for a held-out benchmark), then verifies candidates with exact
+# shingle-set Jaccard — generation via bands, verification on the tiny
+# candidate list only. Scale shape: the probe band table is benchmark-
+# sized → broadcast; the corpus is touched once to band; the Jaccard
+# join runs on candidates, not the corpus.
+# --------------------------------------------------------------------------
+_FUZZY_CONTAM_THRESH = 0.5
+
+
+@query(
+    "q_fuzzy_decontamination",
+    oracle=f"""
+    WITH {_LSH_DUCK},
+    pb AS (SELECT DISTINCT band, band_key, doc_id AS probe_id
+           FROM bands WHERE doc_id < {_N_PROBE_DOCS}),
+    cb AS (SELECT DISTINCT band, band_key, doc_id
+           FROM bands WHERE doc_id >= {_N_PROBE_DOCS}),
+    cand2 AS (
+      SELECT DISTINCT cb.doc_id, pb.probe_id
+      FROM cb JOIN pb ON cb.band = pb.band AND cb.band_key = pb.band_key),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    ver AS (
+      SELECT c.doc_id, c.probe_id,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+      FROM cand2 c
+      JOIN sh x ON x.doc_id = c.doc_id
+      JOIN sh y ON y.doc_id = c.probe_id)
+    SELECT doc_id,
+           probe_id                            AS matched_probe,
+           round(jac, 4)                       AS jaccard,
+           (jac >= {_FUZZY_CONTAM_THRESH})     AS contaminated
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY jac DESC, probe_id) AS rk FROM ver)
+    WHERE rk = 1
+    """,
+)
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    bands = _lsh_bands(spark, sf_dir)
+    pb = (
+        bands.filter(F.col("doc_id") < _N_PROBE_DOCS)
+        .select("band", "band_key", F.col("doc_id").alias("probe_id"))
+        .distinct()
+    )
+    cb = bands.filter(F.col("doc_id") >= _N_PROBE_DOCS).select(
+        "band", "band_key", "doc_id"
+    )
+    cand = (
+        cb.join(F.broadcast(pb), ["band", "band_key"])
+        .select("doc_id", "probe_id")
+        .distinct()
+    )
+    sh = _shingled(spark, sf_dir).select("doc_id", F.col("shingles").alias("sh"))
+    x, y = sh.alias("x"), sh.alias("y")
+    jac = (
+        F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).cast("double")
+        / F.size(F.array_union(F.col("x.sh"), F.col("y.sh")))
+    )
+    ver = (
+        cand.join(x, cand.doc_id == F.col("x.doc_id"))
+        .join(F.broadcast(y), cand.probe_id == F.col("y.doc_id"))
+        .select(cand.doc_id, "probe_id", jac.alias("jac"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("jac").desc(), "probe_id")
+    return (
+        ver.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("probe_id").alias("matched_probe"),
+            F.round("jac", 4).alias("jaccard"),
+            (F.col("jac") >= _FUZZY_CONTAM_THRESH).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture (data mixing): deterministic hash-sampling each source
+# to a target weight — how a training run hits "1 epoch of web, 2 of
+# code, 4 of wiki" ratios without an RNG (same md5-bucket device as the
+# split assignment, different salt, so the two samplings are
+# independent). Pure projection + one aggregation; no shuffle touches
+# document text.
+# --------------------------------------------------------------------------
+_MIX_SALT = "mix-v1"
+# weight = % of the source kept; tiers stand in for quality classes
+_MIX_SQL_WEIGHT = (
+    "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100 "
+    "WHEN source IN ('src5','src6','src7','src8','src9') THEN 50 "
+    "ELSE 25 END"
+)
+
+
+@query(
+    "q_corpus_mixture_sampling",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(string_split(text, ' '))::BIGINT AS n_tok,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':{_MIX_SALT}'), 1, 8))::BIGINT
+               % 100 AS bucket,
+             {_MIX_SQL_WEIGHT} AS weight
+      FROM documents),
+    k AS (
+      SELECT source, weight,
+             count(*)                                         AS n_docs,
+             sum(CASE WHEN bucket < weight THEN 1 ELSE 0 END) AS n_kept,
+             sum(CASE WHEN bucket < weight THEN n_tok ELSE 0 END) AS kept_tokens
+      FROM d GROUP BY source, weight)
+    SELECT source, weight,
+           n_docs::BIGINT      AS n_docs,
+           n_kept::BIGINT      AS n_kept,
+           kept_tokens::BIGINT AS kept_tokens,
+           round(kept_tokens::DOUBLE /
+                 (SELECT sum(kept_tokens) FROM k), 4) AS token_share
+    FROM k
+    """,
+)
+def q_corpus_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(_MIX_SALT))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+        F.expr(_MIX_SQL_WEIGHT).alias("weight"),
+    )
+    kept = F.col("bucket") < F.col("weight")
+    k = d.groupBy("source", "weight").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias(
+            "kept_tokens"
+        ),
+    )
+    total = k.agg(F.sum("kept_tokens").cast("double").alias("tot"))
+    return k.join(F.broadcast(total)).select(
+        "source",
+        "weight",
+        "n_docs",
+        "n_kept",
+        "kept_tokens",
+        F.round(F.col("kept_tokens") / F.col("tot"), 4).alias("token_share"),
     )
