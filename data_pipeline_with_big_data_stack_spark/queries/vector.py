@@ -664,7 +664,9 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_big_data_stack_spark.operators.kmeans import _sqdist, lloyd_kmeans
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
-    subs = []
+    # train each subspace codebook (the lloyd loop shuffles only K×dim
+    # partial-aggregate rows per round; its assignment output is unused)
+    codebooks = []
     for m in range(2):
         sub = e.select(
             "vec_id", F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("emb")
@@ -679,25 +681,37 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
         )
-        assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
-        cents = cb.select(F.explode("cb").alias("c")).select(
-            F.col("c.cell_id").alias("cluster_id"),
-            F.col("c.c_emb").alias("c_emb"),
-        )
-        subs.append(
-            assigned.join(F.broadcast(cents), "cluster_id").select(
-                "vec_id",
-                F.col("cluster_id").alias(f"code_{m}"),
-                _sqdist(F.col("emb"), F.col("c_emb")).alias(f"err_{m}"),
+        _assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
+        codebooks.append(cb.withColumnRenamed("cb", f"cb{m}"))
+
+    # single map-side pass: both trained codebooks ride along as two
+    # broadcast 1-row arrays; codes + reconstruction error come from one
+    # projection over the scan — no corpus shuffle, no zip join
+    def best(cb_col: str, sub_col):
+        ranked = F.array_sort(
+            F.transform(
+                F.col(cb_col),
+                lambda c: F.struct(
+                    _sqdist(sub_col, c["c_emb"]).alias("dist"),
+                    c["cell_id"].alias("cell_id"),
+                ),
             )
         )
+        return F.element_at(ranked, 1)
+
+    sub0 = F.slice("emb", 1, _PQ_SUB)
+    sub1 = F.slice("emb", _PQ_SUB + 1, _PQ_SUB)
     return (
-        subs[0]
-        .join(subs[1], "vec_id")
+        e.join(F.broadcast(codebooks[0]))
+        .join(F.broadcast(codebooks[1]))
+        .withColumn("b0", best("cb0", sub0))
+        .withColumn("b1", best("cb1", sub1))
         .select(
             "vec_id",
-            "code_0",
-            "code_1",
-            F.round(F.col("err_0") + F.col("err_1"), 4).alias("recon_err"),
+            F.col("b0")["cell_id"].alias("code_0"),
+            F.col("b1")["cell_id"].alias("code_1"),
+            F.round(F.col("b0")["dist"] + F.col("b1")["dist"], 4).alias(
+                "recon_err"
+            ),
         )
     )

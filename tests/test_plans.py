@@ -242,3 +242,52 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+class TestRound3ScaleShapes:
+    """Plan pins for the round-3 operators."""
+
+    def test_unigram_vocab_join_is_broadcast(self, spark):
+        # the Zipf-bounded vocabulary must ride as a broadcast; a
+        # shuffle-hash join here re-shuffles the full token stream
+        plan = plan_of(spark, "q_doc_unigram_logprob")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_sequence_packing_window_is_sharded(self, spark):
+        # the cumulative-offset window must be partitioned by source —
+        # a global (empty-partition-spec) window serializes the corpus
+        # through one task
+        df = QUERIES["q_doc_sequence_packing"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "windowspecdefinition(source" in plan.replace(" ", "").lower().replace(
+            "#", ""
+        ).replace("string", "") or "partitionBy" not in plan  # fallback textual check
+        # physical check: Window node's partition spec is non-empty
+        phys = plan_of(spark, "q_doc_sequence_packing")
+        import re
+
+        w = re.search(r"Window \[.*?\], \[(.*?)\]", phys)
+        assert w is not None and "source" in w.group(1)
+
+    def test_pq_assignment_broadcasts_codebooks(self, spark):
+        # both subspace codebooks are 1-row aggregates broadcast to the
+        # scan; the only shuffles are the K×dim centroid updates
+        plan = plan_of(spark, "q_embed_pq_codes")
+        assert plan.count("BroadcastNestedLoopJoin") >= 2 or plan.count(
+            "BroadcastExchange"
+        ) >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_fuzzy_decontamination_probe_is_broadcast(self, spark):
+        # the benchmark-probe band table must broadcast; the corpus side
+        # is never re-shuffled for the candidate join
+        plan = plan_of(spark, "q_fuzzy_decontamination")
+        assert "BroadcastHashJoin" in plan
+
+    def test_funnel_joins_copartition_on_user(self, spark):
+        # after the first user_id shuffle the later step-joins must not
+        # introduce a cartesian or nested-loop expansion
+        plan = plan_of(spark, "q_events_funnel")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
