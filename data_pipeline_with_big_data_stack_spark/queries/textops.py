@@ -596,3 +596,31 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tfidf"),
     )
     return scored.orderBy(F.col("tfidf").desc(), "term").limit(_TFIDF_TOP)
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py): learn the first merges of a
+# GPT-style tokenizer from the corpus itself. Iterative driver-
+# coordinated loop (argmax row per round) over a distributed
+# Zipf-bounded word-frequency table — the documented non-SQL-shape
+# exception class (kmeans, connected components). Rows-only in the
+# gate; bit-exact equality with a pure-Python reference implementation
+# is pinned in tests/test_bpe.py.
+# --------------------------------------------------------------------------
+_BPE_N_MERGES = 12
+
+
+@query("q_bpe_train_merges", oracle=None)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.bpe import train_bpe
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    merges = train_bpe(words, _BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    ).select("rank", "left", "right", "merged", "pair_count")
