@@ -944,3 +944,318 @@ def q_grouped_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return normalize_per_group(e, "event_type", "value")
+
+
+# ==========================================================================
+# TPC-H shape completion. The fixture schema is TPC-H-ish but lacks
+# partsupp and lineitem commit/receipt dates, so Q2/Q9/Q11/Q12/Q16/Q20/
+# Q21 cannot be transcribed verbatim; each query below preserves its
+# TPC-H counterpart's SHAPE — the join topology, subquery class, and
+# aggregation structure that exercise the engine — against the columns
+# that exist. With these, all 22 TPC-H query shapes are registered.
+# ==========================================================================
+
+
+# Q2 shape: correlated best-per-group over a 4-table join (the min-cost
+# supplier becomes the max-acctbal supplier among those who shipped).
+@query(
+    "q2_best_supplier_per_part",
+    oracle="""
+    WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
+             row_number() OVER (PARTITION BY p.p_partkey
+               ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rk
+      FROM part p
+      JOIN shipped sh ON sh.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_size = 15 AND p.p_type = 'PROMO')
+    SELECT p_partkey, p_name, s_name,
+           round(s_acctbal, 2) AS best_acctbal, n_name
+    FROM cand WHERE rk = 1
+    """,
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        p.join(shipped, p.p_partkey == shipped.l_partkey)
+        .join(s, shipped.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    w = W.partitionBy("p_partkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("best_acctbal"),
+            "n_name",
+        )
+    )
+
+
+# Q9 shape: profit per (nation, year) over part×supplier×lineitem, with
+# p_retailprice standing in for ps_supplycost.
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           year(l.l_shipdate) AS o_year,
+           round(sum((l.l_extendedprice * (1 - l.l_discount)
+                      - p.p_retailprice * l.l_quantity)::DECIMAL(18,6)), 2)::DOUBLE
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+# Q11 shape: per-key value with a HAVING against a global-total scalar
+# subquery (importance threshold).
+@query(
+    "q11_important_part_value",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+             sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, round(val, 2)::DOUBLE AS part_value
+    FROM v
+    WHERE val > (SELECT sum(val) * 0.002 FROM v)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    thresh = v.agg((F.sum("val") * 0.002).alias("thresh"))
+    return (
+        v.join(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("thresh"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+    )
+
+
+# Q12 shape: dual conditional counts by a categorical "mode" dimension
+# under a lateness predicate (shipdate vs orderdate stands in for
+# receipt vs commit).
+@query(
+    "q12_late_shipment_modes",
+    oracle="""
+    SELECT l.l_returnflag AS mode,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q12_late_shipment_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+        .groupBy(F.col("l_returnflag").alias("mode"))
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+# Q16 shape: distinct-supplier counts per part attribute triple, with a
+# NOT-IN supplier exclusion (negative acctbal stands in for the
+# complaints filter) and a brand exclusion.
+@query(
+    "q16_supplier_part_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# Q20 shape: semi-join suppliers against a correlated share-of-total
+# condition (shipped more than half of a part's total quantity).
+@query(
+    "q20_concentrated_suppliers",
+    oracle="""
+    WITH q AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             sum(l.l_quantity) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM q GROUP BY 1),
+    conc AS (
+      SELECT DISTINCT q.l_suppkey
+      FROM q JOIN tot ON q.l_partkey = tot.l_partkey
+      WHERE q.supp_qty > 0.15 * tot.part_qty)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM conc)
+    """,
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    q = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = q.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    conc = (
+        q.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") > 0.15 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(conc), s.s_suppkey == conc.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+# Q21 shape: EXISTS + NOT-EXISTS self-joins on the order key — the
+# "only supplier whose shipment was late in a multi-supplier order"
+# analysis, with shipdate-vs-orderdate lateness.
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.date_add("o_orderdate", 90))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    has_other = late.join(
+        others,
+        (late.l_orderkey == others.o_key) & (late.l_suppkey != others.o_supp),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    )
+    only_late = has_other.join(
+        late_others,
+        (has_other.l_orderkey == late_others.lo_key)
+        & (has_other.l_suppkey != late_others.lo_supp),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(s), only_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
