@@ -514,3 +514,73 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly profile: per-type outlier counts against the type's
+# own mean/σ — the monitoring query behind every "alert on unusual
+# value" dashboard panel. Moments accumulate as exact decimals (sum and
+# sum-of-squares), so mean/σ — and therefore the |z|>3 threshold — are
+# bit-identical across engines and partitionings; a float stddev_samp
+# would drift in the last ulp and flip boundary events. Two passes over
+# the type partition (combiner-friendly agg + broadcast join back);
+# no window, no sort.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*)                            AS n,
+             sum(value::DECIMAL(28,12))::DOUBLE  AS s1,
+             sum((value::DECIMAL(28,12)) * (value::DECIMAL(28,12)))::DOUBLE AS s2
+      FROM events GROUP BY event_type),
+    stats AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+      FROM m)
+    SELECT e.event_type,
+           any_value(st.n)::BIGINT AS n_events,
+           sum(CASE WHEN abs((e.value - st.mean) / st.sd) > 3
+                    THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+           round(sum(CASE WHEN abs((e.value - st.mean) / st.sd) > 3
+                          THEN 1 ELSE 0 END)::DOUBLE / any_value(st.n), 4)
+             AS anomaly_rate,
+           round(any_value(st.mean), 4) AS mean_value,
+           round(any_value(st.sd), 4)   AS std_value
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(28,12)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("mean")) / F.col("sd"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("long").alias("n_events"),
+            F.sum((z > 3).cast("long")).alias("n_anomalies"),
+            F.round(
+                F.sum((z > 3).cast("long")).cast("double") / F.any_value("n"), 4
+            ).alias("anomaly_rate"),
+            F.round(F.any_value("mean"), 4).alias("mean_value"),
+            F.round(F.any_value("sd"), 4).alias("std_value"),
+        )
+    )
