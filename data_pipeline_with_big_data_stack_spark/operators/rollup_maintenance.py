@@ -1,0 +1,95 @@
+"""Incremental materialized-rollup maintenance — the hypertable
+"continuous aggregate" / Druid auto-compaction pattern.
+
+A materialized rollup (hourly per-dimension aggregates, parquet
+partitioned by day) must absorb late or newly arrived raw events
+WITHOUT rescanning history. The maintenance step:
+
+1. derives the set of day partitions the new batch touches (one tiny
+   distinct over the batch),
+2. reads ONLY those partitions back from the rollup store (partition
+   pruning does the work — the unaffected history is never opened),
+3. merges mergeable partial aggregates (count, sum; avg derives from
+   them — never stored, since averages don't merge),
+4. rewrites just the touched partitions via dynamic partition
+   overwrite.
+
+At 100 TB this is the difference between an O(new data) nightly job
+and an O(history) one. Correctness contract: maintenance result ==
+full recompute from all raw data, for any split/ordering of arrivals —
+pinned by the oracled registry query (late batch applied incrementally
+vs straight SQL over everything) and property tests over random
+splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_KEYS = ("__date", "bucket", "event_type")
+_MERGEABLE = ("n_events", "sum_value_micros")
+
+
+def rollup_aggregate(events: DataFrame) -> DataFrame:
+    """Raw events → hourly per-type partial aggregates. Totals are kept
+    as exact integer micro-units so merge order can never change a
+    result (same device as the streaming state accumulators)."""
+    return (
+        events.withColumn("bucket", F.date_trunc("hour", "ts"))
+        .withColumn("__date", F.to_date("bucket"))
+        .groupBy(*ROLLUP_KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "sum_value_micros"
+            ),
+        )
+    )
+
+
+def build_rollup(events: DataFrame, path: str) -> None:
+    """Initial materialization, partitioned by day."""
+    rollup_aggregate(events).write.mode("overwrite").partitionBy(
+        "__date"
+    ).parquet(path)
+
+
+def apply_increment(spark: SparkSession, path: str, new_events: DataFrame) -> None:
+    """Merge a new raw batch into the materialized rollup, touching only
+    the day partitions the batch lands in."""
+    inc = rollup_aggregate(new_events)
+    touched = [r["__date"] for r in inc.select("__date").distinct().collect()]
+    if not touched:
+        return
+    prev = spark.read.parquet(path).filter(F.col("__date").isin(touched))
+    merged = (
+        prev.unionByName(inc)
+        .groupBy(*ROLLUP_KEYS)
+        .agg(*[F.sum(c).alias(c) for c in _MERGEABLE])
+    )
+    # dynamic overwrite replaces exactly the touched partitions; history
+    # partitions are neither read (partition-pruned filter above) nor
+    # rewritten
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("__date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """The serving view: derived columns (avg) come from the mergeable
+    state at read time."""
+    r = spark.read.parquet(path)
+    return r.select(
+        "__date",
+        "bucket",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("sum_value_micros") / 1_000_000).alias("sum_value"),
+        (
+            F.col("sum_value_micros") / 1_000_000 / F.col("n_events")
+        ).alias("avg_value"),
+    )

@@ -584,3 +584,59 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.any_value("sd"), 4).alias("std_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable continuous aggregate: the materialized hourly rollup is
+# built from early data, then two incremental batches (one of them
+# late-arriving rows for days already materialized) are merged through
+# operators/rollup_maintenance.apply_increment — which reads and
+# rewrites ONLY the touched day partitions. The oracle is a straight
+# SQL rollup over ALL events: incremental maintenance must be
+# indistinguishable from a full recompute.
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_incremental_maintenance",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             count(*) AS n,
+             sum((round(value * 1000000))::BIGINT) AS s_micros
+      FROM events GROUP BY 1, 2)
+    SELECT bucket, event_type,
+           n::BIGINT                                AS n_events,
+           round(s_micros / 1000000.0, 4)           AS sum_value,
+           round(s_micros / 1000000.0 / n, 4)       AS avg_value
+    FROM r
+    """,
+)
+def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+
+    e = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-20").cast("date")
+    late_held_back = (F.to_date("ts") < cutoff) & (F.col("event_id") % 7 == 0)
+    initial = e.filter((F.to_date("ts") < cutoff) & ~(F.col("event_id") % 7 == 0))
+    inc_a = e.filter(
+        (F.to_date("ts") >= cutoff) & (F.to_date("ts") < F.date_add(cutoff, 5))
+    )
+    # batch B mixes genuinely new days with LATE rows for already-
+    # materialized days — the case naive append-only rollups get wrong
+    inc_b = e.filter(
+        (F.to_date("ts") >= F.date_add(cutoff, 5)) | late_held_back
+    )
+    path = tempfile.mkdtemp(prefix="rollup_maint_")
+    RM.build_rollup(initial, path)
+    RM.apply_increment(spark, path, inc_a)
+    RM.apply_increment(spark, path, inc_b)
+    r = RM.read_rollup(spark, path)
+    return r.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+    )
