@@ -85,3 +85,97 @@ def skew_salt(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     return df.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
+
+
+# ---------------------------------------------------------------------
+# Z-order clustering: co-locate rows that are close in SEVERAL columns
+# so parquet row-group/file min-max statistics prune multi-dimensional
+# predicates (the Delta/Iceberg OPTIMIZE ZORDER effect, with plain
+# parquet). A single-column sort gives perfect skipping on one column
+# and none on the others; interleaving the columns' bucket bits gives
+# every indexed column partial locality in every file.
+#
+# Scale shape: per-column min/max come from ONE global aggregate (a
+# scalar row); bucketing is a pure projection (width_bucket); the only
+# shuffle is the final repartitionByRange on the z-value — exactly the
+# exchange any layout rewrite needs. No collect beyond the 1-row
+# bounds.
+# ---------------------------------------------------------------------
+
+_Z_BITS = 8  # per-column buckets = 2^8; z-value fits in a long for ≤4 cols
+
+
+def zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Append ``__zval``: interleaved bucket bits of ``cols``."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
+    )
+    out = df.join(F.broadcast(bounds))
+    nb = 1 << _Z_BITS
+    buckets = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        b = F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.floor((F.col(c).cast("double") - lo) / (hi - lo) * nb).cast(
+                    "int"
+                ),
+            )
+        )
+        buckets.append(b)
+    # interleave: bit i of column j lands at position i*len(cols)+j
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * len(buckets) + j,
+                )
+            )
+    return out.select(*df.columns, z.alias("__zval"))
+
+
+def write_zordered(
+    df: DataFrame, cols: list[str], path: str, n_files: int = 8
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered on the
+    z-value of ``cols`` (range partition + in-file sort, so file AND
+    row-group min-max stats are tight on every indexed column)."""
+    (
+        zorder_value(df, cols)
+        .repartitionByRange(n_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax(path: str, column: str) -> list[tuple[float, float]]:
+    """(min, max) of ``column`` per parquet file — what a reader's
+    file-skipping sees."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == column
+            )
+            if col.statistics is not None:
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+        if los:
+            spans.append((min(los), max(his)))
+    return spans

@@ -84,3 +84,55 @@ def test_skew_salt_two_phase_agg_equivalence(spark):
         .collect()
     }
     assert direct == merged
+
+
+class TestZOrder:
+    def test_zorder_skips_more_files_than_linear_sort(self, spark, tmp_path):
+        """A 2-D predicate must touch fewer files under z-order than
+        under a single-column linear sort — the data-skipping payoff."""
+        from data_pipeline_with_big_data_stack_spark.operators.layout import file_minmax, write_zordered
+        from data_pipeline_with_big_data_stack_spark.tables import load_table
+        from tests.conftest import SF_CORRECTNESS
+
+        e = load_table(spark, SF_CORRECTNESS, "events").select(
+            "event_id", "user_id", "value"
+        )
+        zpath = str(tmp_path / "z")
+        lpath = str(tmp_path / "linear")
+        n_files = 8
+        write_zordered(e, ["user_id", "value"], zpath, n_files=n_files)
+        (
+            e.repartitionByRange(n_files, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+
+        def files_touched(path, col, lo, hi):
+            return sum(1 for mn, mx in file_minmax(path, col) if mx >= lo and mn <= hi)
+
+        # predicate on the SECOND column: linear layout can't skip at all
+        z_value = files_touched(zpath, "value", 10.0, 20.0)
+        l_value = files_touched(lpath, "value", 10.0, 20.0)
+        assert z_value < l_value, (z_value, l_value)
+        # and the first column still prunes under z-order (partial locality)
+        z_user = files_touched(zpath, "user_id", 0, 15)
+        assert z_user < n_files
+
+    def test_zorder_preserves_rows_exactly(self, spark, tmp_path):
+        from data_pipeline_with_big_data_stack_spark.operators.layout import write_zordered
+        from data_pipeline_with_big_data_stack_spark.tables import load_table
+        from tests.conftest import SF_SMOKE
+
+        e = load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "user_id", "value"
+        )
+        path = str(tmp_path / "z")
+        write_zordered(e, ["user_id", "value"], path)
+        back = spark.read.parquet(path)
+        assert back.count() == e.count()
+        assert sorted(back.columns) == sorted(e.columns)
+        assert (
+            back.select(F.sum("event_id")).head()[0]
+            == e.select(F.sum("event_id")).head()[0]
+        )
