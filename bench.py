@@ -58,6 +58,9 @@ HEADLINE = [
     "q_embed_pq_codes",
     "q_events_funnel",
     "q_events_retention_cohorts",
+    "q_events_anomaly_zscore",
+    "q_theta_sketch_user_sets",
+    "q_rollup_incremental_maintenance",
 ]
 
 
