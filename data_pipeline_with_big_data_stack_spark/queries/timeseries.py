@@ -598,12 +598,16 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_rollup_incremental_maintenance",
     oracle="""
-    WITH r AS (
+    WITH m AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
              event_type,
+             (round(value * 1000000))::BIGINT AS micros
+      FROM events),
+    r AS (
+      SELECT bucket, event_type,
              count(*) AS n,
-             sum((round(value * 1000000))::BIGINT) AS s_micros
-      FROM events GROUP BY 1, 2)
+             sum(micros) AS s_micros
+      FROM m GROUP BY 1, 2)
     SELECT bucket, event_type,
            n::BIGINT                                AS n_events,
            round(s_micros / 1000000.0, 4)           AS sum_value,
