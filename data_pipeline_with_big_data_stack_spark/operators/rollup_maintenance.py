@@ -62,7 +62,14 @@ def apply_increment(spark: SparkSession, path: str, new_events: DataFrame) -> No
     touched = [r["__date"] for r in inc.select("__date").distinct().collect()]
     if not touched:
         return
-    prev = spark.read.parquet(path).filter(F.col("__date").isin(touched))
+    # materialize the touched slice BEFORE the overwrite starts so the
+    # job never reads a path it is concurrently replacing (the slice is
+    # rollup rows for a handful of days — tiny)
+    prev = (
+        spark.read.parquet(path)
+        .filter(F.col("__date").isin(touched))
+        .localCheckpoint(eager=True)
+    )
     merged = (
         prev.unionByName(inc)
         .groupBy(*ROLLUP_KEYS)

@@ -54,9 +54,10 @@ def test_theta_sketch_exact_at_fixture_cardinality(spark, duck):
 
 
 def test_kll_quantiles_within_rank_error(spark):
-    """KLL default k=200 → normalized rank error ~1.65%; allow a value
-    tolerance derived from a generous 5% rank window around the exact
-    quantile (values are ~uniform on [0,100] so rank≈value/100)."""
+    """KLL compaction is randomized, so assert the statistically correct
+    contract: the estimate's RANK lies within a window around the target
+    (default k=200 → normalized rank error ~1.65% at one sigma; ±6% is
+    ~3.6 sigma, far enough out that the test is stable)."""
     from data_pipeline_with_big_data_stack_spark.queries.sketches import q_kll_quantile_sketch
     from data_pipeline_with_big_data_stack_spark.tables import load_table
 
@@ -64,20 +65,22 @@ def test_kll_quantiles_within_rank_error(spark):
     e = load_table(spark, SF_CORRECTNESS, "events")
     import pyspark.sql.functions as F
 
+    eps = 0.06
     exact = {
         r.event_type: r
         for r in e.groupBy("event_type")
         .agg(
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.percentile("value", F.lit(0.5 - eps)).alias("p50_lo"),
+            F.percentile("value", F.lit(0.5 + eps)).alias("p50_hi"),
+            F.percentile("value", F.lit(0.95 - eps)).alias("p95_lo"),
+            F.percentile("value", F.lit(min(0.95 + eps, 1.0))).alias("p95_hi"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()
     }
     total = sum(x.n for x in exact.values())
     assert rows["__all__"].sketch_n == total  # merge loses nothing
-    spread = max(x.p95 for x in exact.values()) - min(x.p50 for x in exact.values())
     for t, x in exact.items():
         assert rows[t].sketch_n == x.n
-        assert abs(rows[t].kll_p50 - x.p50) <= 0.05 * spread + 1e-9, t
-        assert abs(rows[t].kll_p95 - x.p95) <= 0.05 * spread + 1e-9, t
+        assert x.p50_lo - 1e-9 <= rows[t].kll_p50 <= x.p50_hi + 1e-9, t
+        assert x.p95_lo - 1e-9 <= rows[t].kll_p95 <= x.p95_hi + 1e-9, t
