@@ -158,3 +158,42 @@ def train_bpe_reference(word_freqs: dict[str, int], n_merges: int) -> list[dict]
                     i += 1
             syms[w] = out
     return merges
+
+
+def apply_bpe(df: DataFrame, text_col: str, merges: list[dict], id_col: str) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge table, the
+    vocabulary-cached way real tokenizers run at scale: fold the merges
+    over the DISTINCT word table (each fold is its own projection
+    referencing the previous by column name — a LINEAR plan; inlining
+    the fold chain per row duplicates the array expression per level
+    and blows up exponentially), broadcast the word→tokens map back
+    onto the exploded text, and reassemble per document in word order.
+    Adds ``bpe_tokens`` (array<string>) and ``n_bpe_tokens``."""
+    words = F.split(F.col(text_col), " ")
+    vocab = df.select(F.explode(words).alias("word")).distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    tok = vocab.withColumn("toks", F.concat(chars, F.array(F.lit(END))))
+    for m in merges:
+        tok = tok.withColumn(
+            "toks", _merge_fold(F.col("toks"), m["left"], m["right"], m["merged"])
+        )
+    ex = df.select(
+        id_col, F.posexplode(words).alias("__pos", "word")
+    )
+    agg = (
+        ex.join(F.broadcast(tok), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+    )
+    return df.join(agg, id_col, "left")

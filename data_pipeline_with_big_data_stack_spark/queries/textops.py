@@ -624,3 +624,29 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, pair_count long"
     ).select("rank", "left", "right", "merged", "pair_count")
+
+
+@query("q_doc_tokenize_bpe", oracle=None)
+def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the corpus BPE merges, then tokenize the corpus with them
+    (vocabulary-cached apply — see operators/bpe.apply_bpe) and report
+    per-doc whitespace vs BPE token counts. Deterministic end to end,
+    but the merge table can't ride into a SQL oracle → rows-only;
+    trainer and applier are both pinned exactly in tests/test_bpe.py."""
+    from data_pipeline_with_big_data_stack_spark.operators.bpe import apply_bpe, train_bpe
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    merges = train_bpe(words, _BPE_N_MERGES)
+    out = apply_bpe(d, "text", merges, "doc_id")
+    n_ws = F.size(F.split("text", " ")).cast("long")
+    return out.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        "n_bpe_tokens",
+        F.round(F.col("n_bpe_tokens") / n_ws, 4).alias("tokens_per_word"),
+    )
