@@ -81,3 +81,115 @@ def test_apply_bpe_matches_reference_tokenization(spark):
         assert got[doc_id] == (exp, len(exp)), doc_id
     # merged symbols actually appear (tokenization is not char-level)
     assert any(len(t) > 1 and t != END for t in got[0][0])
+
+
+def _synthetic_vocab(n_words: int, seed: int = 7) -> dict[str, int]:
+    """Deterministic wide-alphabet vocabulary with enough symbol mass
+    to support 1000+ merges."""
+    import random
+    import string
+
+    rng = random.Random(seed)
+    alphabet = string.ascii_letters + string.digits
+    freqs: dict[str, int] = {}
+    while len(freqs) < n_words:
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 12)))
+        freqs[w] = rng.randint(1, 50)
+    return freqs
+
+
+def test_batched_training_matches_reference(spark):
+    """merges_per_round > 1: Spark batched rounds bit-identical to the
+    batched pure-Python reference (same candidate window + greedy
+    disjoint selection)."""
+    freqs = _synthetic_vocab(120)
+    words = spark.createDataFrame(list(freqs.items()), ["word", "freq"])
+    got = train_bpe(words, 200, merges_per_round=32)
+    exp = train_bpe_reference(freqs, 200, merges_per_round=32)
+    assert got == exp
+    assert len(got) == 200
+    # batching actually batched: far fewer rounds than merges means
+    # ranks stay dense and ordered regardless
+    assert [m["rank"] for m in got] == list(range(200))
+
+
+def test_apply_bpe_1000_merges_bounded_plan(spark):
+    """The scale flag from round 3: a realistic-size merge table must
+    tokenize with CONSTANT plan depth (one mapInPandas over the
+    vocabulary), and match the pure-Python sequential apply exactly."""
+    from data_pipeline_with_big_data_stack_spark.operators.bpe import (
+        END,
+        apply_bpe,
+        apply_merges_to_symbols,
+    )
+
+    freqs = _synthetic_vocab(400, seed=11)
+    words = spark.createDataFrame(list(freqs.items()), ["word", "freq"])
+    merges = train_bpe(words, 1000, merges_per_round=64)
+    exp_merges = train_bpe_reference(freqs, 1000, merges_per_round=64)
+    assert merges == exp_merges
+    assert len(merges) >= 1000
+
+    all_words = sorted(freqs)
+    docs = spark.createDataFrame(
+        [(i, " ".join(all_words[i * 40 : (i + 1) * 40])) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = apply_bpe(docs, "text", merges, "doc_id")
+
+    # plan depth is bounded: one MapInPandas node, not one projection
+    # per merge (1000 merges would be a >1000-line plan otherwise)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(extended=False)
+    plan = buf.getvalue()
+    assert plan.count("MapInPandas") >= 1
+    assert len(plan.splitlines()) < 250, "plan depth grew with merge count"
+
+    merges_seq = [(m["left"], m["right"], m["merged"]) for m in merges]
+    got = {r.doc_id: list(r.bpe_tokens) for r in out.collect()}
+    for i in range(10):
+        exp = [
+            t
+            for w in all_words[i * 40 : (i + 1) * 40]
+            for t in apply_merges_to_symbols([*w, END], merges_seq)
+        ]
+        assert got[i] == exp, f"doc {i} mismatch"
+
+
+def test_empty_word_symbols_and_apply(spark):
+    """'' (double/leading spaces) must become just [</w>] — unguarded
+    sequence(1,0) DESCENDS in Spark and would fabricate two empty
+    symbols (wrong pair counts and token totals)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.bpe import (
+        END,
+        apply_bpe,
+        to_symbols,
+    )
+
+    row = (
+        spark.createDataFrame([("",), ("ab",)], ["word"])
+        .select("word", to_symbols("word").alias("syms"))
+        .orderBy("word")
+        .collect()
+    )
+    assert list(row[0].syms) == [END]
+    assert list(row[1].syms) == ["a", "b", END]
+
+    # training on a vocab containing '' matches the reference
+    freqs = {"": 3, "aa": 2, "ab": 5}
+    words = spark.createDataFrame(list(freqs.items()), ["word", "freq"])
+    assert train_bpe(words, 3) == train_bpe_reference(freqs, 3)
+
+    # apply over text with a double space (split yields an empty word)
+    docs = spark.createDataFrame([(0, "ab  ab")], ["doc_id", "text"])
+    merges = train_bpe_reference({"ab": 2, "": 1}, 2)
+    got = apply_bpe(docs, "text", merges, "doc_id").collect()[0]
+    # 'ab', '', 'ab' → per-word tokens with '' contributing only </w>
+    toks = list(got.bpe_tokens)
+    assert toks.count(END) >= 1 and got.n_bpe_tokens == len(toks)
