@@ -332,10 +332,14 @@ def _decode_prog_scan(data, pos, scan_comps, ss0, se0, ah, al, comps, coef,
                     eobrun = _ac_refine_block(r, blk, ss0, se0, al, huff_ac[ta], eobrun)
                 count += 1
 
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the entropy
+    # stream before a marker — an 0xFF followed by another 0xFF is fill,
+    # not a marker start, so keep scanning to the LAST 0xFF of the run
     p = r.pos
     while p < len(data) - 1 and not (
         data[p] == 0xFF
         and data[p + 1] != 0x00
+        and data[p + 1] != 0xFF
         and not (0xD0 <= data[p + 1] <= 0xD7)
     ):
         p += 1
@@ -394,6 +398,9 @@ def decode_jpeg(data: bytes):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         m = data[pos + 1]
+        if m == 0xFF:  # T.81 B.1.1.2 fill byte, not a marker code
+            pos += 1
+            continue
         if m == 0xD9:
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:

@@ -173,7 +173,9 @@ def file_minmax(path: str, column: str) -> list[tuple[float, float]]:
                 for i in range(md.num_columns)
                 if md.row_group(rg).column(i).path_in_schema == column
             )
-            if col.statistics is not None:
+            # statistics can exist with has_min_max unset (then .min/.max
+            # are None and the min()/max() below would TypeError)
+            if col.statistics is not None and col.statistics.has_min_max:
                 los.append(col.statistics.min)
                 his.append(col.statistics.max)
         if los:

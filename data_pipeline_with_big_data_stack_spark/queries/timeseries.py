@@ -532,8 +532,8 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT event_type,
              count(*)                            AS n,
-             sum(value::DECIMAL(28,12))::DOUBLE  AS s1,
-             sum((value::DECIMAL(28,12)) * (value::DECIMAL(28,12)))::DOUBLE AS s2
+             sum(value::DECIMAL(18,6))::DOUBLE   AS s1,
+             sum((value::DECIMAL(18,6)) * (value::DECIMAL(18,6)))::DOUBLE AS s2
       FROM events GROUP BY event_type),
     stats AS (
       SELECT event_type, n,
@@ -555,7 +555,12 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    dec = F.col("value").cast("decimal(28,12)")
+    # decimal(18,6) squared is decimal(37,12) in BOTH Spark and DuckDB —
+    # wider operands diverge: Spark caps dec*dec at DECIMAL(38,6) under
+    # allowPrecisionLoss (rounds each square to 6 dp) while DuckDB keeps
+    # DECIMAL(38,24), so s2 would desync the moment fixture values carry
+    # more than a few decimal digits
+    dec = F.col("value").cast("decimal(18,6)")
     m = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec).cast("double").alias("s1"),

@@ -483,6 +483,43 @@ def test_progressive_jpeg_decodes_independent_real_file():
     assert arr[h // 2, w // 2].tolist() == [80, 81, 79]  # dark chip center
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
+    the decoder must skip them in the header loop AND in the post-scan
+    marker search instead of misreading the fill as a marker code."""
+    import os
+
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # progressive: pad every inter-scan SOS (exercises the post-scan
+    # search, which previously stopped ON the fill byte)
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "progressive_f3.jpg")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    clean = decode_jpeg(data)
+    padded = data.replace(b"\xff\xda", b"\xff\xff\xff\xff\xda")
+    assert len(padded) > len(data)
+    got = decode_jpeg(padded)
+    assert got[:3] == clean[:3]
+    assert np.array_equal(np.asarray(got[3]), np.asarray(clean[3]))
+
+    # baseline: pad the header markers (DQT/DHT/SOS) — exercises the
+    # main marker loop's fill skip
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 16, 3)).astype(np.uint8).reshape(-1)
+    enc = encode_jpeg(16, 24, img)
+    ref = decode_jpeg(enc)
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xda"):
+        padded = enc.replace(marker, b"\xff\xff" + marker)
+        got = decode_jpeg(padded)
+        assert np.array_equal(np.asarray(got[3]), np.asarray(ref[3])), marker
+
+
 def test_jpeg_decodes_independent_real_file():
     """A libjpeg-produced file from the container (not our encoder) —
     catches symmetric encoder/decoder bugs that roundtrips mask."""
