@@ -22,14 +22,32 @@ def normalize_per_group(
     df: DataFrame, group_col: str, value_col: str, out_col: str = "z"
 ) -> DataFrame:
     """Per-group z-score via Arrow-batched grouped-map: one shuffle on
-    the group key, then vectorized pandas per group."""
+    the group key, then vectorized pandas per group.
+
+    The group moments (sum, sum-of-squares) accumulate EXACTLY over
+    decimal(18,6)-quantized values, so mean/σ — and every z — are
+    bit-reproducible across engines, partitionings, and row orders
+    (the same exact-moments device as q_events_anomaly_zscore; a float
+    ``Series.std()`` drifts in the last ulp with summation order). A
+    degenerate group (n < 2 or σ = 0) normalizes to 0.0."""
+    import math
+    from decimal import Decimal
+
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{fields}, {out_col} double"
+    quantum = Decimal("0.000001")
 
     def norm(pdf):
         v = pdf[value_col]
-        sd = v.std()
-        pdf[out_col] = (v - v.mean()) / sd if sd and sd > 0 else 0.0
+        n = len(v)
+        dv = [Decimal(float(x)).quantize(quantum) for x in v]
+        s1 = float(sum(dv))
+        s2 = float(sum(d * d for d in dv))
+        mean = s1 / n
+        sd = (
+            math.sqrt(max((s2 - s1 * s1 / n) / (n - 1), 0.0)) if n > 1 else 0.0
+        )
+        pdf[out_col] = (v - mean) / sd if sd > 0 else 0.0
         return pdf
 
     return df.groupBy(group_col).applyInPandas(norm, schema=schema)

@@ -934,16 +934,43 @@ def q_events_map_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_grouped_normalize_values", oracle=None)
+@query(
+    "q_grouped_normalize_values",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*)                           AS n,
+             sum(value::DECIMAL(18,6))::DOUBLE  AS s1,
+             sum((value::DECIMAL(18,6)) * (value::DECIMAL(18,6)))::DOUBLE AS s2
+      FROM events GROUP BY event_type),
+    st AS (
+      SELECT event_type,
+             s1 / n AS mean,
+             CASE WHEN n > 1
+                  THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0))
+                  ELSE 0.0 END AS sd
+      FROM m)
+    SELECT e.event_id, e.event_type, e.value,
+           round(CASE WHEN st.sd > 0
+                      THEN (e.value - st.mean) / st.sd
+                      ELSE 0.0 END, 6) AS z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    """,
+)
 def q_grouped_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (batch twin of the stateful streaming
-    operators): per-event-type z-score normalization. Rows-only in the
-    gate (pandas float math is not bit-stable against a SQL oracle);
-    the statistical contract is pinned in tests/test_grouped.py."""
+    operators): per-event-type z-score normalization. Full SQL oracle:
+    the operator accumulates the group moments exactly over
+    decimal(18,6)-quantized values (see operators/grouped.py), so mean
+    and σ — and therefore every z — are bit-identical to the DuckDB
+    window computation; the 6-dp round on both sides is belt and
+    braces for the gate's hash."""
     from data_pipeline_with_big_data_stack_spark.operators.grouped import normalize_per_group
 
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return normalize_per_group(e, "event_type", "value")
+    return normalize_per_group(e, "event_type", "value").withColumn(
+        "z", F.round("z", 6)
+    )
 
 
 # ==========================================================================
