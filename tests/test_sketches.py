@@ -53,6 +53,91 @@ def test_theta_sketch_exact_at_fixture_cardinality(spark, duck):
     assert 0 < r.n_both <= min(r.n_view, r.n_purchase)
 
 
+def test_theta_estimate_mode_error_bounds(spark):
+    """Above 4096 nominal entries theta leaves exact mode — this is the
+    path that runs at production cardinality, so pin its statistical
+    contract at 180 K distinct keys: ±5% (≈3.2σ of the k=4096 RSE
+    ≈1.56%) on direct sketches and unions; intersections/differences
+    error scales with the UNION cardinality (DataSketches bound), so
+    they get a proportionally wider ±15% window. Theta hashing is
+    seeded deterministically (library seed 9001), so the estimates —
+    and this test — are stable run to run."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 120_000).select(F.lit("view").alias("t"), F.col("id"))
+    b = spark.range(60_000, 180_000).select(F.lit("purchase").alias("t"), F.col("id"))
+    per = a.unionByName(b).groupBy("t").agg(F.theta_sketch_agg("id").alias("sk"))
+    row = per.groupBy().pivot("t", ["view", "purchase"]).agg(F.first("sk"))
+    est = F.theta_sketch_estimate
+    r = row.select(
+        est("view").alias("n_view"),
+        est("purchase").alias("n_purchase"),
+        est(F.theta_intersection("view", "purchase")).alias("n_both"),
+        est(F.theta_difference("view", "purchase")).alias("n_view_only"),
+        est(F.theta_union("view", "purchase")).alias("n_either"),
+    ).collect()[0]
+
+    def rel(got, true):
+        return abs(got - true) / true
+
+    assert rel(r.n_view, 120_000) < 0.05, r.n_view
+    assert rel(r.n_purchase, 120_000) < 0.05, r.n_purchase
+    assert rel(r.n_either, 180_000) < 0.05, r.n_either
+    assert rel(r.n_both, 60_000) < 0.15, r.n_both
+    assert rel(r.n_view_only, 60_000) < 0.15, r.n_view_only
+    # set-algebra consistency holds approximately in estimate mode
+    assert rel(r.n_both + r.n_view_only, r.n_view) < 0.10
+    # and we really are in estimate mode, not exact (exact would be int)
+    assert r.n_either > 4096
+
+
+def test_kll_estimate_mode_rank_error_at_scale(spark):
+    """Merged-KLL contract at 200 K values (far beyond the k=200
+    sketch's exact capacity): the estimated quantile's TRUE RANK must
+    lie within ±6% (~3.6σ of the ~1.65% normalized rank error) of the
+    target rank, for the per-type sketches AND the merge fold — the
+    exact shape q_kll_quantile_sketch runs, on uniform data where rank
+    is computable in closed form (rank(v) = v / n)."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    vals = spark.range(n).select(
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 4).cast("string").alias("t"),
+    )
+    per = vals.groupBy("t").agg(F.kll_sketch_agg_double("v").alias("sk"))
+    per_type = per.select(
+        "t",
+        F.kll_sketch_get_n_double("sk").alias("sketch_n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+    )
+    merged = (
+        per.agg(F.collect_list("sk").alias("arr"))
+        .select(
+            F.aggregate(
+                F.slice("arr", 2, 1_000_000),
+                F.element_at("arr", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("msk")
+        )
+        .select(
+            F.kll_sketch_get_n_double("msk").alias("sketch_n"),
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.95)).alias("p95"),
+        )
+        .collect()[0]
+    )
+    assert merged.sketch_n == n  # merge loses nothing
+    assert abs(merged.p50 / n - 0.5) < 0.06, merged.p50
+    assert abs(merged.p95 / n - 0.95) < 0.06, merged.p95
+    for r in per_type.collect():
+        assert r.sketch_n == n // 4
+        # each type stripe is uniform over [0, n): same closed-form rank
+        assert abs(r.p50 / n - 0.5) < 0.06, (r.t, r.p50)
+        assert abs(r.p95 / n - 0.95) < 0.06, (r.t, r.p95)
+
+
 def test_kll_quantiles_within_rank_error(spark):
     """KLL compaction is randomized, so assert the statistically correct
     contract: the estimate's RANK lies within a window around the target
