@@ -55,6 +55,13 @@ def build_rollup(events: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
+def touched_slice(spark: SparkSession, path: str, touched: list) -> DataFrame:
+    """The rollup rows for the touched day partitions ONLY — the isin
+    filter lands in the scan's PartitionFilters, so unaffected history
+    is never opened (plan-pinned in tests/test_plans.py)."""
+    return spark.read.parquet(path).filter(F.col("__date").isin(touched))
+
+
 def apply_increment(spark: SparkSession, path: str, new_events: DataFrame) -> None:
     """Merge a new raw batch into the materialized rollup, touching only
     the day partitions the batch lands in."""
@@ -65,11 +72,7 @@ def apply_increment(spark: SparkSession, path: str, new_events: DataFrame) -> No
     # materialize the touched slice BEFORE the overwrite starts so the
     # job never reads a path it is concurrently replacing (the slice is
     # rollup rows for a handful of days — tiny)
-    prev = (
-        spark.read.parquet(path)
-        .filter(F.col("__date").isin(touched))
-        .localCheckpoint(eager=True)
-    )
+    prev = touched_slice(spark, path, touched).localCheckpoint(eager=True)
     merged = (
         prev.unionByName(inc)
         .groupBy(*ROLLUP_KEYS)
