@@ -43,8 +43,13 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
             with open(path) as f:
                 for name, row in json.load(f).items():
                     seen[name] = seen.get(name, 0) + 1
+                    # a query that HAS an oracle now only counts hash
+                    # greens — a past rows-only pass must not keep a
+                    # newly-oracled query out of the gate window
                     ok = row.get("hash_match") or (
-                        row.get("err") == "no_oracle" and row.get("spark_rows")
+                        name not in ORACLES
+                        and row.get("err") == "no_oracle"
+                        and row.get("spark_rows")
                     )
                     if ok:
                         green[name] = green.get(name, 0) + 1
