@@ -61,6 +61,11 @@ HEADLINE = [
     "q_events_anomaly_zscore",
     "q_theta_sketch_user_sets",
     "q_rollup_incremental_maintenance",
+    # round-4 additions (newly oracled grouped-map ops + the
+    # constant-depth vocabulary-cached BPE tokenize)
+    "q_grouped_normalize_values",
+    "q_grouped_winsorize_values",
+    "q_doc_tokenize_bpe",
 ]
 
 

@@ -198,10 +198,15 @@ def train_bpe(
 
 
 def train_bpe_reference(
-    word_freqs: dict[str, int], n_merges: int, merges_per_round: int = 1
+    word_freqs: dict[str, int],
+    n_merges: int,
+    merges_per_round: int = 1,
+    state_out: dict | None = None,
 ) -> list[dict]:
     """Pure-Python reference (test oracle): identical semantics,
-    tie-breaks, candidate window, and batch selection — no Spark."""
+    tie-breaks, candidate window, and batch selection — no Spark.
+    ``state_out``, if given, receives each word's FINAL symbol list
+    (used by the batched-equivalence property test)."""
     syms = {w: [*w, END] for w in word_freqs}
     merges: list[dict] = []
     while len(merges) < n_merges:
@@ -242,6 +247,8 @@ def train_bpe_reference(
                     out.append(s[i])
                     i += 1
             syms[w] = out
+    if state_out is not None:
+        state_out.update(syms)
     return merges
 
 

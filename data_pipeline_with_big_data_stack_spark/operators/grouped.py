@@ -61,11 +61,29 @@ def winsorize_per_group(
     upper_q: float = 0.95,
 ) -> DataFrame:
     """Clamp each group's values to its [lower_q, upper_q] quantiles —
-    the outlier-capping step of a quality-filter pipeline."""
+    the outlier-capping step of a quality-filter pipeline.
+
+    Quantiles use the NEAREST-RANK (inverse-CDF) definition: the bound
+    at quantile q is the actual data value at sorted rank
+    ``max(1, ceil(q·n))``, with the rank arithmetic done in exact
+    decimal. Interpolated quantiles would make the bounds synthetic
+    floats whose last ulp depends on the engine's interpolation
+    expression; rank-selected bounds are values already in the data, so
+    the clamp is bit-reproducible across engines — SQL oracles mirror
+    it with an explicit ``row_number = ceil(q * n)`` pick."""
+    import math
+    from decimal import Decimal
+
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    lo_q, hi_q = Decimal(str(lower_q)), Decimal(str(upper_q))
 
     def wins(pdf):
-        lo, hi = pdf[value_col].quantile([lower_q, upper_q])
+        import numpy as np
+
+        n = len(pdf)
+        vs = np.sort(pdf[value_col].values)
+        lo = float(vs[max(1, math.ceil(lo_q * n)) - 1])
+        hi = float(vs[max(1, math.ceil(hi_q * n)) - 1])
         pdf[value_col] = pdf[value_col].clip(lo, hi)
         return pdf
 

@@ -973,6 +973,42 @@ def q_grouped_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_grouped_winsorize_values",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             count(*)    OVER (PARTITION BY event_type)                 AS n
+      FROM events),
+    b AS (
+      SELECT event_type,
+             max(CASE WHEN rk = greatest(1, ceil(0.05 * n)) THEN value END) AS lo,
+             max(CASE WHEN rk = greatest(1, ceil(0.95 * n)) THEN value END) AS hi
+      FROM ranked GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CASE WHEN e.value < b.lo THEN b.lo
+                WHEN e.value > b.hi THEN b.hi
+                ELSE e.value END AS value_w
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+)
+def q_grouped_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas #2: per-type winsorization. Fully
+    value-oracled because the operator's nearest-rank quantile bounds
+    are actual data values (see operators/grouped.winsorize_per_group)
+    — the DuckDB side picks the identical sorted ranks with exact
+    decimal arithmetic (0.05/0.95 literals are DECIMAL in DuckDB,
+    matching the operator's ``Decimal`` rank math), so the clamp is
+    bit-exact with no rounding device at all."""
+    from data_pipeline_with_big_data_stack_spark.operators.grouped import winsorize_per_group
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return winsorize_per_group(e, "event_type", "value").select(
+        "event_id", "event_type", F.col("value").alias("value_w")
+    )
+
+
 # ==========================================================================
 # TPC-H shape completion. The fixture schema is TPC-H-ish but lacks
 # partsupp and lineitem commit/receipt dates, so Q2/Q9/Q11/Q12/Q16/Q20/

@@ -160,6 +160,84 @@ def test_apply_bpe_1000_merges_bounded_plan(spark):
         assert got[i] == exp, f"doc {i} mismatch"
 
 
+def test_batched_training_equals_sequential_apply_property():
+    """The batched-merge equivalence claim, property-tested without
+    Spark: for random corpora and batch sizes, applying the
+    batched-learned merge table SEQUENTIALLY (rank order, one pair at a
+    time) to every training word reproduces the trainer's own final
+    symbol states — i.e. the greedy disjoint selection really does make
+    the one-pass batch rewrite equal to sequential application."""
+    import random
+
+    from data_pipeline_with_big_data_stack_spark.operators.bpe import (
+        END,
+        apply_merges_to_symbols,
+        train_bpe_reference,
+    )
+
+    rng = random.Random(42)
+    for trial in range(25):
+        alphabet = "abcdef" if trial % 2 else "abcdefghij"
+        freqs = {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 10))
+            ): rng.randint(1, 20)
+            for _ in range(rng.randint(5, 40))
+        }
+        batch = rng.choice([1, 2, 3, 7, 16])
+        n_merges = rng.randint(1, 60)
+        state: dict[str, list[str]] = {}
+        merges = train_bpe_reference(
+            freqs, n_merges, merges_per_round=batch, state_out=state
+        )
+        seq = [(m["left"], m["right"], m["merged"]) for m in merges]
+        # the trainer's one-pass batch rewrites must leave every word in
+        # EXACTLY the state a sequential rank-order fold produces
+        for w in freqs:
+            assert apply_merges_to_symbols([*w, END], seq) == state[w], (
+                trial,
+                w,
+                batch,
+            )
+        # ranks dense and pair_counts positive regardless of batching
+        assert [m["rank"] for m in merges] == list(range(len(merges)))
+        assert all(m["pair_count"] > 0 for m in merges)
+
+
+def test_batched_apply_one_pass_equals_sequential():
+    """Direct check of the simultaneous-pass == sequential-fold claim on
+    the exact table-lookup rewrite train_bpe_reference uses."""
+    import random
+
+    from data_pipeline_with_big_data_stack_spark.operators.bpe import (
+        END,
+        _select_batch,
+        apply_merges_to_symbols,
+    )
+
+    rng = random.Random(9)
+    for _ in range(200):
+        syms = [rng.choice("abcd") for _ in range(rng.randint(2, 12))] + [END]
+        cands = [("a", "b", 5), ("c", "d", 4), ("b", "c", 3), ("d", "a", 2)]
+        batch = _select_batch([(a, b, c) for a, b, c in cands], 3)
+        table = {(a, b): a + b for a, b, _ in batch}
+        # one simultaneous left-to-right pass
+        out, i = [], 0
+        while i < len(syms):
+            nxt = table.get((syms[i], syms[i + 1])) if i < len(syms) - 1 else None
+            if nxt is not None:
+                out.append(nxt)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        # sequential per-pair folds in selection order
+        seq = apply_merges_to_symbols(
+            list(syms), [(a, b, a + b) for a, b, _ in batch]
+        )
+        assert out == seq, (syms, batch)
+
+
 def test_empty_word_symbols_and_apply(spark):
     """'' (double/leading spaces) must become just [</w>] — unguarded
     sequence(1,0) DESCENDS in Spark and would fabricate two empty
