@@ -628,11 +628,15 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_doc_tokenize_bpe", oracle=None)
 def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the corpus BPE merges, then tokenize the corpus with them
-    (vocabulary-cached apply — see operators/bpe.apply_bpe) and report
-    per-doc whitespace vs BPE token counts. Deterministic end to end,
-    but the merge table can't ride into a SQL oracle → rows-only;
-    trainer and applier are both pinned exactly in tests/test_bpe.py."""
+    """Train the corpus BPE merges in BATCHED mode (top-N disjoint
+    pairs per round — the production-training trick, one Spark round
+    instead of one per merge), then tokenize the corpus with them
+    (vocabulary-cached constant-depth apply — see
+    operators/bpe.apply_bpe) and report per-doc whitespace vs BPE token
+    counts. Deterministic end to end, but the merge table can't ride
+    into a SQL oracle → rows-only; trainer (both modes) and applier are
+    pinned bit-exactly vs the pure-Python reference in
+    tests/test_bpe.py."""
     from data_pipeline_with_big_data_stack_spark.operators.bpe import apply_bpe, train_bpe
 
     d = _docs(spark, sf_dir)
@@ -641,7 +645,7 @@ def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    merges = train_bpe(words, _BPE_N_MERGES)
+    merges = train_bpe(words, _BPE_N_MERGES, merges_per_round=_BPE_N_MERGES)
     out = apply_bpe(d, "text", merges, "doc_id")
     n_ws = F.size(F.split("text", " ")).cast("long")
     return out.select(
