@@ -941,7 +941,10 @@ def q_events_map_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              count(*)                           AS n,
              sum(value::DECIMAL(18,6))::DOUBLE  AS s1,
-             sum((value::DECIMAL(18,6)) * (value::DECIMAL(18,6)))::DOUBLE AS s2
+             -- DECIMAL(19,6) left operand forces DuckDB's int128
+             -- multiply (DECIMAL(37,12), = Spark's product type);
+             -- 18x18 would overflow int64 at |v| > ~3034
+             sum((value::DECIMAL(19,6)) * (value::DECIMAL(18,6)))::DOUBLE AS s2
       FROM events GROUP BY event_type),
     st AS (
       SELECT event_type,

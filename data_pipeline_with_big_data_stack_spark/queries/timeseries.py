@@ -533,7 +533,11 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              count(*)                            AS n,
              sum(value::DECIMAL(18,6))::DOUBLE   AS s1,
-             sum((value::DECIMAL(18,6)) * (value::DECIMAL(18,6)))::DOUBLE AS s2
+             -- one operand DECIMAL(19,6): DuckDB then types the product
+             -- DECIMAL(37,12) on the int128 path (18x18 stays int64 and
+             -- OVERFLOWS at |v| > ~3034); Spark's 18,6 x 18,6 is the
+             -- same exact DECIMAL(37,12)
+             sum((value::DECIMAL(19,6)) * (value::DECIMAL(18,6)))::DOUBLE AS s2
       FROM events GROUP BY event_type),
     stats AS (
       SELECT event_type, n,
