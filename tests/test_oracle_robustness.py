@@ -99,3 +99,62 @@ def test_float_oracle_survives_hostile_values(spark, name, hostile_sf_dir):
     opdf = con.sql(ORACLES[name]).df()
     assert len(spdf) == len(opdf) > 0
     assert _canon(spdf) == _canon(opdf), f"{name} drifted on hostile values"
+
+
+@pytest.fixture(scope="module")
+def hostile_lineitem_dir(tmp_path_factory):
+    """A lineitem table with full-precision money columns — the fixture
+    ships 2-dp prices, so the quantize-then-sum money device has never
+    been exercised on 15-significant-digit doubles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(77)
+    n = 6000
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(rng.randint(1, 2000, n), pa.int64()),
+            "l_partkey": pa.array(rng.randint(1, 500, n), pa.int64()),
+            "l_suppkey": pa.array(rng.randint(1, 100, n), pa.int64()),
+            "l_linenumber": pa.array(rng.randint(1, 8, n), pa.int32()),
+            "l_quantity": pa.array(
+                rng.uniform(0.0001, 60.0, n), pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                rng.uniform(0.01, 120_000.0, n) * (1 + rng.randn(n) * 1e-9),
+                pa.float64(),
+            ),
+            "l_discount": pa.array(rng.uniform(0.0, 0.12, n), pa.float64()),
+            "l_tax": pa.array(rng.uniform(0.0, 0.09, n), pa.float64()),
+            "l_returnflag": pa.array(
+                rng.choice(["A", "N", "R"], n), pa.string()
+            ),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n), pa.string()),
+            "l_shipdate": pa.array(
+                (
+                    np.datetime64("1997-06-01")
+                    + rng.randint(0, 500, n).astype("timedelta64[D]")
+                ).astype("datetime64[us]")
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("hostile_li")
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q6_forecast_revenue"])
+def test_money_oracle_survives_full_precision_prices(
+    spark, name, hostile_lineitem_dir
+):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{hostile_lineitem_dir}/lineitem.parquet')"
+    )
+    spdf = QUERIES[name](spark, hostile_lineitem_dir).toPandas()
+    opdf = con.sql(ORACLES[name]).df()
+    assert len(spdf) == len(opdf) > 0
+    assert _canon(spdf) == _canon(opdf), f"{name} drifted on hostile prices"
