@@ -1,0 +1,140 @@
+"""Recall contracts for the fuzzy-dedup family on planted duplicates.
+
+The dedup queries are oracle-checked for mechanism (bit-exact agreement
+with a DuckDB replay), but a mechanism can agree with its oracle and
+still miss real duplicates. These tests plant KNOWN near-duplicate
+pairs — word-edited copies (high Jaccard), lightly-noised embeddings
+(cosine ≈ 0.99) — in synthetic corpora and require each pipeline to
+surface them. Deterministic: seeded data, md5-derived hashes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipeline_with_big_data_stack_spark.queries import QUERIES
+
+
+def _rand_doc(rng, n_words: int) -> list[str]:
+    return [
+        "w%04d" % rng.randint(0, 3000) for _ in range(n_words)
+    ]
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(tmp_path_factory):
+    """300 random documents with two planted duplicate classes, matched
+    to the detectors' design points: 8 LIGHT pairs (one word edited —
+    the near-identical boilerplate case simhash's hamming ≤ 3 targets)
+    and 8 MODERATE pairs (~4% of words edited — the fuzzy-copy case
+    minhash-LSH + Jaccard-verify targets)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(31337)
+    docs: dict[int, list[str]] = {
+        i: _rand_doc(rng, int(rng.randint(60, 180))) for i in range(300)
+    }
+    light, moderate = [], []
+    for k in range(16):
+        a = 10 + k * 18
+        b = a + 7  # the copy's id
+        if k < 8:
+            # light pairs ride on LONG documents: one edited word in
+            # 400-800 words keeps the changed-shingle fraction ~1%,
+            # which is the regime simhash's hamming ≤ 3 detects
+            docs[a] = _rand_doc(rng, int(rng.randint(400, 800)))
+        words = list(docs[a])
+        n_edits = 1 if k < 8 else max(2, len(words) // 25)
+        for _ in range(n_edits):
+            words[rng.randint(0, len(words))] = "w%04d" % rng.randint(0, 3000)
+        docs[b] = words
+        (light if k < 8 else moderate).append((a, b))
+    pairs = {"light": light, "moderate": moderate}
+    ids = sorted(docs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([" ".join(docs[i]) for i in ids], pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(
+                [f"src_{i % 5}" for i in ids], pa.string()
+            ),
+            "n_chars": pa.array(
+                [len(" ".join(docs[i])) for i in ids], pa.int64()
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted_docs")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d), pairs
+
+
+def _pairs(spark, name, sf):
+    return {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in QUERIES[name](spark, sf).collect()
+    }
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark, planted_docs_dir):
+    sf, planted = planted_docs_dir
+    got = _pairs(spark, "q_dedup_minhash_lsh", sf)
+    both = planted["light"] + planted["moderate"]
+    found = sum(1 for p in both if p in got)
+    assert found / len(both) >= 0.8, (found, len(both), sorted(got)[:20])
+    # the near-identical class must be essentially complete
+    found_light = sum(1 for p in planted["light"] if p in got)
+    assert found_light / len(planted["light"]) >= 0.85, found_light
+
+
+def test_simhash_finds_planted_duplicates(spark, planted_docs_dir):
+    """SimHash's hamming ≤ 3 targets near-identical documents: the
+    one-word-edit class must be found; the ~4% class is legitimately
+    out of its design range (minhash covers it)."""
+    sf, planted = planted_docs_dir
+    got = {(a, b) for a, b in _pairs(spark, "q_dedup_simhash", sf)}
+    found = sum(1 for p in planted["light"] if p in got)
+    assert found / len(planted["light"]) >= 0.75, (found, sorted(got)[:20])
+
+
+def test_ngram_jaccard_verifies_planted_duplicates(spark, planted_docs_dir):
+    """The verify stage must keep the near-identical pairs (true
+    Jaccard far above threshold) with high reported scores."""
+    sf, planted = planted_docs_dir
+    rows = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    found = [p for p in planted["light"] if p in rows]
+    assert len(found) / len(planted["light"]) >= 0.75, (len(found), rows)
+    assert all(rows[p] >= 0.5 for p in found), {p: rows[p] for p in found}
+
+
+def test_embedding_neardup_finds_planted_pairs(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(4096)
+    n, dim = 1500, 64
+    vecs = rng.randn(n, dim).astype(np.float32)
+    planted = []
+    for k in range(10):
+        a, b = 50 + k * 30, 50 + k * 30 + 11
+        vecs[b] = vecs[a] + rng.randn(dim).astype(np.float32) * 0.03
+        planted.append((a, b))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(rng.randint(0, 10, n), pa.int32()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted_neardup")
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    got = {
+        (min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
+        for r in QUERIES["q_embed_near_duplicates"](spark, str(d)).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found / len(planted) >= 0.8, (found, len(planted), sorted(got)[:10])
