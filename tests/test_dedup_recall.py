@@ -111,6 +111,58 @@ def test_ngram_jaccard_verifies_planted_duplicates(spark, planted_docs_dir):
     assert all(rows[p] >= 0.5 for p in found), {p: rows[p] for p in found}
 
 
+def test_fuzzy_decontamination_catches_planted_leaks(spark, tmp_path_factory):
+    """Effectiveness contract for the decontamination pass: corpus docs
+    that are lightly-paraphrased copies of benchmark probes (doc_id <
+    N_PROBE_DOCS plays the benchmark) must be flagged contaminated;
+    unrelated docs must not be."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_with_big_data_stack_spark.queries.curation import _N_PROBE_DOCS
+
+    rng = np.random.RandomState(555)
+    docs: dict[int, list[str]] = {
+        i: _rand_doc(rng, int(rng.randint(80, 200)))
+        for i in range(_N_PROBE_DOCS + 120)
+    }
+    leaked = []
+    for k in range(8):
+        probe = k % _N_PROBE_DOCS
+        cid = _N_PROBE_DOCS + 5 + k * 12
+        words = list(docs[probe])
+        for _ in range(max(1, len(words) // 30)):  # ~3% paraphrased
+            words[rng.randint(0, len(words))] = "w%04d" % rng.randint(0, 3000)
+        docs[cid] = words
+        leaked.append(cid)
+    ids = sorted(docs)
+    d = tmp_path_factory.mktemp("planted_contam")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([" ".join(docs[i]) for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array([f"src_{i % 5}" for i in ids], pa.string()),
+                "n_chars": pa.array(
+                    [len(" ".join(docs[i])) for i in ids], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["q_fuzzy_decontamination"](spark, str(d)).collect()
+    }
+    flagged = {i for i, r in rows.items() if r.contaminated}
+    found = sum(1 for c in leaked if c in flagged)
+    assert found / len(leaked) >= 0.85, (found, leaked, sorted(flagged))
+    # precision: nothing outside the planted leaks gets flagged (random
+    # docs share no meaningful shingles with the probes)
+    assert flagged <= set(leaked), flagged - set(leaked)
+
+
 def test_embedding_neardup_finds_planted_pairs(spark, tmp_path_factory):
     import pyarrow as pa
     import pyarrow.parquet as pq
