@@ -111,6 +111,60 @@ def test_ngram_jaccard_verifies_planted_duplicates(spark, planted_docs_dir):
     assert all(rows[p] >= 0.5 for p in found), {p: rows[p] for p in found}
 
 
+def test_language_id_classifies_planted_languages(spark, tmp_path_factory):
+    """Effectiveness contract for the stopword lang-ID: documents salted
+    with one language's stopwords classify as that language (ambiguous
+    es/fr shared words — de/la/que — resolve by distinct-hit count);
+    stopword-free documents classify unknown."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    salt = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "y", "que", "el"],
+        "de": ["der", "die", "das", "und", "zu"],
+        "fr": ["le", "et", "la", "de", "le"],
+    }
+    rng = np.random.RandomState(99)
+    rows = []
+    expected = {}
+    i = 0
+    for lang, words in salt.items():
+        for _ in range(5):
+            body = _rand_doc(rng, 40) + words * 4
+            rng.shuffle(body)
+            rows.append((i, " ".join(body), lang))
+            expected[i] = lang
+            i += 1
+    for _ in range(5):  # no stopwords at all
+        rows.append((i, " ".join(_rand_doc(rng, 40)), "xx"))
+        expected[i] = "unknown"
+        i += 1
+    d = tmp_path_factory.mktemp("planted_langs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: r.predicted_lang
+        for r in QUERIES["q_doc_language_id"](spark, str(d)).collect()
+    }
+    correct = sum(1 for i, lang in expected.items() if got[i] == lang)
+    assert correct / len(expected) >= 0.9, {
+        i: (got[i], expected[i]) for i in expected if got[i] != expected[i]
+    }
+
+
 def test_fuzzy_decontamination_catches_planted_leaks(spark, tmp_path_factory):
     """Effectiveness contract for the decontamination pass: corpus docs
     that are lightly-paraphrased copies of benchmark probes (doc_id <
