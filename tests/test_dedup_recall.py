@@ -111,6 +111,70 @@ def test_ngram_jaccard_verifies_planted_duplicates(spark, planted_docs_dir):
     assert all(rows[p] >= 0.5 for p in found), {p: rows[p] for p in found}
 
 
+def _write_docs(tmp_path_factory, name, rows):
+    """rows: [(doc_id, text)] → a documents.parquet dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp(name)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_gopher_quality_flags_planted_spam(spark, tmp_path_factory):
+    """Planted degenerate documents (one word repeated, boilerplate
+    trigram loops) must fail the Gopher filter; normal varied documents
+    must pass it."""
+    rng = np.random.RandomState(7)
+    rows, expect_ok = [], {}
+    for i in range(10):  # healthy: varied words, sane lengths
+        rows.append((i, " ".join(_rand_doc(rng, 120))))
+        expect_ok[i] = True
+    for i in range(10, 16):  # spam: one token repeated
+        rows.append((i, " ".join(["w0001"] * 150)))
+        expect_ok[i] = False
+    for i in range(16, 20):  # boilerplate: 3-word loop
+        rows.append((i, " ".join(["alpha", "beta", "gamma"] * 50)))
+        expect_ok[i] = False
+    sf = _write_docs(tmp_path_factory, "planted_spam", rows)
+    got = {
+        r.doc_id: r.quality_ok
+        for r in QUERIES["q_doc_gopher_quality"](spark, sf).collect()
+    }
+    for i, ok in expect_ok.items():
+        assert got[i] == ok, (i, got[i], ok)
+
+
+def test_unigram_logprob_ranks_planted_rare_docs_lower(spark, tmp_path_factory):
+    """A doc of corpus-rare words must score lower average logprob than
+    docs of corpus-common words — the ordering the perplexity-proxy
+    filter exists for."""
+    rng = np.random.RandomState(8)
+    common = ["c%02d" % i for i in range(20)]
+    rows = []
+    for i in range(30):  # common-vocabulary corpus mass
+        rows.append((i, " ".join(rng.choice(common, 100))))
+    rows.append((100, " ".join("r%04d" % k for k in range(100))))  # all-rare
+    sf = _write_docs(tmp_path_factory, "planted_rare", rows)
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in QUERIES["q_doc_unigram_logprob"](spark, sf).collect()
+    }
+    rare = got.pop(100)
+    assert rare < min(got.values()), (rare, min(got.values()))
+
+
 def test_language_id_classifies_planted_languages(spark, tmp_path_factory):
     """Effectiveness contract for the stopword lang-ID: documents salted
     with one language's stopwords classify as that language (ambiguous
