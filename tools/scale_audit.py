@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Empirical scale audit: do the heavy operators scale linearly?
+
+Generates twin synthetic datasets at 1x and 10x (same generator, same
+distributions — only row counts differ), runs representative queries at
+both, and reports the runtime ratio. A shuffle-safe linear operator
+should land near the data ratio (or below, for fixed-output
+aggregations); a pair-explosion or driver-loop defect shows up as a
+superlinear blow-up. Results are recorded in COVERAGE.md.
+
+Usage: python tools/scale_audit.py [factor]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_pipeline_with_big_data_stack_spark.queries import QUERIES
+from data_pipeline_with_big_data_stack_spark.session import get_spark
+
+QUERY_SET = [
+    "q_events_hourly_rollup",
+    "q_events_sessionization",
+    "q_events_retention_cohorts",
+    "q_asof_purchase_to_click",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_doc_sequence_packing",
+    "q_doc_unigram_logprob",
+    "q_ann_cosine_topk",
+    "q_ann_ivf_topk",
+    "q_grouped_normalize_values",
+]
+
+
+def gen(dirpath: str, n_events: int, n_docs: int, n_vecs: int, seed: int = 1) -> None:
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    n_users = max(50, n_events // 650)
+    ts = (
+        np.datetime64("2024-01-01")
+        + rng.randint(0, 300 * 24 * 3600, n_events).astype("timedelta64[s]")
+    ).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_events), pa.int64()),
+                "ts": pa.array(np.sort(ts)),
+                "user_id": pa.array(rng.randint(0, n_users, n_events), pa.int64()),
+                "event_type": pa.array(
+                    rng.choice(
+                        ["view", "click", "purchase", "signup", "error"],
+                        n_events,
+                        p=[0.55, 0.25, 0.1, 0.05, 0.05],
+                    ),
+                    pa.string(),
+                ),
+                "value": pa.array(
+                    np.round(rng.exponential(40.0, n_events), 3), pa.float64()
+                ),
+                "props": pa.array(["{}"] * n_events, pa.string()),
+            }
+        ),
+        os.path.join(dirpath, "events.parquet"),
+    )
+    words = np.array(["w%04d" % i for i in range(3000)])
+    docs = [
+        " ".join(rng.choice(words, rng.randint(60, 180))) for _ in range(n_docs)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * n_docs, pa.string()),
+                "source": pa.array(
+                    ["src_%d" % (i % 20) for i in range(n_docs)], pa.string()
+                ),
+                "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+            }
+        ),
+        os.path.join(dirpath, "documents.parquet"),
+    )
+    vecs = rng.randn(n_vecs, 64).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array(rng.randint(0, 10, n_vecs), pa.int32()),
+            }
+        ),
+        os.path.join(dirpath, "embeddings.parquet"),
+    )
+
+
+def run(spark, name: str, sf: str) -> float:
+    QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = "/tmp/spark_scale_audit"
+    d1, dN = f"{base}/x1", f"{base}/x{factor}"
+    print(f"generating 1x and {factor}x twins ...", flush=True)
+    gen(d1, 100_000, 5_000, 5_000)
+    gen(dN, 100_000 * factor, 5_000 * factor, 5_000 * factor)
+    spark = get_spark()
+    print(f"{'query':38s} {'1x':>7s} {factor:>5d}x  ratio")
+    for name in QUERY_SET:
+        t1 = run(spark, name, d1)
+        tN = run(spark, name, dN)
+        print(f"{name:38s} {t1:7.3f} {tN:7.3f}  {tN / t1:5.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
