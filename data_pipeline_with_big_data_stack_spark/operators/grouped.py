@@ -11,11 +11,74 @@ whole-table ops.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame
 
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 
 pickle_by_value(__name__)  # grouped fns ship by value to workers
+
+_QUANTUM = Decimal("0.000001")
+
+
+def quantize_micros(values):
+    """Exact decimal(·,6) quantization of a float64 array, vectorized:
+    int64 micros m with m/10⁶ == Decimal(v).quantize(1e-6, HALF_EVEN).
+
+    The hot path multiplies in float128 (64-bit mantissa) and rounds
+    half-even with ``rint``; any element whose scaled value sits within
+    the float128 error bound of a .5 rounding boundary — or is too
+    large for the bound to stay below 1 — falls back to exact
+    ``Decimal`` arithmetic. This keeps the corpus-bounded work
+    vectorized (no per-row Python loop) while staying bit-identical to
+    the pure-Decimal reference, which the tests pin."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    m128 = v.astype(np.float128) * np.float128(10**6)
+    m = np.rint(m128).astype(np.int64)
+    frac = m128 - np.floor(m128)
+    # float128 relative error ~2^-63; use a wide 1e-15 margin, plus an
+    # absolute floor for subnormal-scale values
+    bound = np.maximum(np.abs(m128) * np.float128(1e-15), np.float128(1e-9))
+    slow = (np.abs(frac - 0.5) <= bound) | (np.abs(v) >= 1e12)
+    if slow.any():
+        for i in np.flatnonzero(slow):
+            m[i] = int(
+                Decimal(float(v[i])).quantize(_QUANTUM).scaleb(6)
+            )
+    return m
+
+
+def exact_decimal_moments(values):
+    """(n, s1, s2): count and float64 images of the EXACT sums of the
+    decimal(·,6)-quantized values and their squares — the engine's
+    cross-engine-reproducible moment device, vectorized. Totals are
+    accumulated as arbitrary-precision Python ints (object dtype — a
+    C-level loop over machine ints, ~10× per-row Decimal), so neither
+    sum can overflow."""
+    import numpy as np
+
+    m = quantize_micros(values)
+    n = len(m)
+    if n and int(np.abs(m).max()) <= 3_000_000_000:
+        # common-magnitude fast path (|v| ≤ ~3000): m² fits int64, and
+        # splitting each square into 32-bit lanes keeps BOTH lane sums
+        # inside int64 for any realistic group size — fully vectorized,
+        # no object boxing at all
+        s1_int = int(m.sum())
+        sq = m * m
+        s2_int = (int((sq >> 32).sum()) << 32) + int((sq & 0xFFFFFFFF).sum())
+    elif n:
+        mo = m.astype(object)
+        s1_int = int(mo.sum())
+        s2_int = int(np.dot(mo, mo))
+    else:
+        s1_int = s2_int = 0
+    s1 = float(Decimal(s1_int).scaleb(-6))
+    s2 = float(Decimal(s2_int).scaleb(-12))
+    return n, s1, s2
 
 
 def normalize_per_group(
@@ -25,24 +88,20 @@ def normalize_per_group(
     the group key, then vectorized pandas per group.
 
     The group moments (sum, sum-of-squares) accumulate EXACTLY over
-    decimal(18,6)-quantized values, so mean/σ — and every z — are
+    decimal(18,6)-quantized values (:func:`exact_decimal_moments` —
+    vectorized, no per-row Python loop), so mean/σ — and every z — are
     bit-reproducible across engines, partitionings, and row orders
     (the same exact-moments device as q_events_anomaly_zscore; a float
     ``Series.std()`` drifts in the last ulp with summation order). A
     degenerate group (n < 2 or σ = 0) normalizes to 0.0."""
     import math
-    from decimal import Decimal
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{fields}, {out_col} double"
-    quantum = Decimal("0.000001")
 
     def norm(pdf):
         v = pdf[value_col]
-        n = len(v)
-        dv = [Decimal(float(x)).quantize(quantum) for x in v]
-        s1 = float(sum(dv))
-        s2 = float(sum(d * d for d in dv))
+        n, s1, s2 = exact_decimal_moments(v.values)
         mean = s1 / n
         sd = (
             math.sqrt(max((s2 - s1 * s1 / n) / (n - 1), 0.0)) if n > 1 else 0.0

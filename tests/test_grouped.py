@@ -39,6 +39,73 @@ def test_winsorize_clamps_to_group_quantiles(spark):
         assert clamped[k][1] < orig[k][1]  # 90th pct < max with real data
 
 
+def test_quantize_micros_matches_decimal_reference():
+    """The vectorized float128 quantization must agree with pure
+    Decimal quantize-half-even on every element — including crafted
+    near-.5-boundary values, large magnitudes, negatives, and
+    denormal-scale inputs."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.grouped import quantize_micros
+
+    rng = np.random.RandomState(123)
+    crafted = np.array(
+        [
+            0.0,
+            -0.0,
+            1.0,
+            -1.0,
+            0.0000005,      # nominal .5 boundary (not exactly representable)
+            -0.0000005,
+            0.0000015,
+            123.4567895,
+            -123.4567885,
+            1e-9,
+            -1e-9,
+            3.0000004999999,
+            2.9999995000001,
+            987654321.123456789,
+            -987654321.987654321,
+            1e11 + 0.4999995,
+            1e12,           # slow-path magnitude gate
+            -5e12,
+        ]
+    )
+    randoms = np.concatenate(
+        [
+            rng.randn(20000) * 10.0 ** rng.uniform(-6, 10, 20000),
+            rng.randint(-10**6, 10**6, 5000).astype(float),
+            np.round(rng.randn(5000) * 1000, 6),
+        ]
+    )
+    for arr in (crafted, randoms):
+        fast = quantize_micros(arr)
+        for x, got in zip(arr, fast):
+            exp = int(Decimal(float(x)).quantize(Decimal("0.000001")).scaleb(6))
+            assert int(got) == exp, (x, int(got), exp)
+
+
+def test_exact_decimal_moments_matches_decimal_reference():
+    from decimal import Decimal
+
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.grouped import (
+        exact_decimal_moments,
+    )
+
+    rng = np.random.RandomState(5)
+    v = rng.randn(30000) * 10.0 ** rng.uniform(-4, 8, 30000)
+    n, s1, s2 = exact_decimal_moments(v)
+    q = Decimal("0.000001")
+    dv = [Decimal(float(x)).quantize(q) for x in v]
+    assert n == len(v)
+    assert s1 == float(sum(dv))
+    assert s2 == float(sum(d * d for d in dv))
+
+
 # ---------------------------------------------------------------------
 # distributed Lloyd's k-means (operators/kmeans.py)
 # ---------------------------------------------------------------------
