@@ -126,6 +126,69 @@ def q_theta_sketch_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered ROWS-ONLY; the ±normalized-rank-error accuracy contract is
 # pinned in tests/test_sketches.py against the exact percentiles.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Equi-width histograms (the druid-histogram extension's other half —
+# Druid loads it alongside druid-datasketches, M/app_druid/environment
+# .env:5). Exact and fully oracle-able: both engines evaluate the same
+# bin expression on the same doubles, so the bucket assignment is
+# bit-identical — no approximation, unlike the sketch family above.
+# Scale shape: one pass for per-type bounds (broadcast back), one
+# combiner-friendly groupBy on (type, bin) — never a sort.
+# --------------------------------------------------------------------------
+_N_BINS = 20
+
+
+@query(
+    "q_events_value_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             min(value) AS lo,
+             max(value) AS hi
+      FROM events GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least(CAST(floor((e.value - b.lo)
+                                        / ((b.hi - b.lo) / {_N_BINS})) AS BIGINT),
+                             {_N_BINS - 1}) END AS bin,
+             b.lo, b.hi
+      FROM events e JOIN b ON e.event_type = b.event_type)
+    SELECT event_type, bin,
+           count(*)::BIGINT AS n,
+           round(lo + bin * ((hi - lo) / {_N_BINS}), 6)       AS bin_lo,
+           round(lo + (bin + 1) * ((hi - lo) / {_N_BINS}), 6) AS bin_hi
+    FROM binned
+    GROUP BY event_type, bin, lo, hi
+    """,
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / _N_BINS
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / w).cast("long"),
+            F.lit(_N_BINS - 1),
+        )
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select("event_type", bin_.alias("bin"), "lo", "hi")
+        .groupBy("event_type", "bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            F.round(F.col("lo") + F.col("bin") * w, 6).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * w, 6).alias("bin_hi"),
+        )
+    )
+
+
 @query("q_kll_quantile_sketch", oracle=None)
 def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")

@@ -21,6 +21,7 @@ FLOAT_ORACLED = [
     "q_events_anomaly_zscore",
     "q_grouped_normalize_values",
     "q_grouped_winsorize_values",
+    "q_events_value_histogram",
 ]
 
 
