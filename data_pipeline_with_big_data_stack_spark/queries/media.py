@@ -139,10 +139,30 @@ def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Byte-feature decode: mapInPandas (Arrow batches) — non-SQL operator,
-# rows-only correctness check; determinism is asserted in unit tests.
+# Byte-feature decode: mapInPandas (Arrow batches). The synthetic media
+# blob is unhex(repeat(md5(text), 8)) — 16 digest bytes repeated 8× —
+# so the oracle recomputes every feature from first principles on the
+# md5 (same device as the WAV query): the repeat leaves the byte MEAN
+# unchanged (sum128/128 == sum16/16, both exact power-of-two
+# divisions) and scales each 16-wide histogram bin count by 8. A
+# mapInPandas offset/dtype/binning bug therefore fails the value gate.
 # --------------------------------------------------------------------------
-@query("q_media_byte_features", oracle=None)
+@query(
+    "q_media_byte_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(text), 2*i - 1, 2))::INT
+              for i in range(1, 17)] AS bytes
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           128                                               AS n_bytes,
+           round(list_sum(bytes) / 16.0, 4)                  AS mean_byte,
+           (8 * len(list_filter(bytes, x -> x // 16 = 0)))::INT  AS hist_bin0,
+           (8 * len(list_filter(bytes, x -> x // 16 = 15)))::INT AS hist_bin15
+    FROM b
+    """,
+)
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = M.attach_image(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
     feats = M.decode_image_features(d)
