@@ -122,7 +122,21 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for _id, blob in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 b = bytes(blob)
-                if b.startswith(PNG_MAGIC):
+                # synth_media blobs are a repeated 16-byte md5 digest;
+                # ~1 in 65k digests BEGINS with a container magic (ffd8
+                # is only two bytes), which would misroute the blob into
+                # a real decoder and crash on garbage — the exact
+                # periodicity test is unambiguous (no real container is
+                # 16-byte-periodic), so check it FIRST
+                synthetic = (
+                    len(b) >= 32
+                    and len(b) % 16 == 0
+                    and b == b[:16] * (len(b) // 16)
+                )
+                if synthetic:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    geom = (False, None, None, None)
+                elif b.startswith(PNG_MAGIC):
                     w, h, nch, arr = decode_png(b)
                     geom = (True, w, h, nch)
                 elif b.startswith(b"GIF8"):

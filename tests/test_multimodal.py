@@ -483,6 +483,25 @@ def test_progressive_jpeg_decodes_independent_real_file():
     assert arr[h // 2, w // 2].tolist() == [80, 81, 79]  # dark chip center
 
 
+def test_synthetic_blob_with_magic_prefix_takes_byte_path(spark):
+    """~1 in 65k md5 digests begins with ff d8 (the 2-byte JPEG magic);
+    a synthetic repeated-digest blob that hits one must take the
+    byte-feature path, not crash the JPEG decoder on garbage."""
+    from data_pipeline_with_big_data_stack_spark.operators.multimodal import decode_image_features
+
+    digest = b"\xff\xd8" + bytes(range(14))  # adversarial digest
+    rows = [
+        (0, digest * 8),                           # jpeg-magic synthetic
+        (1, (b"\x89PNG\r\n\x1a\n" + bytes(8)) * 8),  # png-magic synthetic
+        (2, (b"GIF8" + bytes(12)) * 8),            # gif-magic synthetic
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r for r in decode_image_features(df).collect()}
+    for i in range(3):
+        assert got[i].decoded is False, i
+        assert got[i].n_bytes == 128
+
+
 def test_jpeg_fill_bytes_before_markers():
     """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
     the decoder must skip them in the header loop AND in the post-scan
