@@ -61,11 +61,13 @@ HEADLINE = [
     "q_events_anomaly_zscore",
     "q_theta_sketch_user_sets",
     "q_rollup_incremental_maintenance",
-    # round-4 additions (newly oracled grouped-map ops + the
-    # constant-depth vocabulary-cached BPE tokenize)
+    # round-4 additions (newly oracled grouped-map ops, the
+    # constant-depth vocabulary-cached BPE tokenize, and the
+    # druid-histogram-parallel dashboard aggregation)
     "q_grouped_normalize_values",
     "q_grouped_winsorize_values",
     "q_doc_tokenize_bpe",
+    "q_events_value_histogram",
 ]
 
 
