@@ -68,6 +68,10 @@ HEADLINE = [
     "q_grouped_winsorize_values",
     "q_doc_tokenize_bpe",
     "q_events_value_histogram",
+    # round-4 continuation: the MG frequent-items sketch and the
+    # SemDeDup cluster-then-cosine dedup family
+    "q_frequent_items_users",
+    "q_semdedup_embeddings",
 ]
 
 

@@ -1,0 +1,106 @@
+"""Misra-Gries frequent-items (heavy hitters) sketch.
+
+Completes the engine's DataSketches parity set next to HLL / Theta / KLL
+(Druid loads ``druid-datasketches`` — ``M/app_druid/environment.env:5`` —
+whose fourth family is the Frequencies sketch): which items appear most
+often, answered from k-bounded mergeable state instead of a full
+groupBy over every distinct key.
+
+Scale shape (the reason the sketch exists at 100 TB):
+
+- **map side**: each partition folds its rows into ONE Misra-Gries
+  summary of at most ``k`` counters (an Arrow-batched ``mapInPandas``
+  fold — per-batch ``value_counts`` merged into the running dict, then
+  the standard batched MG reduction: subtract the (k+1)-th largest
+  count from every counter and drop the non-positives). A partition
+  emits ≤ k+1 rows no matter how many distinct items it saw.
+- **merge side**: summing per-item counts across partition summaries is
+  exactly the mergeable-summaries MG merge (Agarwal et al., "Mergeable
+  Summaries", PODS 2012): for every item,
+  ``true - Σ err_p  ≤  Σ cnt_p  ≤  true``, where ``err_p`` is the total
+  amount partition *p* subtracted during reductions
+  (``err_p ≤ n_p / (k+1)``). So the shuffle moves O(k) rows per
+  partition — never the raw key space — and the result carries a hard
+  deterministic error bracket, not a probabilistic one.
+- **exact regime**: a partition that never exceeds k distinct items
+  never reduces (``err_p = 0``), so the merged counts equal an exact
+  groupBy — the same exact-below-capacity device the Theta query uses
+  for its full value oracle (``queries/sketches.py``). Estimate-mode
+  accuracy at >100 K distinct keys is pinned in
+  ``tests/test_sketches.py``.
+
+MG is deterministic (no hashing, no RNG): the summary is a pure
+function of partition contents, which is what lets the exact regime
+carry a value oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
+
+pickle_by_value(__name__)
+
+
+def mg_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``item_col`` (cast to
+    string): rows ``(item, cnt)`` with ``item IS NULL`` carrying the
+    partition's total reduction error ``err_p`` in ``cnt``. At most
+    k + 1 output rows per partition."""
+
+    src = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def fold(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                # batched MG reduction: one sort of the k-bounded dict,
+                # not one decrement pass per excess row
+                t = sorted(counts.values(), reverse=True)[k]
+                counts = {i: c - t for i, c in counts.items() if c > t}
+                err += t
+        out = pd.DataFrame(
+            {
+                "item": [*counts.keys(), None],
+                "cnt": [*counts.values(), err],
+            }
+        )
+        yield out.astype({"cnt": "int64"})
+
+    return src.mapInPandas(fold, schema="item string, cnt long")
+
+
+def mg_frequent_items(
+    df: DataFrame, item_col: str, k: int, top_n: int
+) -> DataFrame:
+    """Top ``top_n`` items by Misra-Gries estimate with deterministic
+    error bracket: ``est_count ≤ true ≤ max_count``. Ordering is total
+    ((est_count DESC, item ASC)) so the result set is stable."""
+    summ = mg_summaries(df, item_col, k)
+    est = (
+        summ.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+    total_err = summ.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__err")
+    )
+    return (
+        est.join(F.broadcast(total_err))
+        .select(
+            "item",
+            "est_count",
+            (F.col("est_count") + F.col("__err")).alias("max_count"),
+        )
+        .orderBy(F.desc("est_count"), "item")
+        .limit(top_n)
+    )

@@ -189,6 +189,38 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Misra-Gries frequent items (the DataSketches Frequencies family —
+# the fourth sketch Druid's druid-datasketches extension ships next to
+# Theta/HLL/KLL): top users by event count from k-bounded mergeable
+# per-partition summaries (operators/freq.py) instead of a full
+# groupBy over every distinct key. Same exact-regime device as the
+# Theta query: below the summary capacity (k=4096 vs ≤1.5 K distinct
+# users per partition on the fixtures) MG never reduces, counts are
+# exact and the error bracket collapses (max_count == est_count), so
+# the query carries a FULL value oracle; estimate-mode accuracy at
+# 200 K distinct keys is pinned in tests/test_sketches.py.
+# --------------------------------------------------------------------------
+_MG_K = 4096
+_MG_TOP = 25
+
+
+@query(
+    "q_frequent_items_users",
+    oracle=f"""
+    WITH c AS (SELECT user_id::VARCHAR AS item, count(*)::BIGINT AS est_count
+               FROM events GROUP BY user_id)
+    SELECT item, est_count, est_count AS max_count
+    FROM c ORDER BY est_count DESC, item LIMIT {_MG_TOP}
+    """,
+)
+def q_frequent_items_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.freq import mg_frequent_items
+
+    e = _t(spark, sf_dir, "events")
+    return mg_frequent_items(e, "user_id", k=_MG_K, top_n=_MG_TOP)
+
+
 @query("q_kll_quantile_sketch", oracle=None)
 def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")

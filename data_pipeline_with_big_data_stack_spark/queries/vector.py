@@ -556,12 +556,11 @@ _KM_ORACLE = f"""
 """
 
 
-@query("q_kmeans_embeddings", oracle=_KM_ORACLE)
-def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
-
-    e = _emb(spark, sf_dir).select("vec_id", "emb")
-    init = (
+def _km_demo_init(e: DataFrame) -> DataFrame:
+    """Deterministic id-sampled init codebook (every 100th vec_id) — the
+    1-row broadcast shape lloyd_kmeans expects; shared by the k-means
+    and SemDeDup queries so their oracles replay one trajectory."""
+    return (
         e.filter(
             (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _KM_K * 100)
         )
@@ -571,7 +570,14 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     )
-    assigned, cb = lloyd_kmeans(e, init, iters=_KM_ITERS)
+
+
+@query("q_kmeans_embeddings", oracle=_KM_ORACLE)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    assigned, cb = lloyd_kmeans(e, _km_demo_init(e), iters=_KM_ITERS)
     sizes = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
@@ -714,4 +720,99 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recon_err"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic deduplication by cluster-then-cosine (Abbas et
+# al. 2023, arXiv:2303.09540): k-means the embeddings, then compare
+# pairs only WITHIN a cluster and drop every document whose cosine to a
+# lower-id cluster-mate reaches the threshold. A distinct dedup family
+# from MinHash/SimHash (surface text) and SRP-LSH (hash-blocked
+# pairs): the blocking structure here is the learned cluster itself.
+#
+# Scale shape: the quadratic pair step never touches the corpus — it
+# runs per cluster, and SemDeDup picks K proportional to corpus size so
+# the expected cluster stays bounded (the paper uses 50 K clusters for
+# 100 M+ docs); the join shuffles each vector once on cluster_id, and
+# per-vector norms are computed once before the pair join, not per
+# pair. Determinism: the same id-sampled init + decimal-mean k-means
+# trajectory as q_kmeans_embeddings, so the DuckDB oracle replays the
+# full pipeline — clustering, pairing, threshold, and keeper choice —
+# and value-checks every removed doc.
+# --------------------------------------------------------------------------
+_SEM_TAU = 0.35
+
+_SEM_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+           FROM e WHERE vec_id % 100 = 0 AND vec_id < {_KM_K * 100}),
+    {_km_round_sql('e', 'c0', 'a1', 'c1')},
+    {_km_round_sql('e', 'c1', 'a2', 'c2')},
+    a3 AS (
+      SELECT vec_id, cell_id AS cluster_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_km_dist_sql('v', 'c')}, c.cell_id) AS rk
+        FROM e v CROSS JOIN c2 c) WHERE rk = 1),
+    d AS (
+      SELECT y.vec_id AS vec_id, y.cluster_id, x.vec_id AS dup_of,
+             round(list_dot_product(ex.emb, ey.emb)
+                   / (sqrt(list_dot_product(ex.emb, ex.emb))
+                      * sqrt(list_dot_product(ey.emb, ey.emb))), 6) AS cosine
+      FROM a3 x JOIN a3 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      JOIN e ex ON ex.vec_id = x.vec_id
+      JOIN e ey ON ey.vec_id = y.vec_id)
+    SELECT vec_id, cluster_id, dup_of, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, dup_of) AS rn
+      FROM d WHERE cosine >= {_SEM_TAU}) WHERE rn = 1
+"""
+
+
+@query("q_semdedup_embeddings", oracle=_SEM_ORACLE)
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs removed by SemDeDup at cosine ≥ 0.35, each with its kept
+    duplicate (highest rounded cosine, lowest dup_of on ties)."""
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    assigned, _cb = lloyd_kmeans(e, _km_demo_init(e), iters=_KM_ITERS)
+    # one norm per vector BEFORE the pair join (25 K pairs at sf0.01
+    # would otherwise recompute each side's norm per pair)
+    # localCheckpoint: both pair-join sides consume the assignment —
+    # without it each side re-executes the whole 2-round training chain
+    vecs = assigned.select(
+        "cluster_id", "vec_id", "emb", _norm(F.col("emb")).alias("nrm")
+    ).localCheckpoint(eager=True)
+    # salt the pair join: the demo K (8 clusters) is far below the core
+    # count, so joining on cluster_id alone would funnel ALL O(n_c²)
+    # dot products through K tasks. The y side gets a deterministic
+    # salt, the x side is replicated per salt (the small-side-replicate
+    # pattern from operators/layout.skew_salt) — K×_SEM_SALTS join keys
+    # spread the pair compute without changing the pair set.
+    n_salts = 8
+    y = vecs.withColumn("__salt", F.pmod("vec_id", F.lit(n_salts)))
+    x = vecs.select(
+        "cluster_id",
+        F.col("vec_id").alias("dup_of"),
+        F.col("emb").alias("x_emb"),
+        F.col("nrm").alias("x_nrm"),
+    ).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cos = F.round(
+        _dot(F.col("x_emb"), F.col("emb")) / (F.col("x_nrm") * F.col("nrm")), 6
+    )
+    d = (
+        y.join(x, ["cluster_id", "__salt"])
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .select("vec_id", "cluster_id", "dup_of", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _SEM_TAU)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "dup_of")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "dup_of", "cosine")
     )

@@ -100,3 +100,21 @@ def test_ivf_fixture_recall_floor(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_semdedup_removes_planted_twins(spark, planted_sf_dir):
+    """SemDeDup contract on the same planted corpus: each probe's
+    cosine≈0.99 twins sit (deterministically) in the probe's k-means
+    cluster, so every twin must be removed with a same-group keeper
+    (the probe or a lower-id twin) — cluster-then-cosine finds the
+    planted semantic duplicates, not just the fixture's moderate-cosine
+    neighbors the oracle checks."""
+    removed = {
+        r.vec_id: r.dup_of
+        for r in QUERIES["q_semdedup_embeddings"](spark, planted_sf_dir[0]).collect()
+    }
+    for q, ids in planted_sf_dir[1].items():
+        group = {q} | ids
+        for pid in ids:
+            assert pid in removed, (q, pid)
+            assert removed[pid] in group, (pid, removed[pid], group)

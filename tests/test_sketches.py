@@ -169,3 +169,61 @@ def test_kll_quantiles_within_rank_error(spark):
         assert rows[t].sketch_n == x.n
         assert x.p50_lo - 1e-9 <= rows[t].kll_p50 <= x.p50_hi + 1e-9, t
         assert x.p95_lo - 1e-9 <= rows[t].kll_p95 <= x.p95_hi + 1e-9, t
+
+
+def test_mg_exact_regime_matches_groupby(spark):
+    """Below summary capacity Misra-Gries never reduces: counts equal
+    an exact groupBy and the error bracket collapses (the invariant the
+    q_frequent_items_users value oracle rides on)."""
+    from data_pipeline_with_big_data_stack_spark.operators.freq import mg_frequent_items
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+
+    e = load_table(spark, SF_CORRECTNESS, "events")
+    got = mg_frequent_items(e, "user_id", k=4096, top_n=10).collect()
+    exact = dict(
+        e.groupBy(e.user_id.cast("string").alias("item"))
+        .count()
+        .collect()
+    )
+    assert len(got) == 10
+    for r in got:
+        assert r.est_count == exact[r.item]
+        assert r.max_count == r.est_count
+
+
+def test_mg_estimate_mode_heavy_hitters_at_scale(spark):
+    """Estimate mode — what runs at 100 TB: 200 K rows, ~100 K distinct
+    tail keys, 10 planted heavy hitters, k=256 (far below the
+    cardinality). MG's deterministic guarantee: every reported
+    ``est_count`` is an undercount by at most the summed per-partition
+    reduction error, so ``est_count <= true <= max_count``; any item
+    with true count > n/(k+1) MUST survive, so all 10 planted heavies
+    are reported and rank above the tail."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.freq import mg_frequent_items
+
+    n_tail, heavy_freq = 180_000, 2_000
+    tail = spark.range(n_tail).select(
+        # ~90 K distinct tail keys (two rows each), md5-scattered
+        F.md5(F.concat(F.lit("t"), (F.col("id") % 90_000).cast("string"))).alias(
+            "item"
+        )
+    )
+    heavies = (
+        spark.range(10 * heavy_freq)
+        .select((F.col("id") % 10).alias("h"))
+        .select(F.concat(F.lit("heavy_"), F.col("h").cast("string")).alias("item"))
+    )
+    df = tail.unionAll(heavies).repartition(32)
+    n_total = n_tail + 10 * heavy_freq
+    got = mg_frequent_items(df, "item", k=256, top_n=25).collect()
+
+    reported = {r.item: r for r in got}
+    top10 = [r.item for r in got[:10]]
+    assert sorted(top10) == [f"heavy_{i}" for i in range(10)], top10
+    for i in range(10):
+        r = reported[f"heavy_{i}"]
+        assert r.est_count <= heavy_freq <= r.max_count, (r, heavy_freq)
+        # the bracket is the global MG bound, not vacuously wide
+        assert r.max_count - r.est_count <= n_total // (256 + 1) * 32
