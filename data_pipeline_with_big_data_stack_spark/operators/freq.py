@@ -86,13 +86,21 @@ def mg_frequent_items(
     error bracket: ``est_count ≤ true ≤ max_count``. Ordering is total
     ((est_count DESC, item ASC)) so the result set is stable."""
     summ = mg_summaries(df, item_col, k)
-    est = (
-        summ.filter(F.col("item").isNotNull())
-        .groupBy("item")
+    # ONE aggregation over the summaries, materialized
+    # (localCheckpoint) because two consumers read it (item counts +
+    # error total): Catalyst pushes each branch's item-null filter
+    # BELOW the groupBy, so without the cut the exchange subtrees
+    # differ, ReuseExchange can't kick in, and the corpus-wide MG fold
+    # would execute twice. The checkpointed table is summary-bounded
+    # (≤ partitions × (k+1) rows pre-merge), never corpus-sized.
+    agg = (
+        summ.groupBy("item")
         .agg(F.sum("cnt").alias("est_count"))
+        .localCheckpoint(eager=True)
     )
-    total_err = summ.filter(F.col("item").isNull()).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__err")
+    est = agg.filter(F.col("item").isNotNull())
+    total_err = agg.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("est_count"), F.lit(0)).alias("__err")
     )
     return (
         est.join(F.broadcast(total_err))

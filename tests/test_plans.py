@@ -343,3 +343,31 @@ class TestRound4ScaleShapes:
         assert "SortMergeJoin" not in plan
         # exactly: user-day distinct, per-user min, final cohort agg
         assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+class TestContinuationScaleShapes:
+    """Plan pins for the frequent-items sketch and SemDeDup."""
+
+    def test_mg_sketch_single_pass(self, spark):
+        # the corpus-wide MG fold must run ONCE: the aggregated summary
+        # is cut with localCheckpoint before its two consumers (item
+        # counts + error total), so the final plan reads the checkpoint
+        # — zero MapInPandas nodes — instead of re-folding the corpus
+        # per branch (Catalyst pushes the branch filters below the
+        # groupBy, which otherwise defeats ReuseExchange)
+        plan = plan_of(spark, "q_frequent_items_users")
+        assert "MapInPandas" not in plan, plan
+
+    def test_semdedup_pairs_join_on_salted_cluster(self, spark):
+        # within-cluster pairing must join on (cluster_id, __salt) —
+        # never an unconstrained cartesian — so the O(n_c²) dot-product
+        # work spreads over K × n_salts tasks even at the demo K=8
+        plan = plan_of(spark, "q_semdedup_embeddings")
+        assert "CartesianProduct" not in plan
+        joins = [
+            ln
+            for ln in plan.splitlines()
+            if "HashJoin" in ln or "SortMergeJoin" in ln
+        ]
+        pair = [ln for ln in joins if "__salt" in ln and "cluster_id" in ln]
+        assert pair, joins
