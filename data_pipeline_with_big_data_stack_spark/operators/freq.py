@@ -46,6 +46,27 @@ from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 pickle_by_value(__name__)
 
 
+def mg_update(counts: dict, items, k: int) -> int:
+    """Fold one batch of items (a pandas Series) into a running MG
+    counter dict in place; returns the reduction error added (0 unless
+    the dict exceeded ``k`` and the batched reduction ran). Shared by
+    the batch per-partition fold below and the streaming per-key state
+    operator (streaming/stateful.stream_frequent_items)."""
+    for item, c in items.value_counts().items():
+        counts[item] = counts.get(item, 0) + int(c)
+    if len(counts) <= k:
+        return 0
+    # batched MG reduction: one sort of the k-bounded dict, not one
+    # decrement pass per excess row
+    t = sorted(counts.values(), reverse=True)[k]
+    for i, c in list(counts.items()):
+        if c > t:
+            counts[i] = c - t
+        else:
+            del counts[i]
+    return t
+
+
 def mg_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``item_col`` (cast to
     string): rows ``(item, cnt)`` with ``item IS NULL`` carrying the
@@ -60,14 +81,7 @@ def mg_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
         counts: dict[str, int] = {}
         err = 0
         for pdf in batches:
-            for item, c in pdf["item"].value_counts().items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > k:
-                # batched MG reduction: one sort of the k-bounded dict,
-                # not one decrement pass per excess row
-                t = sorted(counts.values(), reverse=True)[k]
-                counts = {i: c - t for i, c in counts.items() if c > t}
-                err += t
+            err += mg_update(counts, pdf["item"], k)
         out = pd.DataFrame(
             {
                 "item": [*counts.keys(), None],

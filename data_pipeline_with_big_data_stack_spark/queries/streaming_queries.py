@@ -371,3 +371,52 @@ def q_stream_user_profile_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming frequent items (Misra-Gries state per key): Druid's
+# topN-over-streams shape with hard-bounded memory — ≤ k counters per
+# key regardless of stream cardinality (streaming/stateful.py). In the
+# exact-below-capacity regime (k=4096 vs ≤1.5 K distinct users on the
+# fixtures) the drained final state equals the exact per-(type, user)
+# counts, so the streaming sketch carries a FULL value oracle — the
+# same device as the batch q_frequent_items_users.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_frequent_items",
+    oracle="""
+    WITH c AS (
+      SELECT event_type::VARCHAR AS key, user_id::VARCHAR AS item,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY event_type, user_id)
+    SELECT key, item, cnt, cnt AS max_cnt FROM (
+      SELECT *, row_number() OVER (PARTITION BY key
+                  ORDER BY cnt DESC, item) AS rn
+      FROM c)
+    WHERE rn <= 10
+    """,
+)
+def q_stream_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _events_stream_dir(spark, sf_dir)
+    mg = streaming.stream_frequent_items(st, "event_type", "user_id", k=4096)
+    drained = streaming.run_available_now(
+        mg,
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_freq_"),
+        output_mode="update",
+    )
+    # update-mode emissions are cumulative; n_seen is monotone per key,
+    # so the final sketch is the emission with the key's max n_seen
+    from pyspark.sql import Window as W
+
+    final = (
+        drained.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("key"))
+        )
+        .filter(F.col("n_seen") == F.col("mx"))
+    )
+    top = W.partitionBy("key").orderBy(F.col("cnt").desc(), "item")
+    return (
+        final.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") <= 10)
+        .select("key", "item", "cnt", (F.col("cnt") + F.col("err")).alias("max_cnt"))
+    )

@@ -556,13 +556,13 @@ _KM_ORACLE = f"""
 """
 
 
-def _km_demo_init(e: DataFrame) -> DataFrame:
+def _km_demo_init(e: DataFrame, k: int = _KM_K) -> DataFrame:
     """Deterministic id-sampled init codebook (every 100th vec_id) — the
     1-row broadcast shape lloyd_kmeans expects; shared by the k-means
     and SemDeDup queries so their oracles replay one trajectory."""
     return (
         e.filter(
-            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _KM_K * 100)
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < k * 100)
         )
         .select(
             (F.col("vec_id") / 100).cast("long").alias("cell_id"),
@@ -770,14 +770,20 @@ _SEM_ORACLE = f"""
 """
 
 
-@query("q_semdedup_embeddings", oracle=_SEM_ORACLE)
-def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs removed by SemDeDup at cosine ≥ 0.35, each with its kept
-    duplicate (highest rounded cosine, lowest dup_of on ties)."""
+def semdedup_removals(
+    e: DataFrame, init_cb: DataFrame, tau: float, n_salts: int = 8
+) -> DataFrame:
+    """The full SemDeDup pipeline over ``e`` (vec_id, emb): k-means
+    against ``init_cb``, then salted within-cluster pair scoring and
+    keeper choice at cosine ≥ ``tau``. K comes from the init codebook —
+    SemDeDup's scale contract is K ∝ corpus so the expected cluster
+    (and with it the per-cluster quadratic pair step) stays bounded;
+    the registered query pins correctness at the demo K=8 and the scale
+    audit runs this same function with K scaled to the data
+    (tools/scale_audit.py)."""
     from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
 
-    e = _emb(spark, sf_dir).select("vec_id", "emb")
-    assigned, _cb = lloyd_kmeans(e, _km_demo_init(e), iters=_KM_ITERS)
+    assigned, _cb = lloyd_kmeans(e, init_cb, iters=_KM_ITERS)
     # one norm per vector BEFORE the pair join (25 K pairs at sf0.01
     # would otherwise recompute each side's norm per pair)
     # localCheckpoint: both pair-join sides consume the assignment —
@@ -789,9 +795,8 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count, so joining on cluster_id alone would funnel ALL O(n_c²)
     # dot products through K tasks. The y side gets a deterministic
     # salt, the x side is replicated per salt (the small-side-replicate
-    # pattern from operators/layout.skew_salt) — K×_SEM_SALTS join keys
+    # pattern from operators/layout.skew_salt) — K×n_salts join keys
     # spread the pair compute without changing the pair set.
-    n_salts = 8
     y = vecs.withColumn("__salt", F.pmod("vec_id", F.lit(n_salts)))
     x = vecs.select(
         "cluster_id",
@@ -808,7 +813,7 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.join(x, ["cluster_id", "__salt"])
         .filter(F.col("dup_of") < F.col("vec_id"))
         .select("vec_id", "cluster_id", "dup_of", cos.alias("cosine"))
-        .filter(F.col("cosine") >= _SEM_TAU)
+        .filter(F.col("cosine") >= F.lit(tau))
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "dup_of")
     return (
@@ -816,3 +821,11 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "dup_of", "cosine")
     )
+
+
+@query("q_semdedup_embeddings", oracle=_SEM_ORACLE)
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs removed by SemDeDup at cosine ≥ 0.35, each with its kept
+    duplicate (highest rounded cosine, lowest dup_of on ties)."""
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    return semdedup_removals(e, _km_demo_init(e), _SEM_TAU)

@@ -11,6 +11,7 @@ from data_pipeline_with_big_data_stack_spark.streaming.stateful import (  # noqa
     ROCKSDB_CONF,
     ensure_tws_runtime,
     running_totals,
+    stream_frequent_items,
     threshold_alerts,
     user_profile_stats,
 )

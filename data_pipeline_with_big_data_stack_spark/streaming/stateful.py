@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from data_pipeline_with_big_data_stack_spark.operators.freq import mg_update
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 
 pickle_by_value(__name__)  # state fns must not require executor-side imports
@@ -301,4 +302,71 @@ def _profile_fallback_fn(
             "max_value": [mx],
             "n_types": [len(seen)],
         }
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming frequent items: a Misra-Gries summary AS the per-key state —
+# the streaming twin of operators/freq.py (Druid's topN-over-streams
+# shape with hard-bounded memory). Each key holds ≤ k counters no
+# matter how many distinct items the stream carries; every micro-batch
+# folds its items into the summary (the same mg_update as the batch
+# fold, so the two paths can't drift) and re-emits the key's summary —
+# update semantics, take the last emission (max n_seen) for the final
+# sketch. Exact below capacity, est ≤ true ≤ est + err above it.
+# --------------------------------------------------------------------------
+_MG_OUT_SCHEMA = "key string, item string, cnt long, err long, n_seen long"
+_MG_STATE_SCHEMA = (
+    "items array<string>, cnts array<long>, err long, n_seen long"
+)
+
+
+def _mg_fn_factory(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # mg_update is closed over from the module scope — a runtime
+        # package import here would fail on executors that don't have
+        # the repo on sys.path (fns ship by value, imports don't)
+        if state.exists:
+            items, cnts, err, n_seen = state.get
+            counts = dict(zip(items, cnts))
+        else:
+            counts, err, n_seen = {}, 0, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            err += mg_update(counts, pdf["item"], k)
+        state.update((list(counts), list(counts.values()), err, n_seen))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(counts),
+                "item": list(counts),
+                "cnt": list(counts.values()),
+                "err": [err] * len(counts),
+                "n_seen": [n_seen] * len(counts),
+            }
+        ).astype({"cnt": "int64", "err": "int64", "n_seen": "int64"})
+
+    return fn
+
+
+def stream_frequent_items(
+    df: DataFrame, key_col: str, item_col: str, k: int
+) -> DataFrame:
+    """Per-key streaming Misra-Gries: one summary row per surviving
+    item per micro-batch (update mode), ``err`` the key's cumulative
+    reduction error and ``n_seen`` its cumulative row count (monotone —
+    selects the final emission downstream)."""
+    from pyspark.sql import functions as F
+
+    slim = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return slim.groupBy("key").applyInPandasWithState(
+        _mg_fn_factory(k),
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

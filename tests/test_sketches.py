@@ -227,3 +227,55 @@ def test_mg_estimate_mode_heavy_hitters_at_scale(spark):
         assert r.est_count <= heavy_freq <= r.max_count, (r, heavy_freq)
         # the bracket is the global MG bound, not vacuously wide
         assert r.max_count - r.est_count <= n_total // (256 + 1) * 32
+
+
+def test_stream_mg_state_survives_micro_batches(spark, tmp_path):
+    """The streaming MG summary must accumulate ACROSS micro-batches
+    (state, not per-batch recompute): planted heavies spread over 4
+    files processed one per trigger must come back with est ≤ true ≤
+    est + err, heavies surviving every reduction, state ≤ k items."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_with_big_data_stack_spark import streaming as S
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    n_files, tail_per_file, heavy_per_file = 4, 3000, 200
+    for f in range(n_files):
+        items = [f"tail_{f}_{i}" for i in range(tail_per_file)] + [
+            f"heavy_{h}" for h in range(5) for _ in range(heavy_per_file)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array(["k"] * len(items)),
+                    "item": pa.array(items),
+                }
+            ),
+            str(src / f"part{f}.parquet"),
+        )
+    st = (
+        spark.readStream.schema("key string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    k = 64
+    out = S.run_available_now(
+        S.stream_frequent_items(st, "key", "item", k=k),
+        checkpoint=str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    import pandas as pd
+
+    pdf = out.toPandas()
+    final = pdf[pdf.n_seen == pdf.n_seen.max()]
+    assert final.n_seen.max() == n_files * (tail_per_file + 5 * heavy_per_file)
+    assert len(final) <= k
+    true_heavy = n_files * heavy_per_file
+    got = {r.item: r for r in final.itertuples()}
+    for h in range(5):
+        r = got[f"heavy_{h}"]
+        assert r.cnt <= true_heavy <= r.cnt + r.err, (r, true_heavy)
+    # multiple reductions must actually have happened (tail >> k)
+    assert final.err.max() > 0

@@ -39,7 +39,28 @@ QUERY_SET = [
     "q_ann_cosine_topk",
     "q_ann_ivf_topk",
     "q_grouped_normalize_values",
+    "q_frequent_items_users",
 ]
+
+
+def _semdedup_scaled(spark, sf: str):
+    """SemDeDup at its scale contract: K ∝ corpus (the registered demo
+    query pins correctness at fixed K=8, where 10× data means 100× the
+    within-cluster pairs — the paper's answer is more clusters, which
+    this audit entry exercises: ~625 vectors per cluster at any size)."""
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _SEM_TAU,
+        _emb,
+        _km_demo_init,
+        semdedup_removals,
+    )
+
+    e = _emb(spark, sf).select("vec_id", "emb")
+    k = max(8, e.count() // 625)
+    return semdedup_removals(e, _km_demo_init(e, k=k), _SEM_TAU)
+
+
+EXTRA = [("semdedup (K∝N)", _semdedup_scaled)]
 
 
 def gen(dirpath: str, n_events: int, n_docs: int, n_vecs: int, seed: int = 1) -> None:
@@ -103,12 +124,12 @@ def gen(dirpath: str, n_events: int, n_docs: int, n_vecs: int, seed: int = 1) ->
     )
 
 
-def run(spark, name: str, sf: str) -> float:
-    QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()  # warm
+def run(spark, fn, sf: str) -> float:
+    fn(spark, sf).write.mode("overwrite").format("noop").save()  # warm
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
+        fn(spark, sf).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -122,9 +143,10 @@ def main() -> None:
     gen(dN, 100_000 * factor, 5_000 * factor, 5_000 * factor)
     spark = get_spark()
     print(f"{'query':38s} {'1x':>7s} {factor:>5d}x  ratio")
-    for name in QUERY_SET:
-        t1 = run(spark, name, d1)
-        tN = run(spark, name, dN)
+    entries = [(n, QUERIES[n]) for n in QUERY_SET] + EXTRA
+    for name, fn in entries:
+        t1 = run(spark, fn, d1)
+        tN = run(spark, fn, dN)
         print(f"{name:38s} {t1:7.3f} {tN:7.3f}  {tN / t1:5.1f}x", flush=True)
 
 
