@@ -71,9 +71,13 @@ def mg_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``item_col`` (cast to
     string): rows ``(item, cnt)`` with ``item IS NULL`` carrying the
     partition's total reduction error ``err_p`` in ``cnt``. At most
-    k + 1 output rows per partition."""
+    k + 1 output rows per partition. NULL items are excluded up front
+    (NULL is not a countable item, and it is the error-row sentinel) —
+    the filter also reaches the parquet scan as an IsNotNull pushdown."""
 
-    src = df.select(F.col(item_col).cast("string").alias("item"))
+    src = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
 
     def fold(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -362,7 +362,7 @@ def stream_frequent_items(
     slim = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(item_col).cast("string").alias("item"),
-    )
+    ).filter(F.col("item").isNotNull())  # NULL is not a countable item
     return slim.groupBy("key").applyInPandasWithState(
         _mg_fn_factory(k),
         outputStructType=_MG_OUT_SCHEMA,

@@ -279,3 +279,22 @@ def test_stream_mg_state_survives_micro_batches(spark, tmp_path):
         assert r.cnt <= true_heavy <= r.cnt + r.err, (r, true_heavy)
     # multiple reductions must actually have happened (tail >> k)
     assert final.err.max() > 0
+
+
+def test_mg_null_items_excluded(spark):
+    """NULL items must not leak into the summary (NULL is the error-row
+    sentinel) nor corrupt the error total."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.freq import mg_frequent_items
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.concat(F.lit("i"), (F.col("id") % 5).cast("string")))
+        .alias("item")
+    )
+    got = mg_frequent_items(df, "item", k=64, top_n=10).collect()
+    items = {r.item for r in got}
+    assert None not in items and "None" not in items
+    assert sum(r.est_count for r in got) == 66  # only the non-null rows
+    assert all(r.max_count == r.est_count for r in got)
