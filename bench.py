@@ -68,9 +68,10 @@ HEADLINE = [
     "q_grouped_winsorize_values",
     "q_doc_tokenize_bpe",
     "q_events_value_histogram",
-    # round-4 continuation: the MG frequent-items sketch and the
-    # SemDeDup cluster-then-cosine dedup family
+    # round-4 continuation: the MG frequent-items sketches (count and
+    # metric-weighted) and the SemDeDup cluster-then-cosine dedup family
     "q_frequent_items_users",
+    "q_frequent_items_by_value",
     "q_semdedup_embeddings",
 ]
 

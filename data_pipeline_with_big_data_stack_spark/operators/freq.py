@@ -46,13 +46,23 @@ from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 pickle_by_value(__name__)
 
 
-def mg_update(counts: dict, items, k: int) -> int:
+def mg_update(counts: dict, items, k: int, weights=None) -> int:
     """Fold one batch of items (a pandas Series) into a running MG
     counter dict in place; returns the reduction error added (0 unless
-    the dict exceeded ``k`` and the batched reduction ran). Shared by
-    the batch per-partition fold below and the streaming per-key state
-    operator (streaming/stateful.stream_frequent_items)."""
-    for item, c in items.value_counts().items():
+    the dict exceeded ``k`` and the batched reduction ran). With
+    ``weights`` (an integer Series aligned with ``items``) this is the
+    standard weighted-MG generalization — each item accumulates its
+    weight sum instead of its row count, and the reduction subtracts
+    the (k+1)-th largest weight sum; the error bracket statement is
+    unchanged with "count" read as "total weight". Shared by the batch
+    per-partition fold below and the streaming per-key state operator
+    (streaming/stateful.stream_frequent_items)."""
+    batch = (
+        items.value_counts()
+        if weights is None
+        else weights.groupby(items.values).sum()
+    )
+    for item, c in batch.items():
         counts[item] = counts.get(item, 0) + int(c)
     if len(counts) <= k:
         return 0
@@ -67,17 +77,23 @@ def mg_update(counts: dict, items, k: int) -> int:
     return t
 
 
-def mg_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
+def mg_summaries(
+    df: DataFrame, item_col: str, k: int, weight_col: str | None = None
+) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``item_col`` (cast to
     string): rows ``(item, cnt)`` with ``item IS NULL`` carrying the
     partition's total reduction error ``err_p`` in ``cnt``. At most
     k + 1 output rows per partition. NULL items are excluded up front
     (NULL is not a countable item, and it is the error-row sentinel) —
-    the filter also reaches the parquet scan as an IsNotNull pushdown."""
+    the filter also reaches the parquet scan as an IsNotNull pushdown.
+    With ``weight_col`` (integer — callers quantize money/size metrics
+    to micros first) items accumulate weight sums: Druid's topN ranks
+    keys by an aggregated METRIC, and this is that shape sketched."""
 
-    src = df.select(F.col(item_col).cast("string").alias("item")).filter(
-        F.col("item").isNotNull()
-    )
+    cols = [F.col(item_col).cast("string").alias("item")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
+    src = df.select(*cols).filter(F.col("item").isNotNull())
 
     def fold(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -85,7 +101,12 @@ def mg_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
         counts: dict[str, int] = {}
         err = 0
         for pdf in batches:
-            err += mg_update(counts, pdf["item"], k)
+            err += mg_update(
+                counts,
+                pdf["item"],
+                k,
+                weights=pdf["w"] if weight_col is not None else None,
+            )
         out = pd.DataFrame(
             {
                 "item": [*counts.keys(), None],
@@ -98,12 +119,17 @@ def mg_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
 
 
 def mg_frequent_items(
-    df: DataFrame, item_col: str, k: int, top_n: int
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    top_n: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Top ``top_n`` items by Misra-Gries estimate with deterministic
     error bracket: ``est_count ≤ true ≤ max_count``. Ordering is total
-    ((est_count DESC, item ASC)) so the result set is stable."""
-    summ = mg_summaries(df, item_col, k)
+    ((est_count DESC, item ASC)) so the result set is stable. With
+    ``weight_col``, counts are integer weight sums (weighted MG)."""
+    summ = mg_summaries(df, item_col, k, weight_col=weight_col)
     # ONE aggregation over the summaries, materialized
     # (localCheckpoint) because two consumers read it (item counts +
     # error total): Catalyst pushes each branch's item-null filter

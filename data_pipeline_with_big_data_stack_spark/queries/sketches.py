@@ -221,6 +221,46 @@ def q_frequent_items_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_frequent_items(e, "user_id", k=_MG_K, top_n=_MG_TOP)
 
 
+# --------------------------------------------------------------------------
+# Weighted frequent items — Druid's actual topN shape: top keys by an
+# aggregated METRIC (here total event value), not by row count. Same
+# MG machinery with integer-micros weights (the engine's exact money
+# device: value quantized to decimal(18,6) micros, so weight sums are
+# integers and the exact-regime totals are bit-identical across
+# engines and summation orders).
+# --------------------------------------------------------------------------
+@query(
+    "q_frequent_items_by_value",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id::VARCHAR AS item,
+             sum(((value::DECIMAL(18,6)) * 1000000)::BIGINT)::BIGINT AS m
+      FROM events GROUP BY user_id)
+    SELECT item,
+           round(m / 1000000.0, 6) AS est_value,
+           round(m / 1000000.0, 6) AS max_value
+    FROM c ORDER BY m DESC, item LIMIT 20
+    """,
+)
+def q_frequent_items_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.freq import mg_frequent_items
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("w_micros"),
+    )
+    top = mg_frequent_items(
+        e, "user_id", k=_MG_K, top_n=20, weight_col="w_micros"
+    )
+    return top.select(
+        "item",
+        F.round(F.col("est_count") / 1_000_000.0, 6).alias("est_value"),
+        F.round(F.col("max_count") / 1_000_000.0, 6).alias("max_value"),
+    )
+
+
 @query("q_kll_quantile_sketch", oracle=None)
 def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")

@@ -298,3 +298,31 @@ def test_mg_null_items_excluded(spark):
     assert None not in items and "None" not in items
     assert sum(r.est_count for r in got) == 66  # only the non-null rows
     assert all(r.max_count == r.est_count for r in got)
+
+
+def test_mg_weighted_estimate_mode_bounds(spark):
+    """Weighted MG in estimate mode: 90 K distinct tail keys with small
+    weights, 10 planted heavy keys whose total WEIGHT (not row count)
+    dominates; with k=256 every heavy must survive, rank above the
+    tail, and carry the est ≤ true ≤ max bracket on its weight sum."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.freq import mg_frequent_items
+
+    tail = spark.range(180_000).select(
+        F.md5(F.concat(F.lit("t"), (F.col("id") % 90_000).cast("string"))).alias(
+            "item"
+        ),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    # 10 heavies, 100 rows each, weight 500 per row → true weight 50 000
+    heavies = spark.range(1_000).select(
+        F.concat(F.lit("heavy_"), (F.col("id") % 10).cast("string")).alias("item"),
+        F.lit(500).alias("w"),
+    )
+    df = tail.unionAll(heavies).repartition(32)
+    got = mg_frequent_items(df, "item", k=256, top_n=25, weight_col="w").collect()
+    top10 = sorted(r.item for r in got[:10])
+    assert top10 == [f"heavy_{i}" for i in range(10)], top10
+    for r in got[:10]:
+        assert r.est_count <= 50_000 <= r.max_count, r
