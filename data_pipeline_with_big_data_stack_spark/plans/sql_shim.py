@@ -9,8 +9,24 @@ ANSI SQL:
 2. the ``__time`` column name — kept as a physical column by the ingest
    layer, so no rewrite is needed.
 
-Per SURVEY §3.3 the shim is deliberately tiny (regex rewrite, no parser):
-resist building a Calcite-compatible frontend for two constructs.
+Beyond the documented queries, Druid's SQL layer exposes the
+druid-datasketches aggregators it loads (``M/app_druid/environment.env:5``)
+— a user switching dashboards over would reach for them next, and every
+target sketch exists in Spark, so the shim maps them too:
+
+- ``APPROX_COUNT_DISTINCT_DS_HLL(col[, lgK])`` →
+  ``hll_sketch_estimate(hll_sketch_agg(...))``
+- ``APPROX_COUNT_DISTINCT_DS_THETA(col)`` →
+  ``theta_sketch_estimate(theta_sketch_agg(col))``
+- ``APPROX_QUANTILE_DS(col, prob[, k])`` →
+  ``kll_sketch_get_quantile_double(kll_sketch_agg_double(...), prob)``
+- ``APPROX_QUANTILE(col, prob)`` → ``percentile_approx(col, prob)``
+  (Druid's plain ``APPROX_COUNT_DISTINCT`` needs no rewrite — Spark has
+  the same name.)
+
+Per SURVEY §3.3 the shim is deliberately tiny (regex rewrite, no parser;
+arguments are simple column refs/literals, like the dashboard queries):
+resist building a Calcite-compatible frontend for a handful of constructs.
 """
 
 from __future__ import annotations
@@ -41,6 +57,27 @@ _TIME_EXTRACT_RE = re.compile(
     r"TIME_EXTRACT\s*\(\s*([^,()]+?)\s*,\s*'([A-Za-z]+)'\s*\)", re.IGNORECASE
 )
 
+# druid-datasketches SQL aggregators (simple-argument forms)
+_ID_BOUNDARY = r"(?<![A-Za-z0-9_])"  # not a suffix of a longer identifier
+_DS_HLL_RE = re.compile(
+    _ID_BOUNDARY
+    + r"APPROX_COUNT_DISTINCT_DS_HLL\s*\(\s*([^,()]+?)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+_DS_THETA_RE = re.compile(
+    _ID_BOUNDARY + r"APPROX_COUNT_DISTINCT_DS_THETA\s*\(\s*([^,()]+?)\s*\)",
+    re.IGNORECASE,
+)
+_DS_QUANTILE_RE = re.compile(
+    _ID_BOUNDARY
+    + r"APPROX_QUANTILE_DS\s*\(\s*([^,()]+?)\s*,\s*([0-9.]+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+_APPROX_QUANTILE_RE = re.compile(
+    _ID_BOUNDARY + r"APPROX_QUANTILE\s*\(\s*([^,()]+?)\s*,\s*([0-9.]+)\s*\)",
+    re.IGNORECASE,
+)
+
 
 def rewrite_druid_sql(sql: str) -> str:
     """Rewrite the Druid-dialect constructs in ``sql`` to Spark SQL."""
@@ -56,8 +93,35 @@ def rewrite_druid_sql(sql: str) -> str:
         col, unit = m.group(1), m.group(2).upper()
         return f"extract({unit} FROM {col})"
 
+    def _ds_hll(m: re.Match) -> str:
+        col, lgk = m.group(1), m.group(2)
+        agg = f"hll_sketch_agg({col}, {lgk})" if lgk else f"hll_sketch_agg({col})"
+        return f"cast(hll_sketch_estimate({agg}) as bigint)"
+
+    def _ds_theta(m: re.Match) -> str:
+        return (
+            f"cast(theta_sketch_estimate(theta_sketch_agg({m.group(1)})) as bigint)"
+        )
+
+    def _ds_quantile(m: re.Match) -> str:
+        col, prob, k = m.group(1), m.group(2), m.group(3)
+        agg = (
+            f"kll_sketch_agg_double(cast({col} as double), {k})"
+            if k
+            else f"kll_sketch_agg_double(cast({col} as double))"
+        )
+        return f"kll_sketch_get_quantile_double({agg}, cast({prob} as double))"
+
     out = _TIME_FLOOR_RE.sub(_floor, sql)
     out = _TIME_EXTRACT_RE.sub(_extract, out)
+    out = _DS_HLL_RE.sub(_ds_hll, out)
+    out = _DS_THETA_RE.sub(_ds_theta, out)
+    out = _DS_QUANTILE_RE.sub(_ds_quantile, out)
+    # plain APPROX_QUANTILE last: the _DS variant was already rewritten,
+    # so this can't touch it
+    out = _APPROX_QUANTILE_RE.sub(
+        lambda m: f"percentile_approx({m.group(1)}, {m.group(2)})", out
+    )
     return out
 
 

@@ -226,3 +226,36 @@ def test_remaining_datasources_ingest(spark, tmp_path):
     assert mt["current_storage_mb"] == 15.5
     assert mt["projected_daily_growth_mb"] == round(15.5 * 144, 2)
     assert mt["projected_weekly_growth_gb"] == round(15.5 * 144 * 7 / 1024, 4)
+
+
+def test_druid_datasketches_sql_shim(spark):
+    """Druid's druid-datasketches SQL aggregators run through the shim
+    against the events table: DS_HLL/DS_THETA distinct counts land
+    within sketch error of exact (theta exact below nominal entries),
+    quantiles are real data-order statistics."""
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    load_table(spark, SF_CORRECTNESS, "events").createOrReplaceTempView(
+        "ev_sketch"
+    )
+    out = druid_sql(
+        spark,
+        """
+        SELECT event_type,
+               APPROX_COUNT_DISTINCT_DS_HLL(user_id) AS hll_users,
+               APPROX_COUNT_DISTINCT_DS_THETA(user_id) AS theta_users,
+               APPROX_COUNT_DISTINCT(user_id) AS builtin_users,
+               APPROX_QUANTILE_DS(value, 0.5) AS p50_ds,
+               APPROX_QUANTILE(value, 0.5) AS p50_gk,
+               COUNT(DISTINCT user_id) AS exact_users,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM ev_sketch GROUP BY event_type
+        """,
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.theta_users == r.exact_users  # exact below nominal entries
+        assert abs(r.hll_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+        assert abs(r.builtin_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+        assert r.lo <= r.p50_ds <= r.hi and r.lo <= r.p50_gk <= r.hi

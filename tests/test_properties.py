@@ -205,3 +205,27 @@ class TestDecoderProperties:
         # hdf5: random blobs lack the magic and must raise H5Error
         with pytest.raises(Exception):
             parse_hdf5_netcdf(blob)
+
+
+class TestSketchSqlRewrites:
+    def test_ds_aggregators_rewrite_and_fixpoint(self):
+        sql = (
+            "SELECT APPROX_COUNT_DISTINCT_DS_HLL(u, 14), "
+            "APPROX_COUNT_DISTINCT_DS_THETA(u), "
+            "APPROX_QUANTILE_DS(v, 0.95, 200), "
+            "APPROX_QUANTILE(v, 0.5) FROM t"
+        )
+        out = rewrite_druid_sql(sql)
+        assert "hll_sketch_estimate(hll_sketch_agg(u, 14))" in out
+        assert "theta_sketch_estimate(theta_sketch_agg(u))" in out
+        assert (
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(cast(v as double), 200), "
+            "cast(0.95 as double))" in out
+        )
+        assert "percentile_approx(v, 0.5)" in out
+        assert rewrite_druid_sql(out) == out  # fixpoint
+
+    def test_suffix_identifiers_untouched(self):
+        sql = "SELECT MY_APPROX_QUANTILE(v, 0.5), APPROX_COUNT_DISTINCT(u) FROM t"
+        assert rewrite_druid_sql(sql) == sql
