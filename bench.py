@@ -73,6 +73,7 @@ HEADLINE = [
     "q_frequent_items_users",
     "q_frequent_items_by_value",
     "q_semdedup_embeddings",
+    "q_rollup_served_daily_dashboard",
 ]
 
 

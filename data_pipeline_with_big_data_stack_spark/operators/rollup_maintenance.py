@@ -89,6 +89,54 @@ def apply_increment(spark: SparkSession, path: str, new_events: DataFrame) -> No
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
+# grains the hourly store can serve: hour buckets nest EXACTLY inside
+# every coarser date_trunc grain (date_trunc(g, date_trunc('hour', ts))
+# == date_trunc(g, ts) for all of these), so re-aggregating the
+# mergeable state is equal to aggregating raw events — never an
+# approximation
+SERVE_GRAINS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def serve_rollup(
+    spark: SparkSession,
+    path: str,
+    grain: str = "hour",
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Answer a time-bucketed dashboard aggregation FROM the
+    materialized rollup — the Druid implicit-serving path (dashboards
+    hit pre-aggregated segments, not raw data). Any ``grain`` coarser
+    than the stored hour re-aggregates the mergeable partials; ``dims``
+    must be a subset of the rollup dimensions (a dim can be dropped —
+    partials merge — but never added back); avg derives at read time
+    from the merged state. The plan scans only the rollup store: at
+    100 TB the dashboard reads hours × types rows, not raw events —
+    plan-pinned in tests/test_plans.py."""
+    if grain not in SERVE_GRAINS:
+        raise ValueError(f"grain {grain!r} not servable from an hourly rollup")
+    rollup_dims = set(ROLLUP_KEYS) - {"__date", "bucket"}
+    extra = set(dims) - rollup_dims
+    if extra:
+        raise ValueError(f"dims {sorted(extra)} not in the rollup (has {sorted(rollup_dims)})")
+    r = spark.read.parquet(path)
+    return (
+        r.groupBy(F.date_trunc(grain, "bucket").alias("bucket"), *dims)
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value_micros").alias("_m"),
+        )
+        .select(
+            "bucket",
+            *dims,
+            "n_events",
+            F.round(F.col("_m") / 1_000_000, 4).alias("sum_value"),
+            F.round(F.col("_m") / 1_000_000 / F.col("n_events"), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     """The serving view: derived columns (avg) come from the mergeable
     state at read time."""

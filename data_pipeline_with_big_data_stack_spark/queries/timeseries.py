@@ -653,3 +653,39 @@ def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         F.round("sum_value", 4).alias("sum_value"),
         F.round("avg_value", 4).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rollup SERVING — the other half of the continuous-aggregate story:
+# Druid dashboards implicitly read pre-aggregated segments, not raw
+# rows. Here a DAILY per-type dashboard is answered entirely from the
+# materialized HOURLY rollup (grain coarsening re-aggregates the
+# mergeable integer-micros partials; avg derives at read time), and the
+# oracle recomputes the same dashboard from raw events — proving
+# served == raw exactly. The serving plan scans hours × types rollup
+# rows, never the events table (plan-pinned).
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_served_daily_dashboard",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             (round(value * 1000000))::BIGINT AS micros
+      FROM events)
+    SELECT bucket, event_type,
+           count(*)::BIGINT                            AS n_events,
+           round(sum(micros) / 1000000.0, 4)           AS sum_value,
+           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q_rollup_served_daily_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+
+    e = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_serve_")
+    RM.build_rollup(e, path)
+    return RM.serve_rollup(spark, path, grain="day", dims=("event_type",))

@@ -159,3 +159,53 @@ def test_money_oracle_survives_full_precision_prices(
     opdf = con.sql(ORACLES[name]).df()
     assert len(spdf) == len(opdf) > 0
     assert _canon(spdf) == _canon(opdf), f"{name} drifted on hostile prices"
+
+
+def test_serve_rollup_grain_coarsening_equals_raw(spark):
+    """Serving any coarser grain from the hourly rollup must equal the
+    same aggregation over raw events — for every servable grain and for
+    the dim-dropped (global) shape; invalid grains/dims must raise."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    e = load_table(spark, SF_CORRECTNESS, "events")
+    path = tempfile.mkdtemp(prefix="rollup_serve_grains_")
+    RM.build_rollup(e, path)
+    for grain, dims in [("week", ("event_type",)), ("month", ())]:
+        served = {
+            tuple(r): None
+            for r in RM.serve_rollup(spark, path, grain=grain, dims=dims).collect()
+        }
+        raw = {
+            tuple(r): None
+            for r in (
+                e.groupBy(F.date_trunc(grain, "ts").alias("bucket"), *dims)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(
+                        F.round(F.col("value") * 1_000_000).cast("long")
+                    ).alias("_m"),
+                )
+                .select(
+                    "bucket",
+                    *dims,
+                    "n_events",
+                    F.round(F.col("_m") / 1_000_000, 4).alias("sum_value"),
+                    F.round(F.col("_m") / 1_000_000 / F.col("n_events"), 4).alias(
+                        "avg_value"
+                    ),
+                )
+                .collect()
+            )
+        }
+        assert served == raw, grain
+    with pytest.raises(ValueError):
+        RM.serve_rollup(spark, path, grain="minute")
+    with pytest.raises(ValueError):
+        RM.serve_rollup(spark, path, dims=("user_id",))

@@ -371,3 +371,11 @@ class TestContinuationScaleShapes:
         ]
         pair = [ln for ln in joins if "__salt" in ln and "cluster_id" in ln]
         assert pair, joins
+
+    def test_rollup_serving_never_scans_raw_events(self, spark):
+        # the served dashboard must read the materialized rollup store
+        # only — at scale the difference between hours×types rows and
+        # the raw events table
+        plan = plan_of(spark, "q_rollup_served_daily_dashboard")
+        assert "rollup_serve_" in plan, plan
+        assert "events.parquet" not in plan, plan
