@@ -87,13 +87,18 @@ def mg_summaries(
     (NULL is not a countable item, and it is the error-row sentinel) —
     the filter also reaches the parquet scan as an IsNotNull pushdown.
     With ``weight_col`` (integer — callers quantize money/size metrics
-    to micros first) items accumulate weight sums: Druid's topN ranks
-    keys by an aggregated METRIC, and this is that shape sketched."""
+    to micros first; must be NON-NEGATIVE, since MG's undercount
+    guarantee assumes monotone counters) items accumulate weight sums:
+    Druid's topN ranks keys by an aggregated METRIC, and this is that
+    shape sketched. NULL weights are dropped (weight 0) — a NaN in the
+    pandas sum would poison the integer counters."""
 
     cols = [F.col(item_col).cast("string").alias("item")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("w"))
     src = df.select(*cols).filter(F.col("item").isNotNull())
+    if weight_col is not None:
+        src = src.filter(F.col("w").isNotNull())
 
     def fold(batches: Iterator) -> Iterator:
         import pandas as pd
