@@ -229,3 +229,60 @@ class TestSketchSqlRewrites:
     def test_suffix_identifiers_untouched(self):
         sql = "SELECT MY_APPROX_QUANTILE(v, 0.5), APPROX_COUNT_DISTINCT(u) FROM t"
         assert rewrite_druid_sql(sql) == sql
+
+
+class TestMisraGriesProperties:
+    """Pure-Python invariants of the shared MG update step — the piece
+    both the batch fold and the streaming state ride on."""
+
+    @given(
+        data=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(1, 50)), max_size=200
+        ),
+        k=st.integers(1, 16),
+        n_batches=st.integers(1, 4),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_bracket_contains_truth_for_any_batching(self, data, k, n_batches):
+        import pandas as pd
+
+        from data_pipeline_with_big_data_stack_spark.operators.freq import mg_update
+
+        items = [f"i{i}" for i, w in data for _ in range(1)]
+        weights = [w for _, w in data]
+        true: dict[str, int] = {}
+        for it, w in zip(items, weights):
+            true[it] = true.get(it, 0) + w
+        counts: dict[str, int] = {}
+        err = 0
+        # arbitrary batch split must not change the guarantee
+        step = max(1, len(items) // n_batches)
+        for i in range(0, len(items), step):
+            err += mg_update(
+                counts,
+                pd.Series(items[i : i + step]),
+                k,
+                weights=pd.Series(weights[i : i + step]),
+            )
+        assert len(counts) <= k
+        for it, t in true.items():
+            est = counts.get(it, 0)
+            assert est <= t <= est + err, (it, est, t, err)
+
+    @given(
+        items=st.lists(st.integers(0, 9), max_size=120),
+        k=st.integers(10, 32),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_exact_below_capacity(self, items, k):
+        import pandas as pd
+
+        from data_pipeline_with_big_data_stack_spark.operators.freq import mg_update
+
+        counts: dict[int, int] = {}
+        err = mg_update(counts, pd.Series(items, dtype="object"), k)
+        assert err == 0
+        truth = {}
+        for it in items:
+            truth[it] = truth.get(it, 0) + 1
+        assert counts == truth
