@@ -62,9 +62,22 @@ def touched_slice(spark: SparkSession, path: str, touched: list) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("__date").isin(touched))
 
 
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    # Hadoop FS API so any scheme (file:, s3a:, hdfs:) answers correctly
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath)) and len(fs.listStatus(hpath)) > 0
+
+
 def apply_increment(spark: SparkSession, path: str, new_events: DataFrame) -> None:
     """Merge a new raw batch into the materialized rollup, touching only
-    the day partitions the batch lands in."""
+    the day partitions the batch lands in. A missing/empty store is
+    created from the batch — the first micro-batch of a streaming
+    maintenance loop (see queries/streaming_queries.py) needs this."""
+    if not _store_exists(spark, path):
+        build_rollup(new_events, path)
+        return
     inc = rollup_aggregate(new_events)
     touched = [r["__date"] for r in inc.select("__date").distinct().collect()]
     if not touched:

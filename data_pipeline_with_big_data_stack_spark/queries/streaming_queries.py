@@ -420,3 +420,49 @@ def q_stream_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("key", "item", "cnt", (F.col("cnt") + F.col("err")).alias("max_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming rollup maintenance — the reference's core loop end to end,
+# engine-native: events arrive as a stream, each micro-batch is merged
+# into the materialized hourly rollup INCREMENTALLY (foreachBatch →
+# operators/rollup_maintenance.apply_increment: only the touched day
+# partitions are read back and dynamically overwritten — Druid's
+# realtime ingestion + auto-compaction), and the daily dashboard is
+# then SERVED from the store (never re-scanning raw events). The
+# oracle recomputes the dashboard straight from raw events, so the
+# whole loop — stream → incremental merge → grain-coarsened serving —
+# is value-checked exactly; multi-batch merge order is separately
+# pinned by the random-split property tests.
+# --------------------------------------------------------------------------
+@query(
+    "q_stream_rollup_maintenance",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             (round(value * 1000000))::BIGINT AS micros
+      FROM events)
+    SELECT bucket, event_type,
+           count(*)::BIGINT                            AS n_events,
+           round(sum(micros) / 1000000.0, 4)           AS sum_value,
+           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+
+    st = _events_stream_dir(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_stream_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_stream_")
+    q = (
+        st.writeStream.foreachBatch(
+            lambda df, _eid: RM.apply_increment(df.sparkSession, path, df)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return RM.serve_rollup(spark, path, grain="day", dims=("event_type",))

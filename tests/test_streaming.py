@@ -454,3 +454,78 @@ class TestTransformWithState:
         got = {tuple(r) for r in final.collect()}
         exp = {tuple(r) for r in batch.collect()}
         assert got == exp
+
+
+class TestStreamingRollupMaintenance:
+    def test_multi_batch_increments_equal_batch_aggregate(self, spark, tmp_path):
+        """Four micro-batches (one file per trigger), with later files
+        carrying LATE rows for days already materialized by earlier
+        batches — the served dashboard must equal a straight batch
+        aggregation over everything, and the first batch must have
+        created the store."""
+        from pyspark.sql import functions as F
+
+        from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+        from data_pipeline_with_big_data_stack_spark.tables import load_table
+        from tests.conftest import SF_CORRECTNESS
+
+        e = load_table(spark, SF_CORRECTNESS, "events")
+        src = tmp_path / "src"
+        # interleave by event_id so every file spans many days => every
+        # batch after the first merges into already-written partitions
+        for i in range(4):
+            e.filter(F.col("event_id") % 4 == i).write.parquet(
+                str(src / f"f{i}.parquet")
+            )
+        st = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        store = str(tmp_path / "rollup")
+        batches = []
+        q = (
+            st.writeStream.foreachBatch(
+                lambda df, eid: (
+                    batches.append(eid),
+                    RM.apply_increment(df.sparkSession, store, df),
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(batches) == 4
+        served = {
+            tuple(r)
+            for r in RM.serve_rollup(
+                spark, store, grain="day", dims=("event_type",)
+            ).collect()
+        }
+        expected = {
+            tuple(r)
+            for r in (
+                e.groupBy(
+                    F.date_trunc("day", "ts").alias("bucket"), "event_type"
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(
+                        F.round(F.col("value") * 1_000_000).cast("long")
+                    ).alias("_m"),
+                )
+                .select(
+                    "bucket",
+                    "event_type",
+                    "n_events",
+                    F.round(F.col("_m") / 1_000_000, 4).alias("sum_value"),
+                    F.round(F.col("_m") / 1_000_000 / F.col("n_events"), 4).alias(
+                        "avg_value"
+                    ),
+                )
+                .collect()
+            )
+        }
+        assert served == expected
