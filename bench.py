@@ -74,6 +74,7 @@ HEADLINE = [
     "q_frequent_items_by_value",
     "q_semdedup_embeddings",
     "q_rollup_served_daily_dashboard",
+    "q_rollup_served_distinct_users",
 ]
 
 

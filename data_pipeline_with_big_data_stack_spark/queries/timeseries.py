@@ -689,3 +689,38 @@ def q_rollup_served_daily_dashboard(spark: SparkSession, sf_dir: str) -> DataFra
     path = tempfile.mkdtemp(prefix="rollup_serve_")
     RM.build_rollup(e, path)
     return RM.serve_rollup(spark, path, grain="day", dims=("event_type",))
+
+
+# --------------------------------------------------------------------------
+# Sketch-valued rollup metrics — the reason Druid loads
+# druid-datasketches at ingest time: the rollup stores a mergeable HLL
+# user sketch per (hour, type) bucket (HLLSketchBuild) and unions it at
+# query time (HLLSketchMerge), so "distinct users per day" is
+# answerable FROM the pre-aggregated store — a plain count column can
+# never give that back. lgK=14 keeps the sketch exact far beyond
+# fixture cardinality (verified exact at the sf0.1 1,098-users/bucket
+# regime; the gate runs sf0.01 at ≤150), so the oracle checks the
+# exact distinct count — the Theta/MG exact-below-capacity device.
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_served_distinct_users",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*)::BIGINT                 AS n_events,
+           count(DISTINCT user_id)::BIGINT  AS approx_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_served_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+
+    e = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_serve_hll_")
+    RM.build_rollup(e, path)
+    served = RM.serve_rollup(
+        spark, path, grain="day", dims=("event_type",), with_distinct=True
+    )
+    return served.select("bucket", "event_type", "n_events", "approx_users")

@@ -209,3 +209,38 @@ def test_serve_rollup_grain_coarsening_equals_raw(spark):
         RM.serve_rollup(spark, path, grain="minute")
     with pytest.raises(ValueError):
         RM.serve_rollup(spark, path, dims=("user_id",))
+
+
+def test_incremental_sketch_merge_distincts_equal_raw(spark):
+    """The HLL metric column must survive incremental maintenance: after
+    split arrivals (including late rows into already-materialized
+    days), the served distinct-user counts — unions of sketches merged
+    across increments — must equal exact distincts over all raw data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    e = load_table(spark, SF_CORRECTNESS, "events")
+    path = tempfile.mkdtemp(prefix="rollup_hll_inc_")
+    RM.build_rollup(e.filter(F.col("event_id") % 3 == 0), path)
+    RM.apply_increment(spark, path, e.filter(F.col("event_id") % 3 == 1))
+    RM.apply_increment(spark, path, e.filter(F.col("event_id") % 3 == 2))
+    served = {
+        (r.bucket, r.event_type): r.approx_users
+        for r in RM.serve_rollup(
+            spark, path, grain="day", dims=("event_type",), with_distinct=True
+        ).collect()
+    }
+    exact = {
+        (r.bucket, r.event_type): r.ex
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("ex"))
+        .collect()
+    }
+    assert served == exact
