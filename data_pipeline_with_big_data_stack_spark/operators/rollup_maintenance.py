@@ -42,10 +42,14 @@ _SKETCH_LGK = 14
 
 def _merge_exprs() -> list:
     """Aggregates that merge two rollup states: integer sums for the
-    scalar metrics, register-max union (order-independent) for the
-    sketch column."""
-    return [F.sum(c).alias(c) for c in _MERGEABLE] + [
-        F.hll_union_agg("users_hll").alias("users_hll")
+    additive metrics, min/max for the extrema (Druid's longMin/longMax
+    metric types — the documented "daily max" dashboard needs them),
+    register-max union (order-independent) for the sketch column."""
+    return [
+        *[F.sum(c).alias(c) for c in _MERGEABLE],
+        F.min("min_value_micros").alias("min_value_micros"),
+        F.max("max_value_micros").alias("max_value_micros"),
+        F.hll_union_agg("users_hll").alias("users_hll"),
     ]
 
 
@@ -62,6 +66,12 @@ def rollup_aggregate(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
                 "sum_value_micros"
+            ),
+            F.min(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "min_value_micros"
+            ),
+            F.max(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "max_value_micros"
             ),
             F.hll_sketch_agg("user_id", _SKETCH_LGK).alias("users_hll"),
         )
@@ -152,6 +162,8 @@ def serve_rollup(
     aggs = [
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("sum_value_micros").alias("_m"),
+        F.min("min_value_micros").alias("_lo"),
+        F.max("max_value_micros").alias("_hi"),
     ]
     extra_cols = []
     if with_distinct:
@@ -176,6 +188,8 @@ def serve_rollup(
             F.round(F.col("_m") / 1_000_000 / F.col("n_events"), 4).alias(
                 "avg_value"
             ),
+            F.round(F.col("_lo") / 1_000_000, 4).alias("min_value"),
+            F.round(F.col("_hi") / 1_000_000, 4).alias("max_value"),
             *extra_cols,
         )
     )

@@ -676,7 +676,9 @@ def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT bucket, event_type,
            count(*)::BIGINT                            AS n_events,
            round(sum(micros) / 1000000.0, 4)           AS sum_value,
-           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value
+           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value,
+           round(min(micros) / 1000000.0, 4)           AS min_value,
+           round(max(micros) / 1000000.0, 4)           AS max_value
     FROM m GROUP BY 1, 2
     """,
 )

@@ -515,6 +515,12 @@ class TestStreamingRollupMaintenance:
                     F.sum(
                         F.round(F.col("value") * 1_000_000).cast("long")
                     ).alias("_m"),
+                    F.min(
+                        F.round(F.col("value") * 1_000_000).cast("long")
+                    ).alias("_lo"),
+                    F.max(
+                        F.round(F.col("value") * 1_000_000).cast("long")
+                    ).alias("_hi"),
                 )
                 .select(
                     "bucket",
@@ -524,6 +530,8 @@ class TestStreamingRollupMaintenance:
                     F.round(F.col("_m") / 1_000_000 / F.col("n_events"), 4).alias(
                         "avg_value"
                     ),
+                    F.round(F.col("_lo") / 1_000_000, 4).alias("min_value"),
+                    F.round(F.col("_hi") / 1_000_000, 4).alias("max_value"),
                 )
                 .collect()
             )
