@@ -259,3 +259,60 @@ def test_druid_datasketches_sql_shim(spark):
         assert abs(r.hll_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
         assert abs(r.builtin_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
         assert r.lo <= r.p50_ds <= r.hi and r.lo <= r.p50_gk <= r.hi
+
+
+def test_druid_dashboard_sql_served_from_rollup(spark):
+    """The reference's documented dashboard shapes (hourly avg, daily
+    max — README.md:173-182) run through the dialect shim VERBATIM
+    against a view of the materialized rollup serving `__time`, and
+    return exactly what the same SQL computes over raw events — the
+    full Druid experience: dashboard SQL in, pre-aggregated segments
+    underneath."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    e = load_table(spark, SF_CORRECTNESS, "events")
+    path = tempfile.mkdtemp(prefix="rollup_dash_")
+    RM.build_rollup(e, path)
+    # the serving view exposes Druid's column contract: __time + metrics
+    RM.serve_rollup(spark, path, grain="hour", dims=("event_type",)).select(
+        F.col("bucket").alias("__time"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+    ).createOrReplaceTempView("events_datasource")
+    daily_max = druid_sql(
+        spark,
+        """
+        SELECT TIME_FLOOR(__time, 'P1D') AS day,
+               event_type,
+               MAX(max_value) AS daily_max
+        FROM events_datasource
+        GROUP BY 1, 2
+        """,
+    ).collect()
+    expected = {
+        (r.day, r.event_type): r.m
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.round(
+                F.max(F.round(F.col("value") * 1_000_000).cast("long"))
+                / 1_000_000,
+                4,
+            ).alias("m")
+        )
+        .collect()
+    }
+    assert len(daily_max) == len(expected)
+    for r in daily_max:
+        assert r.daily_max == expected[(r.day, r.event_type)], r
