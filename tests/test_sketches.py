@@ -326,3 +326,38 @@ def test_mg_weighted_estimate_mode_bounds(spark):
     assert top10 == [f"heavy_{i}" for i in range(10)], top10
     for r in got[:10]:
         assert r.est_count <= 50_000 <= r.max_count, r
+
+
+def test_rollup_sketch_estimate_mode_at_scale(spark, tmp_path):
+    """The rollup's HLL metric column beyond its exact regime — the
+    100 TB path: 200 K distinct users in one served day bucket, built
+    across two increments so the estimate rides merged sketches. The
+    lgK=14 sketch's relative standard error is ~0.81%; assert ±3%
+    (~3.7σ) on the served estimate."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+
+    n_users = 200_000
+    base = spark.range(n_users).select(
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("ts_base"),
+        (F.col("id") % 24).alias("h"),
+        F.col("id").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    ).select(
+        (F.col("ts_base") + F.make_interval(hours=F.col("h"))).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    store = str(tmp_path / "rollup")
+    RM.build_rollup(base.filter(F.col("user_id") % 2 == 0), store)
+    RM.apply_increment(spark, store, base.filter(F.col("user_id") % 2 == 1))
+    r = RM.serve_rollup(
+        spark, store, grain="day", dims=("event_type",), with_distinct=True
+    ).collect()
+    assert len(r) == 1
+    est = r[0].approx_users
+    assert abs(est - n_users) / n_users < 0.03, est
+    assert r[0].n_events == n_users
