@@ -209,3 +209,22 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
             F.col("sum_value_micros") / 1_000_000 / F.col("n_events")
         ).alias("avg_value"),
     )
+
+
+def register_rollup_store(
+    spark: SparkSession, name: str, path: str, source_table: str
+) -> None:
+    """Catalog the materialized rollup like any ingested table (S20):
+    metastore registration so the SQL surface sees it by name, plus a
+    lineage edge (source → rollup, via maintenance) so ``upstream_of``
+    answers where the pre-aggregates came from — the OpenMetadata
+    pipeline-lineage story applied to the continuous aggregate."""
+    from data_pipeline_with_big_data_stack_spark import catalog as C
+
+    C.register_parquet_table(
+        spark,
+        name,
+        path,
+        comment=f"hourly rollup of {source_table} (count/sum/min/max/HLL)",
+    )
+    C.record_lineage(spark, [(source_table, name, "rollup_maintenance")])

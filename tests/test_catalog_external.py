@@ -85,3 +85,26 @@ class TestExternalSources:
             spark, "mongodb://h", "db", "coll", lookback_hours=2
         )
         assert r is not None  # .load() would need the connector jar
+
+
+def test_rollup_store_registered_with_lineage(spark, tmp_path):
+    """The materialized rollup participates in the catalog like any
+    table: queryable by name and lineage-upstream of its source."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.catalog import upstream_of
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "rollup")
+    RM.build_rollup(e, path)
+    RM.register_rollup_store(
+        spark, "events_hourly_rollup_cat", path, source_table="events"
+    )
+    n = spark.sql(
+        "SELECT sum(n_events) AS n FROM events_hourly_rollup_cat"
+    ).collect()[0].n
+    assert n == e.count()
+    assert "events" in upstream_of(spark, "events_hourly_rollup_cat")
