@@ -75,6 +75,7 @@ HEADLINE = [
     "q_semdedup_embeddings",
     "q_rollup_served_daily_dashboard",
     "q_rollup_served_distinct_users",
+    "q_ann_ivfpq_topk",
 ]
 
 

@@ -665,13 +665,13 @@ _PQ_ORACLE = f"""
 """
 
 
-@query("q_embed_pq_codes", oracle=_PQ_ORACLE)
-def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_pipeline_with_big_data_stack_spark.operators.kmeans import _sqdist, lloyd_kmeans
+def _pq_train_codebooks(e: DataFrame) -> list[DataFrame]:
+    """Train the two subspace codebooks (the lloyd loop shuffles only
+    K×dim partial-aggregate rows per round; its assignment output is
+    unused) — shared by the PQ coding and IVF-PQ search queries so
+    their oracles replay one trajectory."""
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
 
-    e = _emb(spark, sf_dir).select("vec_id", "emb")
-    # train each subspace codebook (the lloyd loop shuffles only K×dim
-    # partial-aggregate rows per round; its assignment output is unused)
     codebooks = []
     for m in range(2):
         sub = e.select(
@@ -689,6 +689,15 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
         codebooks.append(cb.withColumnRenamed("cb", f"cb{m}"))
+    return codebooks
+
+
+@query("q_embed_pq_codes", oracle=_PQ_ORACLE)
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import _sqdist
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    codebooks = _pq_train_codebooks(e)
 
     # single map-side pass: both trained codebooks ride along as two
     # broadcast 1-row arrays; codes + reconstruction error come from one
@@ -829,3 +838,150 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate (highest rounded cosine, lowest dup_of on ties)."""
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     return semdedup_removals(e, _km_demo_init(e), _SEM_TAU)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ search — the production ANN serving architecture (Jégou et al.
+# 2011): the IVF stage prunes the corpus to the probe's nprobe cells,
+# and ranking runs on PQ codes via asymmetric distance (query subvector
+# → candidate's codebook centroid), so the scan never touches raw
+# candidate vectors. Composed entirely from the engine's deterministic
+# devices — the sample-centroid IVF cells of q_ann_ivf_topk and the
+# bit-reproducible 2-round PQ codebook trajectory of q_embed_pq_codes —
+# so the DuckDB oracle replays the WHOLE pipeline: cells, codebook
+# training, coding, probe selection, and ADC ranking.
+#
+# Scale shape: index build is one map-side projection per vector (cell
+# + codes) under broadcast codebooks; a probe touches nprobe/K of the
+# index; ADC ranks from the K_PQ-row codebooks — no corpus shuffle, no
+# raw-vector reads at query time.
+# --------------------------------------------------------------------------
+_IVFPQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    e0 AS (SELECT vec_id, emb[1:{_PQ_SUB}] AS emb FROM e),
+    e1 AS (SELECT vec_id, emb[{_PQ_SUB + 1}:{2 * _PQ_SUB}] AS emb FROM e),
+    c0_0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+             FROM e0 WHERE vec_id % 100 = 0 AND vec_id < {_PQ_K * 100}),
+    c1_0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+             FROM e1 WHERE vec_id % 100 = 0 AND vec_id < {_PQ_K * 100}),
+    {_pq_round_sql('e0', 'c0_0', 'a0_1', 'c0_1')},
+    {_pq_round_sql('e0', 'c0_1', 'a0_2', 'c0_2')},
+    {_pq_round_sql('e1', 'c1_0', 'a1_1', 'c1_1')},
+    {_pq_round_sql('e1', 'c1_1', 'a1_2', 'c1_2')},
+    {_pq_final_sql('e0', 'c0_2', 'f0')},
+    {_pq_final_sql('e1', 'c1_2', 'f1')},
+    {_ivf_cells_duck()}
+    , adc AS (
+      SELECT p.q_id, a.vec_id, a.cell_id,
+             round(list_sum([(p.q_emb[i] - cc0.emb[i])
+                             * (p.q_emb[i] - cc0.emb[i])
+                             for i in range(1, {_PQ_SUB + 1})])
+                 + list_sum([(p.q_emb[i + {_PQ_SUB}] - cc1.emb[i])
+                             * (p.q_emb[i + {_PQ_SUB}] - cc1.emb[i])
+                             for i in range(1, {_PQ_SUB + 1})]), 4) AS adc_dist
+      FROM probe_cells p
+      JOIN assigned a ON p.cell_id = a.cell_id AND a.vec_id != p.q_id
+      JOIN f0 ON f0.vec_id = a.vec_id
+      JOIN f1 ON f1.vec_id = a.vec_id
+      JOIN c0_2 cc0 ON cc0.cell_id = f0.code
+      JOIN c1_2 cc1 ON cc1.cell_id = f1.code
+      WHERE p.rk <= {_NPROBE})
+    SELECT q_id, vec_id, cell_id, adc_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc_dist, vec_id) AS rn FROM adc)
+    WHERE rn <= {TOP_K}
+"""
+
+
+@query("q_ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import _sqdist
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cb0, cb1 = _pq_train_codebooks(e)
+    cents = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100)
+    ).select(
+        (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+        F.col("emb").alias("c_emb"),
+    )
+    cbi = cents.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cbi"))
+
+    def ranked_cells(vec_col):
+        return F.array_sort(
+            F.transform(
+                F.col("cbi"),
+                lambda c: F.struct(
+                    _sqdist(vec_col, c["c_emb"]).alias("dist"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+
+    def best_code(cb_col: str, sub_col):
+        ranked = F.array_sort(
+            F.transform(
+                F.col(cb_col),
+                lambda c: F.struct(
+                    _sqdist(sub_col, c["c_emb"]).alias("dist"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["cell_id"]
+
+    sub0 = F.slice("emb", 1, _PQ_SUB)
+    sub1 = F.slice("emb", _PQ_SUB + 1, _PQ_SUB)
+    # index build: ONE map-side projection per vector — coarse cell +
+    # both PQ codes, all three codebooks riding along as broadcast
+    # 1-row arrays. The raw vector is dropped here: queries never see it
+    coded = (
+        e.join(F.broadcast(cbi))
+        .join(F.broadcast(cb0))
+        .join(F.broadcast(cb1))
+        .select(
+            "vec_id",
+            F.element_at(ranked_cells(F.col("emb")), 1)["cell_id"].alias(
+                "cell_id"
+            ),
+            best_code("cb0", sub0).alias("code_0"),
+            best_code("cb1", sub1).alias("code_1"),
+        )
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+        .join(F.broadcast(cbi))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(F.slice(ranked_cells(F.col("q_emb")), 1, _NPROBE)).alias(
+                "cell"
+            ),
+        )
+        .select("q_id", "q_emb", F.col("cell")["cell_id"].alias("cell_id"))
+    )
+
+    def centroid(cb_col: str, code_col: str):
+        return F.element_at(
+            F.filter(F.col(cb_col), lambda c: c["cell_id"] == F.col(code_col)), 1
+        )["c_emb"]
+
+    adc = F.round(
+        _sqdist(F.slice("q_emb", 1, _PQ_SUB), centroid("cb0", "code_0"))
+        + _sqdist(F.slice("q_emb", _PQ_SUB + 1, _PQ_SUB), centroid("cb1", "code_1")),
+        4,
+    )
+    cand = (
+        coded.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(cb0))
+        .join(F.broadcast(cb1))
+        .select("q_id", "vec_id", "cell_id", adc.alias("adc_dist"))
+    )
+    w = W.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "cell_id", "adc_dist")
+    )
