@@ -97,14 +97,22 @@ def test_rollup_store_registered_with_lineage(spark, tmp_path):
     from data_pipeline_with_big_data_stack_spark.tables import load_table
     from tests.conftest import SF_SMOKE
 
-    e = load_table(spark, SF_SMOKE, "events")
-    path = str(tmp_path / "rollup")
-    RM.build_rollup(e, path)
-    RM.register_rollup_store(
-        spark, "events_hourly_rollup_cat", path, source_table="events"
-    )
-    n = spark.sql(
-        "SELECT sum(n_events) AS n FROM events_hourly_rollup_cat"
-    ).collect()[0].n
-    assert n == e.count()
-    assert "events" in upstream_of(spark, "events_hourly_rollup_cat")
+    # engine_lineage is a MANAGED table: drop before AND after, or the
+    # warehouse directory outlives the in-memory metastore and breaks
+    # saveAsTable in every later session (LOCATION_ALREADY_EXISTS)
+    spark.sql("DROP TABLE IF EXISTS engine_lineage")
+    try:
+        e = load_table(spark, SF_SMOKE, "events")
+        path = str(tmp_path / "rollup")
+        RM.build_rollup(e, path)
+        RM.register_rollup_store(
+            spark, "events_hourly_rollup_cat", path, source_table="events"
+        )
+        n = spark.sql(
+            "SELECT sum(n_events) AS n FROM events_hourly_rollup_cat"
+        ).collect()[0].n
+        assert n == e.count()
+        assert "events" in upstream_of(spark, "events_hourly_rollup_cat")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS engine_lineage")
+        spark.sql("DROP TABLE IF EXISTS events_hourly_rollup_cat")

@@ -379,3 +379,18 @@ class TestContinuationScaleShapes:
         plan = plan_of(spark, "q_rollup_served_daily_dashboard")
         assert "rollup_serve_" in plan, plan
         assert "events.parquet" not in plan, plan
+
+    def test_ivfpq_search_never_shuffles_the_corpus(self, spark):
+        # index build + ADC ranking are map-side under broadcast
+        # codebooks; the only hash exchanges allowed are the PQ
+        # training aggregations (cluster_id keys) and the final top-k
+        # window over CANDIDATES (q_id — nprobe/K of the index per
+        # probe, same bounded shape as q_ann_ivf_topk). The full corpus
+        # itself must never enter an Exchange or a sort-merge join
+        plan = plan_of(spark, "q_ann_ivfpq_topk")
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "cluster_id" in line or "q_id" in line, (
+                    f"corpus-side exchange: {line}"
+                )
+        assert "SortMergeJoin" not in plan
