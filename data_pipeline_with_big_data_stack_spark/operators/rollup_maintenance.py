@@ -228,3 +228,29 @@ def register_rollup_store(
         comment=f"hourly rollup of {source_table} (count/sum/min/max/HLL)",
     )
     C.record_lineage(spark, [(source_table, name, "rollup_maintenance")])
+
+
+def expire_partitions(spark: SparkSession, path: str, keep_from) -> list:
+    """Druid's drop/kill retention rules for the rollup store: delete
+    every day partition strictly OLDER than ``keep_from`` (a
+    ``datetime.date`` or ISO string). Deletion is directory-level via
+    the Hadoop FS API (any scheme), so it is O(dropped partitions) —
+    history is never read, and the surviving store serves unchanged.
+    Returns the dropped partition dates, oldest first."""
+    import datetime
+
+    if isinstance(keep_from, str):
+        keep_from = datetime.date.fromisoformat(keep_from)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dropped = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("__date="):
+            continue
+        day = datetime.date.fromisoformat(name.split("=", 1)[1])
+        if day < keep_from:
+            fs.delete(status.getPath(), True)
+            dropped.append(day)
+    return sorted(dropped)

@@ -252,3 +252,42 @@ def test_incremental_sketch_merge_distincts_equal_raw(spark):
         .collect()
     }
     assert served == exact
+
+
+def test_expire_partitions_drops_only_old_days(spark):
+    """Retention (Druid drop rules): expiring a cutoff removes exactly
+    the older day partitions, and the surviving store serves results
+    identical to a rollup built from only the kept days."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    e = load_table(spark, SF_CORRECTNESS, "events")
+    path = tempfile.mkdtemp(prefix="rollup_retention_")
+    RM.build_rollup(e, path)
+    days = sorted(
+        r["__date"]
+        for r in spark.read.parquet(path).select("__date").distinct().collect()
+    )
+    cutoff = days[len(days) // 2]
+    dropped = RM.expire_partitions(spark, path, cutoff)
+    assert dropped == [d for d in days if d < cutoff]
+    kept = sorted(
+        r["__date"]
+        for r in spark.read.parquet(path).select("__date").distinct().collect()
+    )
+    assert kept == [d for d in days if d >= cutoff]
+    served = {
+        tuple(r)
+        for r in RM.serve_rollup(spark, path, grain="day").collect()
+    }
+    fresh = tempfile.mkdtemp(prefix="rollup_retention_fresh_")
+    RM.build_rollup(e.filter(F.to_date("ts") >= F.lit(str(cutoff))), fresh)
+    expected = {
+        tuple(r) for r in RM.serve_rollup(spark, fresh, grain="day").collect()
+    }
+    assert served == expected
