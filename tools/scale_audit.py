@@ -38,6 +38,7 @@ QUERY_SET = [
     "q_doc_unigram_logprob",
     "q_ann_cosine_topk",
     "q_ann_ivf_topk",
+    "q_ann_ivfpq_topk",
     "q_grouped_normalize_values",
     "q_frequent_items_users",
 ]
