@@ -236,7 +236,12 @@ def expire_partitions(spark: SparkSession, path: str, keep_from) -> list:
     ``datetime.date`` or ISO string). Deletion is directory-level via
     the Hadoop FS API (any scheme), so it is O(dropped partitions) —
     history is never read, and the surviving store serves unchanged.
-    Returns the dropped partition dates, oldest first."""
+    Returns the dropped partition dates, oldest first.
+
+    If the store is catalog-registered (:func:`register_rollup_store`),
+    run ``MSCK REPAIR TABLE <name> [DROP PARTITIONS]`` afterwards — the
+    metastore keeps partition entries for the deleted directories
+    otherwise (pinned in tests/test_catalog_external.py)."""
     import datetime
 
     if isinstance(keep_from, str):

@@ -116,3 +116,46 @@ def test_rollup_store_registered_with_lineage(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS engine_lineage")
         spark.sql("DROP TABLE IF EXISTS events_hourly_rollup_cat")
+
+
+def test_expire_then_repair_keeps_registered_table_servable(spark, tmp_path):
+    """Retention + catalog interplay: after expiring day partitions
+    under a REGISTERED store, MSCK REPAIR (the documented recipe)
+    resyncs the metastore and the table serves exactly the kept days."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    spark.sql("DROP TABLE IF EXISTS engine_lineage")
+    try:
+        e = load_table(spark, SF_SMOKE, "events")
+        path = str(tmp_path / "rollup")
+        RM.build_rollup(e, path)
+        RM.register_rollup_store(
+            spark, "events_rollup_retention_cat", path, source_table="events"
+        )
+        days = sorted(
+            r["__date"]
+            for r in spark.sql(
+                "SELECT DISTINCT __date FROM events_rollup_retention_cat"
+            ).collect()
+        )
+        cutoff = days[len(days) // 2]
+        RM.expire_partitions(spark, path, cutoff)
+        spark.sql("MSCK REPAIR TABLE events_rollup_retention_cat DROP PARTITIONS")
+        kept = sorted(
+            r["__date"]
+            for r in spark.sql(
+                "SELECT DISTINCT __date FROM events_rollup_retention_cat"
+            ).collect()
+        )
+        assert kept == [d for d in days if d >= cutoff]
+        n = spark.sql(
+            "SELECT sum(n_events) AS n FROM events_rollup_retention_cat"
+        ).collect()[0].n
+        assert n == e.filter(F.to_date("ts") >= F.lit(str(cutoff))).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS engine_lineage")
+        spark.sql("DROP TABLE IF EXISTS events_rollup_retention_cat")
