@@ -27,8 +27,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-ROLLUP_KEYS = ("__date", "bucket", "event_type")
+ROLLUP_DIMS = ("event_type",)  # default dims — callers can pass their own
+ROLLUP_KEYS = ("__date", "bucket", *ROLLUP_DIMS)
 _MERGEABLE = ("n_events", "sum_value_micros")
+# every non-key column of a store; merge/serve derive a store's dims
+# from its schema as (columns − metrics − time keys), so maintenance
+# works on any dim set the store was built with
+_METRIC_COLS = (
+    "n_events",
+    "sum_value_micros",
+    "min_value_micros",
+    "max_value_micros",
+    "users_hll",
+)
+
+
+def store_dims(df: DataFrame) -> tuple[str, ...]:
+    """The dimension columns of a rollup store DataFrame, in schema
+    order — everything that isn't a time key or a metric."""
+    skip = {"__date", "bucket", *_METRIC_COLS}
+    return tuple(c for c in df.columns if c not in skip)
 # Druid's HLLSketchBuild metric column: the rollup stores a mergeable
 # user sketch per bucket (a few KB of binary) and unions it at merge /
 # serve time — distinct counts over pre-aggregated data, the thing a
@@ -53,15 +71,18 @@ def _merge_exprs() -> list:
     ]
 
 
-def rollup_aggregate(events: DataFrame) -> DataFrame:
-    """Raw events → hourly per-type partial aggregates. Totals are kept
-    as exact integer micro-units so merge order can never change a
-    result (same device as the streaming state accumulators); the
-    distinct-user state is a mergeable HLL sketch."""
+def rollup_aggregate(
+    events: DataFrame, dims: tuple[str, ...] = ROLLUP_DIMS
+) -> DataFrame:
+    """Raw events → hourly per-dimension partial aggregates (``dims``
+    mirrors a Druid datasource's dimensionsSpec — any event columns).
+    Totals are kept as exact integer micro-units so merge order can
+    never change a result (same device as the streaming state
+    accumulators); the distinct-user state is a mergeable HLL sketch."""
     return (
         events.withColumn("bucket", F.date_trunc("hour", "ts"))
         .withColumn("__date", F.to_date("bucket"))
-        .groupBy(*ROLLUP_KEYS)
+        .groupBy("__date", "bucket", *dims)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
@@ -78,9 +99,11 @@ def rollup_aggregate(events: DataFrame) -> DataFrame:
     )
 
 
-def build_rollup(events: DataFrame, path: str) -> None:
+def build_rollup(
+    events: DataFrame, path: str, dims: tuple[str, ...] = ROLLUP_DIMS
+) -> None:
     """Initial materialization, partitioned by day."""
-    rollup_aggregate(events).write.mode("overwrite").partitionBy(
+    rollup_aggregate(events, dims).write.mode("overwrite").partitionBy(
         "__date"
     ).parquet(path)
 
@@ -100,23 +123,40 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath)) and len(fs.listStatus(hpath)) > 0
 
 
-def apply_increment(spark: SparkSession, path: str, new_events: DataFrame) -> None:
+def apply_increment(
+    spark: SparkSession,
+    path: str,
+    new_events: DataFrame,
+    dims: tuple[str, ...] = ROLLUP_DIMS,
+) -> None:
     """Merge a new raw batch into the materialized rollup, touching only
     the day partitions the batch lands in. A missing/empty store is
-    created from the batch — the first micro-batch of a streaming
-    maintenance loop (see queries/streaming_queries.py) needs this."""
+    created from the batch (with ``dims`` — the first micro-batch of a
+    streaming maintenance loop needs this); an existing store's dims
+    are read from its schema, so maintenance follows whatever dim set
+    the store was built with."""
     if not _store_exists(spark, path):
-        build_rollup(new_events, path)
+        build_rollup(new_events, path, dims)
         return
-    inc = rollup_aggregate(new_events)
+    # merge keys come from the STORE's schema, not the default — a
+    # store built with custom dims maintains itself with them
+    prev_all = spark.read.parquet(path)
+    dims = store_dims(prev_all)
+    inc = rollup_aggregate(new_events, dims)
     touched = [r["__date"] for r in inc.select("__date").distinct().collect()]
     if not touched:
         return
     # materialize the touched slice BEFORE the overwrite starts so the
     # job never reads a path it is concurrently replacing (the slice is
     # rollup rows for a handful of days — tiny)
-    prev = touched_slice(spark, path, touched).localCheckpoint(eager=True)
-    merged = prev.unionByName(inc).groupBy(*ROLLUP_KEYS).agg(*_merge_exprs())
+    prev = prev_all.filter(F.col("__date").isin(touched)).localCheckpoint(
+        eager=True
+    )
+    merged = (
+        prev.unionByName(inc)
+        .groupBy("__date", "bucket", *dims)
+        .agg(*_merge_exprs())
+    )
     # dynamic overwrite replaces exactly the touched partitions; history
     # partitions are neither read (partition-pruned filter above) nor
     # rewritten
@@ -154,11 +194,11 @@ def serve_rollup(
     plan-pinned in tests/test_plans.py."""
     if grain not in SERVE_GRAINS:
         raise ValueError(f"grain {grain!r} not servable from an hourly rollup")
-    rollup_dims = set(ROLLUP_KEYS) - {"__date", "bucket"}
+    r = spark.read.parquet(path)
+    rollup_dims = set(store_dims(r))
     extra = set(dims) - rollup_dims
     if extra:
         raise ValueError(f"dims {sorted(extra)} not in the rollup (has {sorted(rollup_dims)})")
-    r = spark.read.parquet(path)
     aggs = [
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("sum_value_micros").alias("_m"),
