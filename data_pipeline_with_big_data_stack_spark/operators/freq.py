@@ -67,8 +67,12 @@ def mg_update(counts: dict, items, k: int, weights=None) -> int:
     if len(counts) <= k:
         return 0
     # batched MG reduction: one sort of the k-bounded dict, not one
-    # decrement pass per excess row
+    # decrement pass per excess row. t < 0 is impossible once callers
+    # enforce non-negative weights (mg_summaries filters them) — the
+    # assert guards any future caller that forgets, because a negative
+    # t would INCREASE every counter and void the error bracket.
     t = sorted(counts.values(), reverse=True)[k]
+    assert t >= 0, "Misra-Gries requires non-negative weights"
     for i, c in list(counts.items()):
         if c > t:
             counts[i] = c - t
@@ -91,14 +95,19 @@ def mg_summaries(
     guarantee assumes monotone counters) items accumulate weight sums:
     Druid's topN ranks keys by an aggregated METRIC, and this is that
     shape sketched. NULL weights are dropped (weight 0) — a NaN in the
-    pandas sum would poison the integer counters."""
+    pandas sum would poison the integer counters — and so are NEGATIVE
+    weights: a negative weight sum would let the (k+1)-th largest
+    counter go negative, turning the reduction's ``c - t`` into an
+    INCREASE that silently breaks both the est ≤ true ≤ max bracket
+    and the ≤ k size bound, so the non-negativity precondition is
+    enforced here rather than assumed."""
 
     cols = [F.col(item_col).cast("string").alias("item")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("w"))
     src = df.select(*cols).filter(F.col("item").isNotNull())
     if weight_col is not None:
-        src = src.filter(F.col("w").isNotNull())
+        src = src.filter(F.col("w").isNotNull() & (F.col("w") >= 0))
 
     def fold(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -115,57 +115,277 @@ def touched_slice(spark: SparkSession, path: str, touched: list) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("__date").isin(touched))
 
 
-def _store_exists(spark: SparkSession, path: str) -> bool:
-    # Hadoop FS API so any scheme (file:, s3a:, hdfs:) answers correctly
+def _fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem, Path) for ``path`` — Hadoop FS API so any
+    scheme (file:, s3a:, hdfs:) answers correctly."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath)) and len(fs.listStatus(hpath)) > 0
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _visible_to_spark(name: str) -> bool:
+    """Mirror Spark's file-index path filter: names starting with ``.``
+    or ``_`` are hidden UNLESS they carry a partition ``=`` — so
+    ``__date=...`` partition dirs count as store content while
+    ``.staging_batch_*`` / ``_applied_*`` / ``_SUCCESS`` do not."""
+    return "=" in name or not name.startswith((".", "_"))
+
+
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    _, fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return any(
+        _visible_to_spark(st.getPath().getName())
+        for st in fs.listStatus(hpath)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exactly-once maintenance machinery. foreachBatch is at-least-once: a
+# crash between two touched-partition writes followed by a retry would
+# re-merge the batch into partitions it already updated — double
+# counting. The fix is a per-partition batch marker committed ATOMICALLY
+# with the partition's data: the merged output for a batch is staged
+# under ``<store>/.staging_batch_<id>/`` together with an
+# ``_applied_<id>`` marker file in each staged partition dir, then
+# published one directory RENAME per partition (rename is the one atomic
+# primitive every Hadoop filesystem gives us). A retry of the same batch
+# skips every partition whose live dir already carries the marker and
+# recomputes only the rest — whose store content the crashed attempt
+# never replaced. Marker/staging/trash names start with ``.``/``_`` and
+# carry no ``=``, so Spark's file index never sees them.
+# --------------------------------------------------------------------------
+_LOCK_SUFFIX = ".__maintenance_lock"
+
+
+def _lock_path(spark: SparkSession, path: str):
+    jvm, fs, _ = _fs(spark, path)
+    # sibling of the store root, so locking works before the store exists
+    return fs, jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + _LOCK_SUFFIX)
+
+
+def _acquire_lock(spark: SparkSession, path: str):
+    """Single-writer guard: atomic create-if-absent of a sibling lock
+    file. Concurrent maintenance (two apply_increment / expire jobs on
+    one store) would race the read-merge-publish cycle; the loser fails
+    fast and cleanly instead of corrupting the store. A crashed holder
+    leaves the lock behind — operators remove ``<store>.__maintenance_lock``
+    after confirming the job is dead (same contract as a Hive/Delta
+    stale lock)."""
+    fs, lock = _lock_path(spark, path)
+    try:
+        out = fs.create(lock, False)  # overwrite=False → atomic claim
+        out.close()
+    except Exception as exc:  # noqa: BLE001 - FileAlreadyExists via py4j
+        raise RuntimeError(
+            f"rollup store {path} is locked by another maintenance job "
+            f"(remove {path.rstrip('/') + _LOCK_SUFFIX} if that job is dead)"
+        ) from exc
+    return fs, lock
+
+
+def _batch_token(batch_id) -> str:
+    tok = str(batch_id)
+    if not tok or not all(c.isalnum() or c in "-_" for c in tok):
+        raise ValueError(f"batch_id {batch_id!r} is not filesystem-safe")
+    return tok
+
+
+def _marker_name(token: str) -> str:
+    return f"_applied_{token}"
+
+
+def _recover(spark: SparkSession, path: str) -> None:
+    """Roll the store forward/back out of any crashed publish. For every
+    ``.trash_batch_*/__date=D`` entry: if the live partition exists the
+    publish (or a restore) already resolved D — drop the trash copy;
+    otherwise the crash hit between the two renames — restore the
+    original. Runs under the maintenance lock before every merge, so a
+    retry always reads a consistent store."""
+    jvm, fs, root = _fs(spark, path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".trash_batch_"):
+            for part in fs.listStatus(st.getPath()):
+                pname = part.getPath().getName()
+                dest = jvm.org.apache.hadoop.fs.Path(root, pname)
+                if fs.exists(dest):
+                    fs.delete(part.getPath(), True)
+                else:
+                    fs.rename(part.getPath(), dest)
+            fs.delete(st.getPath(), True)
+
+
+def _publish_partition(fs, jvm, root, staging, trash, part_name: str) -> None:
+    """Publish one staged partition: move the live dir (if any) to trash,
+    then rename the staged dir — data + batch marker — into place. A
+    crash between the renames is healed by :func:`_recover` (the
+    original is in trash). Module-level so the crash-injection test can
+    wrap it to fail mid-publish."""
+    dest = jvm.org.apache.hadoop.fs.Path(root, part_name)
+    src = jvm.org.apache.hadoop.fs.Path(staging, part_name)
+    if fs.exists(dest):
+        if not fs.exists(trash):
+            fs.mkdirs(trash)
+        fs.rename(dest, jvm.org.apache.hadoop.fs.Path(trash, part_name))
+    fs.rename(src, dest)
 
 
 def apply_increment(
     spark: SparkSession,
     path: str,
     new_events: DataFrame,
-    dims: tuple[str, ...] = ROLLUP_DIMS,
+    dims: tuple[str, ...] | None = None,
+    batch_id=None,
+    on_new_columns: str = "error",
 ) -> None:
     """Merge a new raw batch into the materialized rollup, touching only
     the day partitions the batch lands in. A missing/empty store is
     created from the batch (with ``dims`` — the first micro-batch of a
     streaming maintenance loop needs this); an existing store's dims
     are read from its schema, so maintenance follows whatever dim set
-    the store was built with."""
-    if not _store_exists(spark, path):
-        build_rollup(new_events, path, dims)
+    the store was built with. An explicitly passed ``dims`` that
+    CONFLICTS with an existing store raises (it used to be silently
+    ignored) — unless the conflict is purely ADDITIVE and
+    ``on_new_columns="evolve"``, in which case the store's dim set
+    grows and pre-evolution rows serve NULL for the new dimension
+    (Druid's per-segment schema behavior).
+
+    With ``batch_id`` (e.g. the foreachBatch epoch id) the merge is
+    EXACTLY-ONCE under retries: each touched partition is staged with an
+    ``_applied_<batch_id>`` marker and published by atomic rename, so a
+    crashed attempt's retry skips the partitions it already published
+    and re-merges only the rest (see the machinery comment above).
+    Without ``batch_id`` the legacy dynamic-partition-overwrite path
+    runs — correct for complete, non-retried jobs. Either way the call
+    holds the store's single-writer maintenance lock."""
+    fs, lock = _acquire_lock(spark, path)
+    try:
+        _apply_increment_locked(
+            spark, path, new_events, dims, batch_id, on_new_columns
+        )
+    finally:
+        fs.delete(lock, False)
+
+
+def _evolved_dims(
+    store: tuple[str, ...], asked: tuple[str, ...], on_new_columns: str
+) -> tuple[str, ...]:
+    """Dim set to maintain with, given the store's schema-derived dims
+    and an explicitly requested set."""
+    if tuple(asked) == tuple(store):
+        return tuple(store)
+    missing = [d for d in store if d not in asked]
+    if missing:
+        raise ValueError(
+            f"dims {asked!r} drop existing rollup dimensions {missing!r}; "
+            "a materialized rollup can gain dimensions but never lose them"
+        )
+    new = [d for d in asked if d not in store]
+    if not new:
+        return tuple(store)  # same set, caller's order is irrelevant
+    if on_new_columns != "evolve":
+        raise ValueError(
+            f"dims {asked!r} add {new!r} to a rollup built with {store!r}; "
+            'pass on_new_columns="evolve" to grow the schema '
+            "(pre-evolution rows will serve NULL for the new dimension)"
+        )
+    # store dims keep their order; new dims append in requested order
+    return tuple(store) + tuple(d for d in asked if d not in store)
+
+
+def _apply_increment_locked(
+    spark: SparkSession,
+    path: str,
+    new_events: DataFrame,
+    dims: tuple[str, ...] | None,
+    batch_id,
+    on_new_columns: str,
+) -> None:
+    _recover(spark, path)
+    exists = _store_exists(spark, path)
+    if not exists and batch_id is None:
+        build_rollup(new_events, path, dims if dims is not None else ROLLUP_DIMS)
         return
-    # merge keys come from the STORE's schema, not the default — a
-    # store built with custom dims maintains itself with them
-    prev_all = spark.read.parquet(path)
-    dims = store_dims(prev_all)
+    if exists:
+        # merge keys come from the STORE's schema, not the default — a
+        # store built with custom dims maintains itself with them.
+        # mergeSchema, because an evolved store's older partitions lack
+        # the newest dimension and schema inference must still see it.
+        prev_all = spark.read.option("mergeSchema", "true").parquet(path)
+        sdims = store_dims(prev_all)
+        dims = sdims if dims is None else _evolved_dims(sdims, tuple(dims), on_new_columns)
+    else:
+        prev_all = None
+        dims = tuple(dims) if dims is not None else ROLLUP_DIMS
     inc = rollup_aggregate(new_events, dims)
-    touched = [r["__date"] for r in inc.select("__date").distinct().collect()]
+    touched = sorted(
+        str(r["__date"]) for r in inc.select("__date").distinct().collect()
+    )
     if not touched:
         return
-    # materialize the touched slice BEFORE the overwrite starts so the
-    # job never reads a path it is concurrently replacing (the slice is
+    jvm, fs, root = _fs(spark, path)
+    if batch_id is not None:
+        token = _batch_token(batch_id)
+        marker = _marker_name(token)
+        touched = [
+            d
+            for d in touched
+            if not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(root, f"__date={d}/{marker}")
+            )
+        ]
+        if not touched:
+            return  # full retry of an already-published batch
+        inc = inc.filter(F.col("__date").cast("string").isin(touched))
+    # materialize the touched slice BEFORE any write starts so the job
+    # never reads a path it is concurrently replacing (the slice is
     # rollup rows for a handful of days — tiny)
-    prev = prev_all.filter(F.col("__date").isin(touched)).localCheckpoint(
-        eager=True
+    if exists:
+        prev = (
+            prev_all.filter(F.col("__date").cast("string").isin(touched))
+            .localCheckpoint(eager=True)
+        )
+        merged = (
+            prev.unionByName(inc, allowMissingColumns=True)
+            .groupBy("__date", "bucket", *dims)
+            .agg(*_merge_exprs())
+        )
+    else:
+        merged = inc
+    if batch_id is None:
+        # legacy path: dynamic overwrite replaces exactly the touched
+        # partitions; history partitions are neither read (partition-
+        # pruned filter above) nor rewritten. At-least-once: callers that
+        # can retry a crashed batch must pass batch_id.
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("__date").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        return
+    # exactly-once path: stage (data + marker), then publish by rename
+    staging = jvm.org.apache.hadoop.fs.Path(root, f".staging_batch_{token}")
+    trash = jvm.org.apache.hadoop.fs.Path(root, f".trash_batch_{token}")
+    fs.delete(staging, True)  # stale staging from a crashed attempt
+    merged.write.mode("overwrite").partitionBy("__date").parquet(
+        str(staging)
     )
-    merged = (
-        prev.unionByName(inc)
-        .groupBy("__date", "bucket", *dims)
-        .agg(*_merge_exprs())
-    )
-    # dynamic overwrite replaces exactly the touched partitions; history
-    # partitions are neither read (partition-pruned filter above) nor
-    # rewritten
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("__date").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    for d in touched:
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(staging, f"__date={d}/{marker}"), True
+        )
+        out.close()
+    for d in touched:
+        _publish_partition(fs, jvm, root, staging, trash, f"__date={d}")
+    fs.delete(trash, True)
+    fs.delete(staging, True)
 
 
 # grains the hourly store can serve: hour buckets nest EXACTLY inside
@@ -194,7 +414,10 @@ def serve_rollup(
     plan-pinned in tests/test_plans.py."""
     if grain not in SERVE_GRAINS:
         raise ValueError(f"grain {grain!r} not servable from an hourly rollup")
-    r = spark.read.parquet(path)
+    # mergeSchema: an evolved store's pre-evolution partitions lack the
+    # newest dimension — schema merging surfaces it (as NULL) instead of
+    # letting single-file inference hide it
+    r = spark.read.option("mergeSchema", "true").parquet(path)
     rollup_dims = set(store_dims(r))
     extra = set(dims) - rollup_dims
     if extra:
@@ -270,31 +493,54 @@ def register_rollup_store(
     C.record_lineage(spark, [(source_table, name, "rollup_maintenance")])
 
 
-def expire_partitions(spark: SparkSession, path: str, keep_from) -> list:
+def expire_partitions(
+    spark: SparkSession, path: str, keep_from, table: str | None = None
+) -> list:
     """Druid's drop/kill retention rules for the rollup store: delete
     every day partition strictly OLDER than ``keep_from`` (a
     ``datetime.date`` or ISO string). Deletion is directory-level via
     the Hadoop FS API (any scheme), so it is O(dropped partitions) —
     history is never read, and the surviving store serves unchanged.
-    Returns the dropped partition dates, oldest first.
+    Runs under the store's single-writer maintenance lock (a concurrent
+    ``apply_increment`` could otherwise republish a partition this sweep
+    is deleting). Returns the dropped partition dates, oldest first.
 
     If the store is catalog-registered (:func:`register_rollup_store`),
-    run ``MSCK REPAIR TABLE <name> [DROP PARTITIONS]`` afterwards — the
-    metastore keeps partition entries for the deleted directories
-    otherwise (pinned in tests/test_catalog_external.py)."""
+    pass the registered ``table`` name: the metastore keeps partition
+    entries for deleted directories otherwise, and the sweep then runs
+    ``MSCK REPAIR TABLE <table> SYNC PARTITIONS`` itself (pinned in
+    tests/test_catalog_external.py)."""
     import datetime
 
     if isinstance(keep_from, str):
         keep_from = datetime.date.fromisoformat(keep_from)
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs_lock, lock = _acquire_lock(spark, path)
+    try:
+        dropped = _expire_locked(spark, path, keep_from)
+    finally:
+        fs_lock.delete(lock, False)
+    if dropped and table is not None:
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    return dropped
+
+
+def _expire_locked(spark: SparkSession, path: str, keep_from) -> list:
+    import datetime
+
+    jvm, fs, root = _fs(spark, path)
     dropped = []
     for status in fs.listStatus(root):
         name = status.getPath().getName()
         if not name.startswith("__date="):
             continue
-        day = datetime.date.fromisoformat(name.split("=", 1)[1])
+        try:
+            day = datetime.date.fromisoformat(name.split("=", 1)[1])
+        except ValueError:
+            # e.g. __date=__HIVE_DEFAULT_PARTITION__ from null-ts events:
+            # not a calendar day, so no retention rule can order it —
+            # keep it (dropping data the rule can't express would be a
+            # silent loss) and move on instead of crashing the sweep
+            continue
         if day < keep_from:
             fs.delete(status.getPath(), True)
             dropped.append(day)

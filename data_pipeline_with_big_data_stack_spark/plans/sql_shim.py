@@ -122,6 +122,24 @@ def rewrite_druid_sql(sql: str) -> str:
     out = _APPROX_QUANTILE_RE.sub(
         lambda m: f"percentile_approx({m.group(1)}, {m.group(2)})", out
     )
+    # the rewrites above only match the simple column/literal argument
+    # forms the dashboard queries use; a nested-expression argument
+    # (e.g. APPROX_COUNT_DISTINCT_DS_HLL(coalesce(a, b))) slips past the
+    # regexes and would later die in Spark with an opaque
+    # unknown-function error — fail at the shim with a diagnostic instead
+    leftover = re.search(
+        _ID_BOUNDARY
+        + r"(APPROX_COUNT_DISTINCT_DS_(?:HLL|THETA)|APPROX_QUANTILE_DS"
+        + r"|TIME_FLOOR|TIME_EXTRACT)\s*\(",
+        out,
+        re.IGNORECASE,
+    )
+    if leftover:
+        raise ValueError(
+            f"unsupported argument form for {leftover.group(1)}: the shim "
+            "rewrites simple column/literal arguments only — alias the "
+            "expression in a subquery first"
+        )
     return out
 
 

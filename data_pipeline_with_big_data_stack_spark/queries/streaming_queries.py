@@ -460,7 +460,12 @@ def q_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_stream_")
     q = (
         st.writeStream.foreachBatch(
-            lambda df, _eid: RM.apply_increment(df.sparkSession, path, df)
+            # epoch id as batch_id → the staged-publish exactly-once
+            # path: a foreachBatch retry skips already-published
+            # partitions instead of double-merging them
+            lambda df, eid: RM.apply_increment(
+                df.sparkSession, path, df, batch_id=eid
+            )
         )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)

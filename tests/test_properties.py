@@ -230,6 +230,18 @@ class TestSketchSqlRewrites:
         sql = "SELECT MY_APPROX_QUANTILE(v, 0.5), APPROX_COUNT_DISTINCT(u) FROM t"
         assert rewrite_druid_sql(sql) == sql
 
+    def test_unrewritable_argument_forms_fail_at_the_shim(self):
+        # nested-expression arguments slip past the simple-argument
+        # regexes; the shim must diagnose them instead of handing Spark
+        # an unknown function (ADVICE r4)
+        for sql in (
+            "SELECT APPROX_COUNT_DISTINCT_DS_HLL(coalesce(a, b)) FROM t",
+            "SELECT APPROX_QUANTILE_DS(abs(v), 0.5) FROM t",
+            "SELECT TIME_FLOOR(coalesce(ts, ts2), 'PT1H') FROM t",
+        ):
+            with pytest.raises(ValueError, match="unsupported argument form"):
+                rewrite_druid_sql(sql)
+
 
 class TestMisraGriesProperties:
     """Pure-Python invariants of the shared MG update step — the piece

@@ -1,0 +1,242 @@
+"""Exactly-once, locking, recovery, and schema-evolution contracts of
+the rollup maintenance loop (VERDICT r4 "Next round" items 1, 3, 4).
+
+The at-least-once hazard being pinned: ``foreachBatch`` re-runs a batch
+after a mid-write failure, and the merge is not idempotent — so a crash
+between two touched-partition writes followed by a retry used to
+double-count the batch in the partitions the crashed attempt had
+already written. With ``batch_id`` the merge is staged + published by
+atomic rename with a per-partition marker, making retries exactly-once:
+every test here asserts the invariant *store == full recompute from all
+raw events* after a crash + retry.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+from data_pipeline_with_big_data_stack_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _final(spark, path):
+    return {
+        (r.bucket, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in RM.read_rollup(spark, path).collect()
+    }
+
+
+def _expected(spark, tmp_path, e):
+    full = str(tmp_path / "full_recompute")
+    RM.build_rollup(e, full)
+    return _final(spark, full)
+
+
+def _split(e, salt=3):
+    return e.filter(F.col("event_id") % salt != 0), e.filter(
+        F.col("event_id") % salt == 0
+    )
+
+
+def test_retry_of_published_batch_is_noop(spark, tmp_path):
+    e = load_table(spark, SF_SMOKE, "events")
+    initial, late = _split(e)
+    path = str(tmp_path / "store")
+    RM.build_rollup(initial, path)
+    RM.apply_increment(spark, path, late, batch_id=1)
+    once = _final(spark, path)
+    assert once == _expected(spark, tmp_path, e)
+    # the retry the checkpoint would issue after a post-commit crash:
+    # same epoch, same data — must change nothing
+    RM.apply_increment(spark, path, late, batch_id=1)
+    assert _final(spark, path) == once
+
+
+def test_crash_between_partition_publishes_then_retry(spark, tmp_path, monkeypatch):
+    """The exact double-count scenario from VERDICT r4: fail AFTER the
+    first touched partition published but before the second, retry the
+    batch, and require store == full recompute (the legacy path would
+    re-merge the batch into the already-published partition)."""
+    e = load_table(spark, SF_SMOKE, "events")
+    initial, late = _split(e)
+    path = str(tmp_path / "store")
+    RM.build_rollup(initial, path)
+    assert late.select(F.to_date("ts")).distinct().count() > 1
+
+    real = RM._publish_partition
+    calls = {"n": 0}
+
+    def crashy(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between partition publishes")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(RM, "_publish_partition", crashy)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        RM.apply_increment(spark, path, late, batch_id=7)
+    monkeypatch.setattr(RM, "_publish_partition", real)
+    # retry of the same epoch (what the restarted stream does)
+    RM.apply_increment(spark, path, late, batch_id=7)
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
+
+
+def test_crash_between_renames_is_recovered(spark, tmp_path):
+    """Tightest window: live partition already moved to trash, staged
+    dir not yet renamed in — the partition is MISSING from the store.
+    _recover must restore the original before the retry merges."""
+    e = load_table(spark, SF_SMOKE, "events")
+    initial, late = _split(e)
+    path = str(tmp_path / "store")
+    RM.build_rollup(initial, path)
+    days = sorted(d for d in os.listdir(path) if d.startswith("__date="))
+    victim = days[0]
+    trash = os.path.join(path, ".trash_batch_3")
+    os.makedirs(trash)
+    os.rename(os.path.join(path, victim), os.path.join(trash, victim))
+    assert not os.path.exists(os.path.join(path, victim))
+    RM.apply_increment(spark, path, late, batch_id=3)
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
+    assert not os.path.exists(trash)
+
+
+def test_streaming_restart_after_midbatch_crash(spark, tmp_path, monkeypatch):
+    """End-to-end: the stream itself crashes mid-publish, restarts from
+    its checkpoint (same epoch id replays), and the served store equals
+    the full recompute — at-least-once delivery, exactly-once effect."""
+    e = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    e.write.mode("overwrite").parquet(src)
+    path = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    real = RM._publish_partition
+    calls = {"n": 0}
+
+    def crashy(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-publish crash")
+        return real(*args, **kwargs)
+
+    def run_stream():
+        st = spark.readStream.schema(e.schema).parquet(src)
+        q = (
+            st.writeStream.foreachBatch(
+                lambda df, eid: RM.apply_increment(
+                    df.sparkSession, path, df, batch_id=eid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    monkeypatch.setattr(RM, "_publish_partition", crashy)
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        run_stream()
+    monkeypatch.setattr(RM, "_publish_partition", real)
+    run_stream()  # restart: checkpoint replays the failed epoch
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
+
+
+def test_maintenance_lock_blocks_second_writer(spark, tmp_path):
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e, path)
+    lock = path + RM._LOCK_SUFFIX
+    open(lock, "w").close()  # a concurrent job holds the store
+    with pytest.raises(RuntimeError, match="locked by another maintenance job"):
+        RM.apply_increment(spark, path, e.limit(10))
+    with pytest.raises(RuntimeError, match="locked by another maintenance job"):
+        RM.expire_partitions(spark, path, "2030-01-01")
+    os.remove(lock)
+    RM.apply_increment(spark, path, e.limit(0))  # lock released → proceeds
+    assert not os.path.exists(lock), "lock must be released on exit"
+
+
+def test_lock_released_after_failure(spark, tmp_path, monkeypatch):
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e, path)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(RM, "_publish_partition", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        RM.apply_increment(spark, path, e.limit(50), batch_id=4)
+    assert not os.path.exists(path + RM._LOCK_SUFFIX)
+
+
+def test_explicit_conflicting_dims_raise(spark, tmp_path):
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e, path, dims=("event_type",))
+    # additive conflict without opting in
+    with pytest.raises(ValueError, match="evolve"):
+        RM.apply_increment(spark, path, e.limit(10), dims=("event_type", "user_id"))
+    # dropping a dimension is never allowed
+    with pytest.raises(ValueError, match="never lose"):
+        RM.apply_increment(spark, path, e.limit(10), dims=())
+    # same set (order-insensitive) is NOT a conflict
+    RM.apply_increment(spark, path, e.limit(0), dims=("event_type",))
+
+
+def test_schema_evolution_backfills_null(spark, tmp_path):
+    """Druid's per-segment schema behavior: a batch carrying a new
+    dimension grows the store, and pre-evolution rows serve NULL for
+    it. Post-evolution rows carry real values, and totals still equal
+    the full recompute when the new dim is rolled away."""
+    e = load_table(spark, SF_SMOKE, "events")
+    cut = F.to_date("ts") < F.lit("2024-01-15").cast("date")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e.filter(cut), path, dims=("event_type",))
+    RM.apply_increment(
+        spark,
+        path,
+        e.filter(~cut),
+        dims=("event_type", "user_id"),
+        on_new_columns="evolve",
+        batch_id=11,
+    )
+    served = RM.serve_rollup(
+        spark, path, grain="day", dims=("event_type", "user_id")
+    ).collect()
+    assert any(r.user_id is None for r in served), "pre-evolution rows → NULL"
+    assert any(r.user_id is not None for r in served), "new batches carry the dim"
+    # rolling the evolved dim away must reproduce the full recompute
+    assert {
+        (r.bucket, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in RM.serve_rollup(spark, path, grain="hour").collect()
+    } == {
+        (r.bucket, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in RM.serve_rollup(spark, str(_build_full(spark, tmp_path, e)), grain="hour").collect()
+    }
+
+
+def _build_full(spark, tmp_path, e):
+    full = tmp_path / "full_for_evolution"
+    if not os.path.exists(str(full)):
+        RM.build_rollup(e, str(full))
+    return full
+
+
+def test_expire_skips_hive_default_partition(spark, tmp_path):
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e, path)
+    weird = os.path.join(path, "__date=__HIVE_DEFAULT_PARTITION__")
+    os.makedirs(weird)
+    dropped = RM.expire_partitions(spark, path, "2030-01-01")
+    assert dropped, "real day partitions expire"
+    assert os.path.exists(weird), "unparsable partition survives, no crash"
+    shutil.rmtree(weird)

@@ -361,3 +361,21 @@ def test_rollup_sketch_estimate_mode_at_scale(spark, tmp_path):
     est = r[0].approx_users
     assert abs(est - n_users) / n_users < 0.03, est
     assert r[0].n_events == n_users
+
+
+def test_mg_negative_weights_are_excluded(spark):
+    """Weighted MG assumes monotone (non-negative) counters: a negative
+    weight sum would flip the reduction into INCREASING counters and
+    void the est ≤ true ≤ max bracket (ADVICE r4). Negative-weight rows
+    are dropped at the source, so the sketch over the remaining rows is
+    exact in the below-capacity regime."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.freq import mg_frequent_items
+
+    rows = [("a", 10), ("a", -7), ("b", 5), ("b", -100), ("c", -1)]
+    df = spark.createDataFrame(rows, "item string, w long")
+    got = {r.item: r.est_count for r in
+           mg_frequent_items(df, "item", k=16, top_n=10, weight_col="w").collect()}
+    # only the non-negative rows count; c (negative-only) vanishes
+    assert got == {"a": 10, "b": 5}
