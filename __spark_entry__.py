@@ -27,18 +27,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_rotation_order(names: list[str]) -> list[str]:
-    """Order queries so the driver's bounded gate window (≈50/94 per
+    """Order queries so the driver's bounded gate window (≈50 per
     round) lands on the rows that most need a driver-verified green:
     first queries NEVER green in any past CORRECTNESS_r*.json (new this
     round, or previously red — e.g. fixed-but-unreverified), then
-    least-recently/least-often checked, stable by name within a tier."""
+    LEAST-RECENTLY green (an r1-vintage pass re-verifies before an
+    r4 one — the round number in the filename is the recency key;
+    plain green-counts alone tie-broke alphabetically and let newer
+    greens crowd the stalest rows out of the window), then least-often
+    checked, stable by name within a tier."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
     green: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        rnum = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 for name, row in json.load(f).items():
@@ -53,9 +61,19 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
                     )
                     if ok:
                         green[name] = green.get(name, 0) + 1
+                        last_green[name] = max(last_green.get(name, 0), rnum)
         except Exception:
             continue
-    return sorted(names, key=lambda n: (green.get(n, 0), seen.get(n, 0), n))
+    return sorted(
+        names,
+        key=lambda n: (
+            min(green.get(n, 0), 1),  # never-green strictly first
+            last_green.get(n, 0),
+            green.get(n, 0),
+            seen.get(n, 0),
+            n,
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -56,6 +56,161 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(path + "_codebook")
 
 
+def build_ivfpq_index(
+    vecs: DataFrame,
+    path: str,
+    coarse_codebook: DataFrame,
+    pq_codebooks: list[DataFrame],
+    sub_dim: int,
+    id_col: str = "vec_id",
+) -> None:
+    """IVF-PQ index build — the train-once/serve-many half of
+    ``queries/vector.q_ann_ivfpq_topk`` (which retrains its codebooks
+    inline on every run so its DuckDB oracle can replay the trajectory;
+    at scale you pay PQ training once and serve from this index).
+
+    ``vecs(id, emb)`` + 1-row ``coarse_codebook(cb)`` + per-subspace
+    1-row ``pq_codebooks`` (``operators/kmeans.lloyd_kmeans`` output,
+    any column name) → parquet at ``path`` partitioned by ``cell_id``
+    holding CODES ONLY (``id, code_0..code_{M-1}``) — the raw vector is
+    dropped at build time and never read again — plus two sidecars:
+    ``path + "_codebook"`` (coarse cells) and ``path + "_pq_codebook"``
+    (``m, code, c_emb`` — K_PQ × M rows). The build is ONE map-side
+    projection per vector under broadcast codebooks: coarse argmin +
+    M subspace argmins, zero shuffle before the partitioned write."""
+    coarse = coarse_codebook.select(F.col(coarse_codebook.columns[0]).alias("__cb"))
+    coded = vecs.join(F.broadcast(coarse))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cb"),
+            lambda c: F.struct(
+                _sqdist(F.col("emb"), c["c_emb"]).alias("dist"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    # NB: helper factories, not `lambda c, sub=sub:` — PySpark reads a
+    # two-parameter lambda as (element, index) and would bind the array
+    # index where the captured column belongs
+    def _best_code(cname: str, sub):
+        def entry(c):
+            return F.struct(
+                _sqdist(sub, c["c_emb"]).alias("dist"),
+                c["cell_id"].alias("cell_id"),
+            )
+
+        return F.element_at(F.array_sort(F.transform(F.col(cname), entry)), 1)[
+            "cell_id"
+        ]
+
+    cols = [F.col(id_col), F.element_at(ranked, 1)["cell_id"].alias("cell_id")]
+    for m, cbm in enumerate(pq_codebooks):
+        cname = f"__pq{m}"
+        coded = coded.join(
+            F.broadcast(cbm.select(F.col(cbm.columns[0]).alias(cname)))
+        )
+        cols.append(
+            _best_code(cname, F.slice("emb", m * sub_dim + 1, sub_dim)).alias(
+                f"code_{m}"
+            )
+        )
+    coded.select(*cols).write.mode("overwrite").partitionBy("cell_id").parquet(
+        path
+    )
+    coarse.select(F.explode("__cb").alias("c")).select(
+        F.col("c.cell_id").alias("cell_id"), F.col("c.c_emb").alias("c_emb")
+    ).write.mode("overwrite").parquet(path + "_codebook")
+    pq_rows = None
+    for m, cbm in enumerate(pq_codebooks):
+        rows = (
+            cbm.select(F.explode(F.col(cbm.columns[0])).alias("c"))
+            .select(
+                F.lit(m).alias("m"),
+                F.col("c.cell_id").alias("code"),
+                F.col("c.c_emb").alias("c_emb"),
+            )
+        )
+        pq_rows = rows if pq_rows is None else pq_rows.unionByName(rows)
+    pq_rows.write.mode("overwrite").parquet(path + "_pq_codebook")
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``probes(q_id, q_emb)`` → top-``k`` by asymmetric-distance
+    (ADC) per probe, from the materialized IVF-PQ index: rank probe
+    cells against the tiny coarse sidecar, read ONLY the ``nprobe``
+    index partitions (codes, no vectors — the scan's ReadSchema carries
+    id + codes only, plan-pinned), and rank candidates by summing
+    per-subspace squared distances between the probe's sub-vectors and
+    the K_PQ-row PQ codebook centroids their codes point at. Identical
+    top-k to the inline ``q_ann_ivfpq_topk`` given the same codebooks
+    (equality-pinned in tests/test_ann_index.py)."""
+    cb_tbl = spark.read.parquet(path + "_codebook")
+    cb = cb_tbl.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                _sqdist(F.col("q_emb"), c["c_emb"]).alias("dist"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    probe_cells = (
+        probes.join(F.broadcast(cb))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(F.slice(ranked, 1, nprobe)).alias("cell"),
+        )
+        .select("q_id", "q_emb", F.col("cell")["cell_id"].alias("cell_id"))
+    )
+    # metadata-scale collect: nprobe cells per probe → partition-pruning
+    # predicate for the codes scan
+    cells = sorted(
+        {r.cell_id for r in probe_cells.select("cell_id").distinct().collect()}
+    )
+    index = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
+    n_sub = len([c for c in index.columns if c.startswith("code_")])
+    pq_tbl = spark.read.parquet(path + "_pq_codebook")
+    sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
+    cand = index.join(F.broadcast(probe_cells), "cell_id").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    def _centroid(cname: str, code_col: str):
+        def match(c):
+            return c["code"] == F.col(code_col)
+
+        return F.element_at(F.filter(F.col(cname), match), 1)["c_emb"]
+
+    adc = F.lit(0.0)
+    for m in range(n_sub):
+        cname = f"__pqcb{m}"
+        cbm = pq_tbl.filter(F.col("m") == m).agg(
+            F.collect_list(F.struct("code", "c_emb")).alias(cname)
+        )
+        cand = cand.join(F.broadcast(cbm))
+        adc = adc + _sqdist(
+            F.slice("q_emb", m * sub_dim + 1, sub_dim),
+            _centroid(cname, f"code_{m}"),
+        )
+    cand = cand.select(
+        "q_id", id_col, "cell_id", F.round(adc, 4).alias("adc_dist")
+    )
+    w = W.partitionBy("q_id").orderBy("adc_dist", F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

@@ -85,3 +85,81 @@ def test_search_matches_within_probed_cells(spark, tmp_path):
     top = {r.vec_id: r.cosine for r in
            brute.orderBy(F.col("cosine").desc(), "vec_id").limit(3).collect()}
     assert out == top
+
+
+def test_ivfpq_index_equals_inline_query(spark, tmp_path):
+    """The materialized IVF-PQ index must return the IDENTICAL top-k to
+    the inline q_ann_ivfpq_topk (whose DuckDB oracle replays the whole
+    trajectory) given the same codebooks — the train-once/serve-many
+    production shape of the same operator."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _K_CELLS,
+        _NPROBE,
+        _PQ_SUB,
+        N_QUERY_VECS,
+        TOP_K,
+        _pq_train_codebooks,
+        q_ann_ivfpq_topk,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    coarse = _codebook(e, k=_K_CELLS)
+    cb0, cb1 = _pq_train_codebooks(e)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    out = search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
+    got = sorted(
+        (r.q_id, r.vec_id, r.cell_id, r.adc_dist) for r in out.collect()
+    )
+    want = sorted(
+        (r.q_id, r.vec_id, r.cell_id, r.adc_dist)
+        for r in q_ann_ivfpq_topk(spark, SF_SMOKE).collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_index_prunes_partitions_and_stores_no_vectors(spark, tmp_path):
+    """Scale pins: (a) the index holds CODES ONLY — no raw-vector column
+    anywhere in its files; (b) a search's index scan is partition-pruned
+    to the probed cells (PartitionFilters), so nprobe/K of the corpus is
+    read, never the rest."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _PQ_SUB,
+        _pq_train_codebooks,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        e, path, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB
+    )
+    files = glob.glob(path + "/cell_id=*/*.parquet")
+    assert files, "index is physically partitioned by cell_id"
+    for f in files[:3]:
+        names = set(pq.read_schema(f).names)
+        assert "emb" not in names and "q_emb" not in names
+        assert {"vec_id", "code_0", "code_1"} <= names
+
+    probes = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    out = search_ivfpq_index(spark, path, probes, nprobe=2, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan

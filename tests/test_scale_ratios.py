@@ -1,0 +1,63 @@
+"""CI guard against superlinear regressions (VERDICT r4 #7).
+
+tools/scale_audit.py found exactly one superlinear hotspot in round 4
+(per-row Decimal.quantize in grouped normalize) — but only because a
+human ran it. This suite runs the same twin-dataset audit at 1×/4×
+inside pytest so the next accidental pair-explosion or driver loop
+fails CI instead of waiting for a manual audit.
+
+Threshold: 4× data must stay under 8× wall-clock. Linear operators land
+near 4× (often below — fixed-output aggregations amortize); a quadratic
+defect lands near 16×. 8× leaves shared-host noise headroom (single
+runs here swing ~25%, see COVERAGE r4 §6) while still catching every
+defect class the audit is for.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+import scale_audit  # noqa: E402
+
+FACTOR = 4
+MAX_RATIO = 8.0
+# one representative per heavy family: window/session, LSH dedup,
+# simhash dedup, text windowing, vector (inline IVF-PQ incl. training),
+# grouped-map pandas, MG sketch
+AUDITED = [
+    "q_events_sessionization",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_doc_sequence_packing",
+    "q_ann_ivfpq_topk",
+    "q_grouped_normalize_values",
+    "q_frequent_items_users",
+]
+
+
+@pytest.fixture(scope="module")
+def twin_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("scale_twins")
+    d1, dN = str(base / "x1"), str(base / f"x{FACTOR}")
+    scale_audit.gen(d1, 30_000, 1_500, 2_000)
+    scale_audit.gen(dN, 30_000 * FACTOR, 1_500 * FACTOR, 2_000 * FACTOR)
+    return d1, dN
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_ratio_stays_sublinear_enough(spark, twin_dirs, name):
+    d1, dN = twin_dirs
+    t1 = scale_audit.run(spark, scale_audit.QUERIES[name], d1)
+    tN = scale_audit.run(spark, scale_audit.QUERIES[name], dN)
+    ratio = tN / t1
+    assert ratio < MAX_RATIO, (
+        f"{name}: {FACTOR}x data took {ratio:.1f}x wall-clock "
+        f"({t1:.2f}s -> {tN:.2f}s) — superlinear regression"
+    )
