@@ -119,9 +119,11 @@ def test_rollup_store_registered_with_lineage(spark, tmp_path):
 
 
 def test_expire_then_repair_keeps_registered_table_servable(spark, tmp_path):
-    """Retention + catalog interplay: after expiring day partitions
-    under a REGISTERED store, MSCK REPAIR (the documented recipe)
-    resyncs the metastore and the table serves exactly the kept days."""
+    """Retention + catalog interplay: expiring day partitions under a
+    REGISTERED store resyncs the metastore AUTOMATICALLY when the sweep
+    is given the table name (it runs MSCK REPAIR ... SYNC PARTITIONS
+    itself — the recipe used to be a docstring instruction), and the
+    table then serves exactly the kept days."""
     from pyspark.sql import functions as F
 
     from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
@@ -143,8 +145,9 @@ def test_expire_then_repair_keeps_registered_table_servable(spark, tmp_path):
             ).collect()
         )
         cutoff = days[len(days) // 2]
-        RM.expire_partitions(spark, path, cutoff)
-        spark.sql("MSCK REPAIR TABLE events_rollup_retention_cat DROP PARTITIONS")
+        RM.expire_partitions(
+            spark, path, cutoff, table="events_rollup_retention_cat"
+        )
         kept = sorted(
             r["__date"]
             for r in spark.sql(

