@@ -56,29 +56,20 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(path + "_codebook")
 
 
-def build_ivfpq_index(
+def _coded_projection(
     vecs: DataFrame,
-    path: str,
     coarse_codebook: DataFrame,
     pq_codebooks: list[DataFrame],
     sub_dim: int,
-    id_col: str = "vec_id",
-) -> None:
-    """IVF-PQ index build — the train-once/serve-many half of
-    ``queries/vector.q_ann_ivfpq_topk`` (which retrains its codebooks
-    inline on every run so its DuckDB oracle can replay the trajectory;
-    at scale you pay PQ training once and serve from this index).
-
-    ``vecs(id, emb)`` + 1-row ``coarse_codebook(cb)`` + per-subspace
-    1-row ``pq_codebooks`` (``operators/kmeans.lloyd_kmeans`` output,
-    any column name) → parquet at ``path`` partitioned by ``cell_id``
-    holding CODES ONLY (``id, code_0..code_{M-1}``) — the raw vector is
-    dropped at build time and never read again — plus two sidecars:
-    ``path + "_codebook"`` (coarse cells) and ``path + "_pq_codebook"``
-    (``m, code, c_emb`` — K_PQ × M rows). The build is ONE map-side
-    projection per vector under broadcast codebooks: coarse argmin +
-    M subspace argmins, zero shuffle before the partitioned write."""
-    coarse = coarse_codebook.select(F.col(coarse_codebook.columns[0]).alias("__cb"))
+    id_col: str,
+) -> DataFrame:
+    """One map-side projection per vector under broadcast codebooks:
+    ``(id, cell_id, code_0..code_{M-1})`` — coarse argmin + M subspace
+    argmins, the raw vector dropped. Shared by the initial build and
+    the incremental append (same codebooks ⇒ bit-identical codes)."""
+    coarse = coarse_codebook.select(
+        F.col(coarse_codebook.columns[0]).alias("__cb")
+    )
     coded = vecs.join(F.broadcast(coarse))
     ranked = F.array_sort(
         F.transform(
@@ -89,6 +80,7 @@ def build_ivfpq_index(
             ),
         )
     )
+
     # NB: helper factories, not `lambda c, sub=sub:` — PySpark reads a
     # two-parameter lambda as (element, index) and would bind the array
     # index where the captured column belongs
@@ -114,9 +106,36 @@ def build_ivfpq_index(
                 f"code_{m}"
             )
         )
-    coded.select(*cols).write.mode("overwrite").partitionBy("cell_id").parquet(
-        path
+    return coded.select(*cols)
+
+
+def build_ivfpq_index(
+    vecs: DataFrame,
+    path: str,
+    coarse_codebook: DataFrame,
+    pq_codebooks: list[DataFrame],
+    sub_dim: int,
+    id_col: str = "vec_id",
+) -> None:
+    """IVF-PQ index build — the train-once/serve-many half of
+    ``queries/vector.q_ann_ivfpq_topk`` (which retrains its codebooks
+    inline on every run so its DuckDB oracle can replay the trajectory;
+    at scale you pay PQ training once and serve from this index).
+
+    ``vecs(id, emb)`` + 1-row ``coarse_codebook(cb)`` + per-subspace
+    1-row ``pq_codebooks`` (``operators/kmeans.lloyd_kmeans`` output,
+    any column name) → parquet at ``path`` partitioned by ``cell_id``
+    holding CODES ONLY (``id, code_0..code_{M-1}``) — the raw vector is
+    dropped at build time and never read again — plus two sidecars:
+    ``path + "_codebook"`` (coarse cells) and ``path + "_pq_codebook"``
+    (``m, code, c_emb`` — K_PQ × M rows). The build is ONE map-side
+    projection per vector under broadcast codebooks: coarse argmin +
+    M subspace argmins, zero shuffle before the partitioned write."""
+    coded = _coded_projection(
+        vecs, coarse_codebook, pq_codebooks, sub_dim, id_col
     )
+    coded.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    coarse = coarse_codebook.select(F.col(coarse_codebook.columns[0]).alias("__cb"))
     coarse.select(F.explode("__cb").alias("c")).select(
         F.col("c.cell_id").alias("cell_id"), F.col("c.c_emb").alias("c_emb")
     ).write.mode("overwrite").parquet(path + "_codebook")
@@ -132,6 +151,47 @@ def build_ivfpq_index(
         )
         pq_rows = rows if pq_rows is None else pq_rows.unionByName(rows)
     pq_rows.write.mode("overwrite").parquet(path + "_pq_codebook")
+
+
+def _sidecar_codebooks(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[DataFrame], int]:
+    """Read the coarse + PQ codebooks back from an index's sidecars in
+    the 1-row array-of-struct shape ``_coded_projection`` expects.
+    Returns (coarse, [pq_m...], sub_dim)."""
+    coarse = (
+        spark.read.parquet(path + "_codebook")
+        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    )
+    pq_tbl = spark.read.parquet(path + "_pq_codebook")
+    n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
+    sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
+    pq_codebooks = [
+        pq_tbl.filter(F.col("m") == m).agg(
+            F.collect_list(
+                F.struct(F.col("code").alias("cell_id"), F.col("c_emb"))
+            ).alias(f"cb{m}")
+        )
+        for m in range(n_sub)
+    ]
+    return coarse, pq_codebooks, sub_dim
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession, path: str, vecs: DataFrame, id_col: str = "vec_id"
+) -> None:
+    """Grow the indexed corpus WITHOUT retraining — the streaming-ingest
+    half of the IVF-PQ lifecycle (a training corpus that gains documents
+    daily re-codes only the new vectors). Reads the codebook sidecars
+    back, codes the new vectors with the SAME codebooks (so the result
+    is bit-identical to having built the index over the union — pinned
+    in tests/test_ann_index.py), and appends codes-only files into the
+    cell partitions: O(new vectors) map-side work, existing partition
+    files untouched. Callers own id uniqueness across appends, same as
+    any append-mode sink."""
+    coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path)
+    coded = _coded_projection(vecs, coarse, pq_codebooks, sub_dim, id_col)
+    coded.write.mode("append").partitionBy("cell_id").parquet(path)
 
 
 def search_ivfpq_index(

@@ -163,3 +163,52 @@ def test_ivfpq_index_prunes_partitions_and_stores_no_vectors(spark, tmp_path):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+def test_ivfpq_append_equals_build_over_union(spark, tmp_path):
+    """Incremental corpus growth: append codes the new vectors with the
+    sidecar codebooks, so search over (build(half) + append(half)) is
+    IDENTICAL to search over build(all) — and the original partition
+    files are not rewritten (O(new vectors), not O(corpus))."""
+    import glob
+    import os
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _PQ_SUB,
+        _pq_train_codebooks,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    coarse = _codebook(e)
+    pq = _pq_train_codebooks(e)
+
+    full_path = str(tmp_path / "full")
+    build_ivfpq_index(e, full_path, coarse, pq, sub_dim=_PQ_SUB)
+
+    inc_path = str(tmp_path / "inc")
+    build_ivfpq_index(
+        e.filter(F.col("vec_id") % 2 == 0), inc_path, coarse, pq, sub_dim=_PQ_SUB
+    )
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(inc_path + "/cell_id=*/*.parquet")
+    }
+    append_to_ivfpq_index(spark, inc_path, e.filter(F.col("vec_id") % 2 == 1))
+    after = {f: os.path.getmtime(f) for f in before}
+    assert after == before, "append must not rewrite existing files"
+
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+
+    def res(path):
+        return sorted(
+            (r.q_id, r.vec_id, r.cell_id, r.adc_dist)
+            for r in search_ivfpq_index(spark, path, probes, nprobe=2, k=5).collect()
+        )
+
+    assert res(inc_path) == res(full_path)
