@@ -194,6 +194,44 @@ def append_to_ivfpq_index(
     coded.write.mode("append").partitionBy("cell_id").parquet(path)
 
 
+def compact_ivfpq_index(
+    spark: SparkSession, path: str, max_files_per_cell: int = 4
+) -> int:
+    """Druid-style auto-compaction for the append path: every
+    ``append_to_ivfpq_index`` leaves ≥1 new file per touched cell, and
+    scan cost eventually drowns in per-file overhead. When any cell
+    exceeds ``max_files_per_cell``, rewrite the codes hash-partitioned
+    BY cell (each cell lands in exactly one task → one file per cell —
+    a plain repartition(n) would spray every task across every cell
+    dir) and swap directories; the codebook sidecars are untouched and
+    search results are byte-identical. Returns the new file count, or
+    0 if no cell was over threshold (no-op). Same local-rename swap
+    contract as ``operators/layout.compact_table``."""
+    import os
+    from collections import Counter
+
+    from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
+
+    per_cell = Counter(os.path.dirname(f) for f in table_files(spark, path))
+    if not per_cell or max(per_cell.values()) <= max_files_per_cell:
+        return 0
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compacting"
+    (
+        df.repartition(len(per_cell), F.col("cell_id"))
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(staging)
+    )
+    backup = path.rstrip("/") + "__precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    import shutil
+
+    shutil.rmtree(backup, ignore_errors=True)
+    return len(table_files(spark, path))
+
+
 def search_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -217,6 +217,11 @@ def _recover(spark: SparkSession, path: str) -> None:
                 else:
                     fs.rename(part.getPath(), dest)
             fs.delete(st.getPath(), True)
+        elif name.startswith(".staging_batch_"):
+            # under the single-writer lock any staging dir left behind
+            # belongs to a dead attempt; a retry of the same batch
+            # restages from scratch anyway, so this is pure garbage
+            fs.delete(st.getPath(), True)
 
 
 def _publish_partition(fs, jvm, root, staging, trash, part_name: str) -> None:
@@ -261,7 +266,14 @@ def apply_increment(
     and re-merges only the rest (see the machinery comment above).
     Without ``batch_id`` the legacy dynamic-partition-overwrite path
     runs — correct for complete, non-retried jobs. Either way the call
-    holds the store's single-writer maintenance lock."""
+    holds the store's single-writer maintenance lock.
+
+    Batch-id contract: ids must be unique over the STORE's lifetime.
+    A foreachBatch checkpoint guarantees this (epochs only replay, they
+    never restart from 0 while the checkpoint lives); pointing a FRESH
+    checkpoint at an existing store re-issues epoch 0 and would be
+    skipped wherever an ``_applied_0`` marker survives — start a fresh
+    store (or namespace the ids) when discarding a checkpoint."""
     fs, lock = _acquire_lock(spark, path)
     try:
         _apply_increment_locked(

@@ -726,3 +726,57 @@ def q_rollup_served_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         spark, path, grain="day", dims=("event_type",), with_distinct=True
     )
     return served.select("bucket", "event_type", "n_events", "approx_users")
+
+
+# --------------------------------------------------------------------------
+# Rollup SCHEMA EVOLUTION, driver-verified end to end (round 5): the
+# store is built with (event_type) only, then an increment arrives
+# carrying a NEW dimension (user_cohort) and opts into
+# on_new_columns="evolve" through the exactly-once staged-publish path
+# (batch_id set). Druid's per-segment schema semantics: pre-evolution
+# partitions are never rewritten, so their rows serve NULL for the new
+# dimension while post-evolution rows carry real values — the oracle
+# replicates that exactly with a CASE on the cutoff. Totals, extrema
+# and averages must still merge exactly across the schema boundary.
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_schema_evolution",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                  THEN (user_id % 5)::BIGINT ELSE NULL END AS user_cohort,
+             (round(value * 1000000))::BIGINT AS micros
+      FROM events)
+    SELECT bucket, event_type, user_cohort,
+           count(*)::BIGINT                             AS n_events,
+           round(sum(micros) / 1000000.0, 4)            AS sum_value,
+           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value,
+           round(min(micros) / 1000000.0, 4)            AS min_value,
+           round(max(micros) / 1000000.0, 4)            AS max_value
+    FROM m GROUP BY 1, 2, 3
+    """,
+)
+def q_rollup_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+
+    e = _events(spark, sf_dir).withColumn(
+        "user_cohort", (F.col("user_id") % 5).cast("long")
+    )
+    cutoff = F.col("ts") >= F.lit("2024-01-15").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="rollup_evolve_") + "/store"
+    RM.build_rollup(e.filter(~cutoff), path, dims=("event_type",))
+    RM.apply_increment(
+        spark,
+        path,
+        e.filter(cutoff),
+        dims=("event_type", "user_cohort"),
+        on_new_columns="evolve",
+        batch_id=1,
+    )
+    return RM.serve_rollup(
+        spark, path, grain="day", dims=("event_type", "user_cohort")
+    )

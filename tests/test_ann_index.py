@@ -212,3 +212,56 @@ def test_ivfpq_append_equals_build_over_union(spark, tmp_path):
         )
 
     assert res(inc_path) == res(full_path)
+
+
+def test_ivfpq_compaction_preserves_results(spark, tmp_path):
+    """Repeated appends fragment the cell partitions; compaction
+    rewrites to one file per cell without changing a single search
+    result (codes and sidecars are untouched semantically)."""
+    import glob
+    import os
+    from collections import Counter
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _PQ_SUB,
+        _pq_train_codebooks,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        e.filter(F.col("vec_id") % 4 == 0), path, _codebook(e),
+        _pq_train_codebooks(e), sub_dim=_PQ_SUB,
+    )
+    for r in (1, 2, 3):
+        append_to_ivfpq_index(spark, path, e.filter(F.col("vec_id") % 4 == r))
+
+    def per_cell():
+        return Counter(
+            os.path.dirname(f) for f in glob.glob(path + "/cell_id=*/*.parquet")
+        )
+
+    assert max(per_cell().values()) >= 4, "appends fragmented the cells"
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+
+    def res():
+        return sorted(
+            (r.q_id, r.vec_id, r.cell_id, r.adc_dist)
+            for r in search_ivfpq_index(spark, path, probes, nprobe=2, k=5).collect()
+        )
+
+    before = res()
+    n = compact_ivfpq_index(spark, path, max_files_per_cell=3)
+    assert n > 0
+    assert max(per_cell().values()) == 1, "one file per cell after compaction"
+    assert res() == before
+    # under threshold → no-op
+    assert compact_ivfpq_index(spark, path, max_files_per_cell=3) == 0

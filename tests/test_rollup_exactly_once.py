@@ -291,3 +291,21 @@ def test_every_crash_point_recovers_exactly_once(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(RM, "_publish_partition", real)
     RM.apply_increment(spark, path, late, batch_id=9)
     assert _final(spark, path) == expected
+
+
+def test_sequential_batches_with_ids_equal_full_recompute(spark, tmp_path):
+    """The steady-state streaming shape: several epochs in sequence,
+    each through the staged exactly-once path, no crashes — must equal
+    the full recompute (and leave no staging/trash debris behind)."""
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    for i in range(4):
+        RM.apply_increment(
+            spark, path, e.filter(F.col("event_id") % 4 == i), batch_id=i
+        )
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
+    debris = [
+        d for d in os.listdir(path)
+        if d.startswith((".staging_batch_", ".trash_batch_"))
+    ]
+    assert debris == []
