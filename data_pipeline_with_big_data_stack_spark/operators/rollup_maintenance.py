@@ -78,9 +78,16 @@ def rollup_aggregate(
     mirrors a Druid datasource's dimensionsSpec — any event columns).
     Totals are kept as exact integer micro-units so merge order can
     never change a result (same device as the streaming state
-    accumulators); the distinct-user state is a mergeable HLL sketch."""
+    accumulators); the distinct-user state is a mergeable HLL sketch.
+
+    Null event-times are DROPPED up front — Druid rejects rows whose
+    timestamp doesn't parse, and a null ``ts`` here would otherwise
+    land in a ``__date=__HIVE_DEFAULT_PARTITION__`` directory that no
+    retention rule can order and that the incremental path's
+    touched-date filter cannot address."""
     return (
-        events.withColumn("bucket", F.date_trunc("hour", "ts"))
+        events.filter(F.col("ts").isNotNull())
+        .withColumn("bucket", F.date_trunc("hour", "ts"))
         .withColumn("__date", F.to_date("bucket"))
         .groupBy("__date", "bucket", *dims)
         .agg(

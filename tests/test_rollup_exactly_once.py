@@ -309,3 +309,18 @@ def test_sequential_batches_with_ids_equal_full_recompute(spark, tmp_path):
         if d.startswith((".staging_batch_", ".trash_batch_"))
     ]
     assert debris == []
+
+
+def test_null_timestamps_rejected_like_druid(spark, tmp_path):
+    """Druid rejects rows with unparseable timestamps; the rollup does
+    the same — a null-ts batch creates no __HIVE_DEFAULT_PARTITION__
+    dir and the store still equals the recompute over parseable rows."""
+    e = load_table(spark, SF_SMOKE, "events")
+    poisoned = e.unionByName(
+        e.limit(20).withColumn("ts", F.lit(None).cast(e.schema["ts"].dataType))
+    )
+    path = str(tmp_path / "store")
+    RM.apply_increment(spark, path, poisoned.filter(F.col("event_id") % 2 == 0), batch_id=1)
+    RM.apply_increment(spark, path, poisoned.filter(F.col("event_id") % 2 == 1), batch_id=2)
+    assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
