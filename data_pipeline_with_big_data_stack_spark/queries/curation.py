@@ -892,3 +892,74 @@ def q_corpus_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_tokens",
         F.round(F.col("kept_tokens") / F.col("tot"), 4).alias("token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Canonical-representative selection — the OTHER keep policy (round 5).
+# q_curation_pipeline keeps each duplicate cluster's min-id member (a
+# deterministic but arbitrary choice); production corpus prep usually
+# keeps the BEST member — here the longest (token count), the common
+# "retain the most complete near-duplicate" rule, tie-broken by id so
+# the result is total-ordered. One row per duplicate cluster: the
+# representative's id, its token count, and the cluster size. The
+# cluster step touches only the candidate-pair edge set (bucketed LSH,
+# never a corpus self-join) and the ranking is one window over rows
+# already reduced to cluster members — linear at 100 TB.
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_DUCK},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand),
+    reach AS (
+      SELECT a AS node, b AS peer FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a),
+    clusters AS (
+      SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+      FROM reach GROUP BY node),
+    members AS (
+      SELECT c.cluster_id, c.doc_id,
+             len(string_split(d.text, ' '))::BIGINT AS n_tokens
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT cluster_id::BIGINT AS cluster_id,
+           doc_id             AS kept_doc_id,
+           n_tokens           AS kept_tokens,
+           n_members
+    FROM (
+      SELECT *, count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM members)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    members = (
+        d.join(F.broadcast(labels), "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = W.partitionBy("cluster_id")
+    ranked = members.withColumn(
+        "n_members", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("n_tokens").desc(), "doc_id")),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_tokens").alias("kept_tokens"),
+        "n_members",
+    )
