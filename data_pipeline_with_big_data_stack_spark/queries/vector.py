@@ -1023,3 +1023,63 @@ def q_ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
+
+
+# --------------------------------------------------------------------------
+# STREAMING ingest into the materialized vector index (round 5): train
+# codebooks offline, create an empty index, then stream the corpus in —
+# each micro-batch coded map-side and APPENDED to the cell partitions
+# (operators/ann_index.append_to_ivfpq_index), never rewriting existing
+# files; finally serve the probes from the accumulated index. Codes are
+# a per-vector pure function of the broadcast codebooks, so the final
+# index is independent of micro-batch boundaries and the search result
+# equals the inline trainer's — it shares _IVFPQ_ORACLE, giving the
+# driver a value check of the whole stream→append→prune→ADC loop. This
+# is the dedup_index incremental-append pattern lifted to the vector
+# store: the shape of a training corpus that gains embeddings daily.
+# --------------------------------------------------------------------------
+@query("q_stream_ann_ivfpq_ingest", oracle=_IVFPQ_ORACLE)
+def q_stream_ann_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cb0, cb1 = _pq_train_codebooks(e)
+    coarse = (
+        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100))
+        .select(
+            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+            F.col("emb").alias("c_emb"),
+        )
+        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    )
+    base = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    path = base + "/index"
+    # empty build = codebook sidecars + partition root; data arrives via
+    # the stream
+    build_ivfpq_index(e.limit(0), path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+    src = base + "/src"
+    e.write.mode("overwrite").parquet(src)
+    st = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches, not one
+        .parquet(src)
+    )
+    q = (
+        st.writeStream.foreachBatch(
+            lambda df, _eid: append_to_ivfpq_index(df.sparkSession, path, df)
+        )
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
