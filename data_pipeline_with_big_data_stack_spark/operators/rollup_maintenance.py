@@ -162,6 +162,11 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
 # recomputes only the rest — whose store content the crashed attempt
 # never replaced. Marker/staging/trash names start with ``.``/``_`` and
 # carry no ``=``, so Spark's file index never sees them.
+#
+# Reader caveat (same as any dynamic partition overwrite, and as
+# Druid's segment handoff): a query that LISTED the store's files just
+# before a publish renamed a partition away can fail with a transient
+# file-not-found — readers retry. The lock serializes WRITERS only.
 # --------------------------------------------------------------------------
 _LOCK_SUFFIX = ".__maintenance_lock"
 
@@ -421,6 +426,8 @@ def serve_rollup(
     grain: str = "hour",
     dims: tuple[str, ...] = ("event_type",),
     with_distinct: bool = False,
+    since=None,
+    until=None,
 ) -> DataFrame:
     """Answer a time-bucketed dashboard aggregation FROM the
     materialized rollup — the Druid implicit-serving path (dashboards
@@ -428,15 +435,23 @@ def serve_rollup(
     than the stored hour re-aggregates the mergeable partials; ``dims``
     must be a subset of the rollup dimensions (a dim can be dropped —
     partials merge — but never added back); avg derives at read time
-    from the merged state. The plan scans only the rollup store: at
-    100 TB the dashboard reads hours × types rows, not raw events —
-    plan-pinned in tests/test_plans.py."""
+    from the merged state. ``since``/``until`` (dates or ISO strings,
+    inclusive/exclusive) bound the serve to a day range — the filter is
+    on the ``__date`` PARTITION column, so a "last 7 days" dashboard
+    opens 7 directories regardless of store history (plan-pinned).
+    The plan scans only the rollup store: at 100 TB the dashboard reads
+    hours × types rows, not raw events — plan-pinned in
+    tests/test_plans.py."""
     if grain not in SERVE_GRAINS:
         raise ValueError(f"grain {grain!r} not servable from an hourly rollup")
     # mergeSchema: an evolved store's pre-evolution partitions lack the
     # newest dimension — schema merging surfaces it (as NULL) instead of
     # letting single-file inference hide it
     r = spark.read.option("mergeSchema", "true").parquet(path)
+    if since is not None:
+        r = r.filter(F.col("__date") >= F.lit(str(since)).cast("date"))
+    if until is not None:
+        r = r.filter(F.col("__date") < F.lit(str(until)).cast("date"))
     rollup_dims = set(store_dims(r))
     extra = set(dims) - rollup_dims
     if extra:

@@ -57,3 +57,32 @@ def test_increment_touches_only_affected_partitions(spark, tmp_path):
     assert late.count() > 0
     RM.apply_increment(spark, path, late)
     assert snapshot(untouched) == before, "untouched partition was rewritten"
+
+
+def test_serve_time_range_prunes_partitions(spark, tmp_path):
+    """A "last N days" dashboard opens only the N day directories: the
+    since/until bounds land in the scan's PartitionFilters, and values
+    equal the unbounded serve filtered after the fact."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "roll")
+    RM.build_rollup(e, path)
+    days = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("__date=")
+    )
+    since, until = days[1], days[-1]
+    bounded = RM.serve_rollup(spark, path, grain="day", since=since, until=until)
+    got = {
+        (r.bucket, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in bounded.collect()
+    }
+    full = RM.serve_rollup(spark, path, grain="day")
+    want = {
+        (r.bucket, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in full.collect()
+        if since <= r.bucket.strftime("%Y-%m-%d") < until
+    }
+    assert got == want and got
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__date" in plan

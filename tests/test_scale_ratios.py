@@ -29,12 +29,13 @@ import scale_audit  # noqa: E402
 FACTOR = 4
 MAX_RATIO = 8.0
 # one representative per heavy family: window/session, LSH dedup,
-# simhash dedup, text windowing, vector (inline IVF-PQ incl. training),
-# grouped-map pandas, MG sketch
+# simhash dedup, iterative graph (pointer-doubling CC), text windowing,
+# vector (inline IVF-PQ incl. training), grouped-map pandas, MG sketch
 AUDITED = [
     "q_events_sessionization",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_clusters",
     "q_doc_sequence_packing",
     "q_ann_ivfpq_topk",
     "q_grouped_normalize_values",
