@@ -77,9 +77,11 @@ HEADLINE = [
     "q_rollup_served_distinct_users",
     "q_ann_ivfpq_topk",
     # round-5 additions: the materialized (train-once/serve-many) IVF-PQ
-    # index path, and the exactly-once streaming maintenance loop
+    # index path, the exactly-once streaming maintenance loop, and the
+    # single-scan funnel rewrite (2 shuffles/1 scan vs 6/6 — same oracle)
     "q_ann_ivfpq_index_search",
     "q_stream_rollup_maintenance",
+    "q_events_funnel_one_pass",
 ]
 
 

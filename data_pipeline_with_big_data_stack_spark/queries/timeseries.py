@@ -780,3 +780,106 @@ def q_rollup_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RM.serve_rollup(
         spark, path, grain="day", dims=("event_type", "user_cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# The funnel again, ONE-SCAN (round 5): q_events_funnel expresses the
+# strict view→click→purchase sequence as three grouped mins + joins —
+# clear, co-partitioned, but it reads events three times and plans 6
+# exchanges. This variant is the at-scale shape: a single scan, a
+# single hash shuffle (all three windows + the per-user groupBy share
+# the user_id partitioning), sequential qualification via STACKED
+# running-mins — first_view-so-far qualifies clicks, first-qualified-
+# click-so-far qualifies purchases. Strict-inequality tie semantics are
+# order-independent (an equal-timestamp event never qualifies either
+# way), so the result is identical to the join formulation and the two
+# queries SHARE the oracle — the driver proves the rewrite.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_funnel_one_pass",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id),
+    j AS (
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id)
+    SELECT count(*)::BIGINT                                    AS n_step_view,
+           count(t_click)::BIGINT                              AS n_step_click,
+           count(t_purchase)::BIGINT                           AS n_step_purchase,
+           round(count(t_click)::DOUBLE / count(*), 4)         AS click_rate,
+           round(count(t_purchase)::DOUBLE / count(*), 4)      AS purchase_rate,
+           round(avg(CASE WHEN t_purchase IS NOT NULL
+                 THEN epoch_us(t_purchase - t_view) END), 4)   AS avg_us_to_convert
+    FROM j
+    """,
+)
+def q_events_funnel_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s1 = e.select(
+        "user_id",
+        "ts",
+        "event_id",  # the windows' deterministic tie-break key
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(w)
+        .alias("fv"),
+    )
+    s2 = s1.withColumn(
+        "qc",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+            F.col("ts"),
+        ),
+    ).withColumn("fqc", F.min("qc").over(w))
+    s3 = s2.withColumn(
+        "qp",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fqc")),
+            F.col("ts"),
+        ),
+    )
+    per_user = (
+        s3.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.min("qc").alias("t_click"),
+            F.min("qp").alias("t_purchase"),
+        )
+        .filter(F.col("t_view").isNotNull())
+    )
+    n = F.count(F.lit(1))
+    convert_us = F.when(
+        F.col("t_purchase").isNotNull(),
+        F.unix_micros("t_purchase") - F.unix_micros("t_view"),
+    )
+    return per_user.agg(
+        n.cast("long").alias("n_step_view"),
+        F.count("t_click").cast("long").alias("n_step_click"),
+        F.count("t_purchase").cast("long").alias("n_step_purchase"),
+        F.round(F.count("t_click").cast("double") / n, 4).alias("click_rate"),
+        F.round(F.count("t_purchase").cast("double") / n, 4).alias(
+            "purchase_rate"
+        ),
+        F.round(F.avg(convert_us), 4).alias("avg_us_to_convert"),
+    )

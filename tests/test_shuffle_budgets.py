@@ -43,6 +43,7 @@ BUDGETS = {
     "q_frequent_items_users": 1,
     "q_ann_cosine_topk": 1,
     "q_events_funnel": 6,
+    "q_events_funnel_one_pass": 2,  # 1 hash (user_id) + 1 single-partition
     "q_dedup_keep_best": 1,
 }
 
