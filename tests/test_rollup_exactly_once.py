@@ -324,3 +324,31 @@ def test_null_timestamps_rejected_like_druid(spark, tmp_path):
     RM.apply_increment(spark, path, poisoned.filter(F.col("event_id") % 2 == 1), batch_id=2)
     assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
     assert _final(spark, path) == _expected(spark, tmp_path, e)
+
+
+def test_multi_epoch_stream_equals_recompute(spark, tmp_path):
+    """Real multi-epoch stream (maxFilesPerTrigger=1 → one epoch per
+    source file): every epoch goes through the staged exactly-once
+    path with its own batch id, and the served store equals the full
+    recompute."""
+    e = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    e.repartition(5).write.mode("overwrite").parquet(src)
+    path = str(tmp_path / "store")
+    st = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.writeStream.foreachBatch(
+            lambda df, eid: RM.apply_increment(
+                df.sparkSession, path, df, batch_id=eid
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
