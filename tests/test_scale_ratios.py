@@ -55,10 +55,19 @@ def twin_dirs(tmp_path_factory):
 @pytest.mark.parametrize("name", AUDITED)
 def test_ratio_stays_sublinear_enough(spark, twin_dirs, name):
     d1, dN = twin_dirs
-    t1 = scale_audit.run(spark, scale_audit.QUERIES[name], d1)
-    tN = scale_audit.run(spark, scale_audit.QUERIES[name], dN)
-    ratio = tN / t1
+
+    def measure():
+        t1 = scale_audit.run(spark, scale_audit.QUERIES[name], d1)
+        tN = scale_audit.run(spark, scale_audit.QUERIES[name], dN)
+        return t1, tN, tN / t1
+
+    t1, tN, ratio = measure()
+    if ratio >= MAX_RATIO:
+        # one re-measure before failing: a neighbor job on this shared
+        # host can skew a single wall-clock pair; a REAL superlinear
+        # operator is over the ceiling both times
+        t1, tN, ratio = measure()
     assert ratio < MAX_RATIO, (
         f"{name}: {FACTOR}x data took {ratio:.1f}x wall-clock "
-        f"({t1:.2f}s -> {tN:.2f}s) — superlinear regression"
+        f"({t1:.2f}s -> {tN:.2f}s) — superlinear regression (re-measured)"
     )
