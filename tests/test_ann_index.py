@@ -163,6 +163,14 @@ def test_ivfpq_index_prunes_partitions_and_stores_no_vectors(spark, tmp_path):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_id" in plan
+    # no corpus shuffle: every hash exchange in the search plan
+    # partitions on q_id (the PROBE key, candidate-scale rows) — the
+    # codes relation is never repartitioned and never shuffle-joined
+    import re
+
+    keys = re.findall(r"Exchange (?:hash|range)partitioning\((\w+)", plan)
+    assert keys and all(k.startswith("q_id") for k in keys), keys
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_ivfpq_append_equals_build_over_union(spark, tmp_path):
