@@ -20,8 +20,13 @@ bench.py's raw JSON line.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import sys
+
+with contextlib.suppress(AttributeError, ValueError):  # non-POSIX
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 
 
 def load(path: str) -> dict:
