@@ -206,12 +206,17 @@ def compact_ivfpq_index(
     dir) and swap directories; the codebook sidecars are untouched and
     search results are byte-identical. Returns the new file count, or
     0 if no cell was over threshold (no-op). Same local-rename swap
-    contract as ``operators/layout.compact_table``."""
+    contract as ``operators/layout.compact_table``, including crash
+    recovery on entry (``layout.recover_compaction``)."""
     import os
     from collections import Counter
 
-    from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
+    from data_pipeline_with_big_data_stack_spark.operators.layout import (
+        recover_compaction,
+        table_files,
+    )
 
+    recover_compaction(path)
     per_cell = Counter(os.path.dirname(f) for f in table_files(spark, path))
     if not per_cell or max(per_cell.values()) <= max_files_per_cell:
         return 0

@@ -46,6 +46,29 @@ def table_files(spark: SparkSession, path: str) -> list[str]:
     return out
 
 
+def recover_compaction(path: str) -> bool:
+    """Heal a crashed compaction swap: if the table dir is MISSING but
+    its ``__precompact`` backup exists, the crash hit between the two
+    renames — restore the original (the staged rewrite is discarded;
+    re-running the compaction redoes it). Returns True if a restore
+    happened. Called on entry by both compactors, so a retry is always
+    safe; stale staging dirs are removed either way."""
+    import shutil
+
+    backup = path.rstrip("/") + "__precompact"
+    staging = path.rstrip("/") + "__compacting"
+    restored = False
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+            restored = True
+        else:
+            # swap completed; backup is the superseded original
+            shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return restored
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -56,7 +79,10 @@ def compact_table(
     file count. The rewrite is one job: read (small files packed into
     tasks by ``maxPartitionBytes``) → repartition to ceil(bytes/target)
     → overwrite via a staging dir (readers of the old files are not
-    disturbed mid-rewrite; the swap is a directory rename)."""
+    disturbed mid-rewrite; the swap is a directory rename). A crash
+    between the two swap renames leaves the table at ``__precompact``;
+    :func:`recover_compaction` (run here on entry) restores it."""
+    recover_compaction(path)
     files = table_files(spark, path)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))  # ceil

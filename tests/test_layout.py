@@ -136,3 +136,36 @@ class TestZOrder:
             back.select(F.sum("event_id")).head()[0]
             == e.select(F.sum("event_id")).head()[0]
         )
+
+
+def test_compaction_crash_between_renames_recovers(spark, tmp_path):
+    """A crash between the swap's two renames leaves the table dir
+    missing and the original parked at __precompact; the next
+    compaction (or search) entry restores it and loses nothing."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.layout import (
+        compact_table,
+        recover_compaction,
+        table_files,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(1000).select("id", (F.col("id") % 7).alias("k")).coalesce(
+        4
+    ).write.parquet(path)
+    before = spark.read.parquet(path).count()
+    # simulate: staged rewrite done, original renamed away, crash
+    shutil.copytree(path, path + "__compacting")
+    os.rename(path, path + "__precompact")
+    assert not os.path.exists(path)
+    assert recover_compaction(path) is True
+    assert spark.read.parquet(path).count() == before
+    # and a straight compact_table call on a healthy dir still works
+    n = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert n == 1 and spark.read.parquet(path).count() == before
+    assert not os.path.exists(path + "__precompact")
+    assert len(table_files(spark, path)) == 1
