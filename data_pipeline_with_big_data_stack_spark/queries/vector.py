@@ -1083,3 +1083,106 @@ def q_stream_ann_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
+
+
+# --------------------------------------------------------------------------
+# MMR diverse selection (round 5): greedy maximal-marginal-relevance —
+# pick k corpus vectors that are RELEVANT to a query but DIVERSE from
+# each other (Carbonell & Goldstein 1998; the selection step behind
+# diverse few-shot pools and dedup-aware retrieval). Round 1 takes the
+# best cosine; round i takes argmax of
+#     lam*rel - (1-lam)*max_{s in selected} cos(cand, s)
+# with every pairwise cosine rounded to 6 decimals and ties broken by
+# vec_id, so the greedy trajectory is bit-stable across engines and the
+# DuckDB oracle replays ALL k rounds as chained CTEs. Scale shape: each
+# round is one map-side score projection under a ≤k-vector broadcast
+# (the selected set) followed by TakeOrderedAndProject(1) — k tiny
+# driver-coordinated jobs, the corpus never shuffles.
+# --------------------------------------------------------------------------
+_MMR_K = 5
+_MMR_LAM = "0.7"
+_MMR_ONE_MINUS_LAM = "0.3"
+
+
+def _mmr_cos_duck(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _mmr_oracle() -> str:
+    rounds = [
+        "sel1 AS (SELECT 1 AS rank, vec_id, emb, rel AS score "
+        "FROM base ORDER BY rel DESC, vec_id LIMIT 1)",
+        "acc1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = f"acc{i - 1}"
+        rounds.append(
+            f"sel{i} AS (SELECT {i} AS rank, b.vec_id, b.emb, "
+            f"round({_MMR_LAM}*b.rel - {_MMR_ONE_MINUS_LAM}*"
+            f"max({_mmr_cos_duck('b.emb', 's.emb')}), 6) AS score "
+            f"FROM base b CROSS JOIN {prev} s "
+            f"WHERE b.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            f"GROUP BY b.vec_id, b.emb, b.rel "
+            f"ORDER BY score DESC, b.vec_id LIMIT 1)"
+        )
+        rounds.append(
+            f"acc{i} AS (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})"
+        )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE vec_id > 0),
+    q AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id = 0),
+    base AS (
+      SELECT c.vec_id, c.emb, {_mmr_cos_duck('q.emb', 'c.emb')} AS rel
+      FROM c CROSS JOIN q),
+    {', '.join(rounds)}
+    SELECT rank, vec_id, score FROM acc{_MMR_K} ORDER BY rank
+    """
+
+
+@query("q_embed_mmr_diverse_topk", oracle=_mmr_oracle())
+def q_embed_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    q_emb = e.filter(F.col("vec_id") == 0).head()["emb"]
+    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    base = e.filter(F.col("vec_id") > 0).select(
+        "vec_id",
+        "emb",
+        F.round(
+            _dot(F.col("emb"), q_lit) / (_norm(F.col("emb")) * _norm(q_lit)), 6
+        ).alias("rel"),
+    )
+    # the k greedy rounds: ≤k driver-coordinated single-row collects
+    # (metadata scale, like the k-means convergence loop)
+    lam, oml = float(_MMR_LAM), float(_MMR_ONE_MINUS_LAM)
+    selected: list = []  # (vec_id, emb) picks in rank order
+    picks = []
+    for rank in range(1, _MMR_K + 1):
+        if not selected:
+            score = F.col("rel")
+        else:
+            sims = [
+                F.round(
+                    _dot(F.col("emb"), F.array(*[F.lit(float(x)) for x in s_emb]))
+                    / (
+                        _norm(F.col("emb"))
+                        * _norm(F.array(*[F.lit(float(x)) for x in s_emb]))
+                    ),
+                    6,
+                )
+                for _sid, s_emb in selected
+            ]
+            mx = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.round(lam * F.col("rel") - oml * mx, 6)
+        cand = base.filter(
+            ~F.col("vec_id").isin([sid for sid, _ in selected])
+        ).select("vec_id", "emb", score.alias("score"))
+        top = cand.orderBy(F.col("score").desc(), "vec_id").limit(1).head()
+        selected.append((top["vec_id"], top["emb"]))
+        picks.append((rank, top["vec_id"], float(top["score"])))
+    return spark.createDataFrame(
+        picks, "rank int, vec_id long, score double"
+    ).orderBy("rank")
