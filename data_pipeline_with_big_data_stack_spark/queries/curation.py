@@ -963,3 +963,82 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("kept_tokens"),
         "n_members",
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style domain selection (round 5): rank the general corpus by
+# how much each document resembles a TARGET domain, using the ratio of
+# two add-1-smoothed unigram LMs (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — hashed-ngram importance
+# weights; unigram here keeps the oracle exact). Docs from sources
+# src0-src2 stand in for the target domain; every other doc gets
+# avg_w ln(p_target(w) / p_raw(w)) and the top 50 are selected. Scale
+# shape: one tokenize pass, one vocab groupBy with conditional counts
+# (vocab ≪ corpus → broadcast join back, same as unigram logprob), one
+# per-doc aggregation, top-k fusion. Deterministic: smoothing makes
+# every ratio finite, scores round to 4, ties break by doc_id.
+# --------------------------------------------------------------------------
+_DSIR_TARGET = ("src0", "src1", "src2")
+_DSIR_TOP = 50
+
+
+@query(
+    "q_dsir_domain_selection",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source IN {str(tuple(_DSIR_TARGET))} AS tgt,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::DOUBLE     AS ct,
+             sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::DOUBLE AS cr
+      FROM tok GROUP BY tok),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr,
+                   count(*)::DOUBLE AS v FROM vocab)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tok,
+           round(sum(ln(((vocab.ct + 1) / (tot.nt + tot.v))
+                        / ((vocab.cr + 1) / (tot.nr + tot.v))))
+                 / count(*), 4) AS dsir_score
+    FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+    WHERE NOT tok.tgt
+    GROUP BY doc_id
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+)
+def q_dsir_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir, rebalance=True)
+    tok = d.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("tgt"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    vocab = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).cast("double").alias("ct"),
+        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).cast("double").alias("cr"),
+    )
+    tot = vocab.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = (
+        tok.filter(~F.col("tgt"))
+        .join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(tot))
+    )
+    ratio = F.log(
+        ((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+        / ((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(F.sum(ratio) / F.count(F.lit(1)), 4).alias("dsir_score"),
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+    )
