@@ -1042,3 +1042,55 @@ def q_dsir_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(_DSIR_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source quality cap (round 5): the standard corpus-mixing guard
+# against any single domain/crawl dominating training data — keep at
+# most N docs per source, PREFERRING the highest-quality ones (lexical
+# diversity here), instead of a blind truncation. One window over rows
+# pre-grouped by source; rank ties break by doc_id so the cap is
+# deterministic. Complements q_corpus_mixture_sampling (which targets
+# proportions) with a hard per-domain ceiling.
+# --------------------------------------------------------------------------
+_SOURCE_CAP = 5
+
+
+@query(
+    "q_source_capped_sampling",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS distinct_ratio
+      FROM documents),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY distinct_ratio DESC, doc_id) AS rank
+      FROM t)
+    SELECT source, doc_id, rank::BIGINT AS rank,
+           distinct_ratio, n_tokens::BIGINT AS n_tokens
+    FROM r WHERE rank <= {_SOURCE_CAP}
+    """,
+)
+def q_source_capped_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("distinct_ratio"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("distinct_ratio").desc(), "doc_id")
+    return (
+        t.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _SOURCE_CAP)
+        .select("source", "doc_id", "rank", "distinct_ratio", "n_tokens")
+    )
