@@ -24,6 +24,12 @@ target sketch exists in Spark, so the shim maps them too:
   (Druid's plain ``APPROX_COUNT_DISTINCT`` needs no rewrite — Spark has
   the same name.)
 
+Druid's remaining common time functions map too (round 5):
+``TIME_SHIFT(col, 'PT1H', k)`` → ``timestampadd(hour, k, col)``;
+``TIME_PARSE(s)`` → ``to_timestamp(s)`` (ISO default);
+``MILLIS_TO_TIMESTAMP`` / ``TIMESTAMP_TO_MILLIS`` →
+``timestamp_millis`` / ``unix_millis``.
+
 Per SURVEY §3.3 the shim is deliberately tiny (regex rewrite, no parser;
 arguments are simple column refs/literals, like the dashboard queries):
 resist building a Calcite-compatible frontend for a handful of constructs.
@@ -55,6 +61,27 @@ _TIME_FLOOR_RE = re.compile(
 # TIME_EXTRACT(col, 'HOUR') → extract(HOUR FROM col)
 _TIME_EXTRACT_RE = re.compile(
     r"TIME_EXTRACT\s*\(\s*([^,()]+?)\s*,\s*'([A-Za-z]+)'\s*\)", re.IGNORECASE
+)
+
+# TIME_SHIFT(col, 'PT1H', k) → timestampadd(hour, k, col)
+_TIME_SHIFT_RE = re.compile(
+    r"TIME_SHIFT\s*\(\s*([^,()]+?)\s*,\s*'(P[T0-9A-Z]+)'\s*,\s*(-?\d+)\s*\)",
+    re.IGNORECASE,
+)
+
+# TIME_PARSE('2024-01-01T00:00:00') → to_timestamp(...) (ISO default)
+_TIME_PARSE_RE = re.compile(
+    r"TIME_PARSE\s*\(\s*([^,()]+?)\s*\)", re.IGNORECASE
+)
+
+_ID_BOUNDARY_EARLY = r"(?<![A-Za-z0-9_])"
+_MILLIS_TO_TS_RE = re.compile(
+    _ID_BOUNDARY_EARLY + r"MILLIS_TO_TIMESTAMP\s*\(\s*([^,()]+?)\s*\)",
+    re.IGNORECASE,
+)
+_TS_TO_MILLIS_RE = re.compile(
+    _ID_BOUNDARY_EARLY + r"TIMESTAMP_TO_MILLIS\s*\(\s*([^,()]+?)\s*\)",
+    re.IGNORECASE,
 )
 
 # druid-datasketches SQL aggregators (simple-argument forms)
@@ -112,7 +139,18 @@ def rewrite_druid_sql(sql: str) -> str:
         )
         return f"kll_sketch_get_quantile_double({agg}, cast({prob} as double))"
 
+    def _shift(m: re.Match) -> str:
+        col, period, k = m.group(1), m.group(2).upper(), m.group(3)
+        unit = _PERIOD_TO_UNIT.get(period)
+        if unit is None:
+            raise ValueError(f"unsupported TIME_SHIFT period {period!r}")
+        return f"timestampadd({unit}, {k}, {col})"
+
     out = _TIME_FLOOR_RE.sub(_floor, sql)
+    out = _TIME_SHIFT_RE.sub(_shift, out)
+    out = _TIME_PARSE_RE.sub(lambda m: f"to_timestamp({m.group(1)})", out)
+    out = _MILLIS_TO_TS_RE.sub(lambda m: f"timestamp_millis({m.group(1)})", out)
+    out = _TS_TO_MILLIS_RE.sub(lambda m: f"unix_millis({m.group(1)})", out)
     out = _TIME_EXTRACT_RE.sub(_extract, out)
     out = _DS_HLL_RE.sub(_ds_hll, out)
     out = _DS_THETA_RE.sub(_ds_theta, out)
@@ -130,7 +168,8 @@ def rewrite_druid_sql(sql: str) -> str:
     leftover = re.search(
         _ID_BOUNDARY
         + r"(APPROX_COUNT_DISTINCT_DS_(?:HLL|THETA)|APPROX_QUANTILE_DS"
-        + r"|TIME_FLOOR|TIME_EXTRACT)\s*\(",
+        + r"|TIME_FLOOR|TIME_EXTRACT|TIME_SHIFT|TIME_PARSE"
+        + r"|MILLIS_TO_TIMESTAMP|TIMESTAMP_TO_MILLIS)\s*\(",
         out,
         re.IGNORECASE,
     )

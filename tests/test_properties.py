@@ -230,6 +230,27 @@ class TestSketchSqlRewrites:
         sql = "SELECT MY_APPROX_QUANTILE(v, 0.5), APPROX_COUNT_DISTINCT(u) FROM t"
         assert rewrite_druid_sql(sql) == sql
 
+    def test_time_function_rewrites_execute(self, spark):
+        # string-level mapping AND actual execution through Spark SQL
+        out = rewrite_druid_sql(
+            "SELECT TIME_SHIFT(TIMESTAMP '2024-01-01 06:00:00', 'PT1H', -2) AS a, "
+            "MILLIS_TO_TIMESTAMP(1704067200000) AS b, "
+            "TIMESTAMP_TO_MILLIS(t) AS c "
+            "FROM (SELECT TIME_PARSE('2024-01-01T00:00:00') AS t)"
+        )
+        assert "timestampadd(hour, -2," in out
+        assert "timestamp_millis(1704067200000)" in out
+        assert "unix_millis(t)" in out and "to_timestamp('2024-01-01" in out
+        assert rewrite_druid_sql(out) == out  # fixpoint
+        row = spark.sql(out).collect()[0]
+        assert row.a.hour == 4 and row.c == 1704067200000
+        assert row.b.year == 2024
+        # nested arguments stay a diagnosed error, not a silent pass-through
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unsupported argument form"):
+            rewrite_druid_sql("SELECT TIME_SHIFT(TIME_PARSE(x), 'PT1H', 1) FROM t")
+
     def test_unrewritable_argument_forms_fail_at_the_shim(self):
         # nested-expression arguments slip past the simple-argument
         # regexes; the shim must diagnose them instead of handing Spark
