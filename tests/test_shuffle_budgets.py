@@ -45,6 +45,8 @@ BUDGETS = {
     "q_events_funnel": 6,
     "q_events_funnel_one_pass": 2,  # 1 hash (user_id) + 1 single-partition
     "q_dedup_keep_best": 1,
+    "q_source_capped_sampling": 1,
+    "q_dsir_domain_selection": 4,  # vocab + totals + per-doc + top-k
 }
 
 
