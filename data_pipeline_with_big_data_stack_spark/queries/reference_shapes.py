@@ -123,3 +123,98 @@ def q_druid_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """,
     )
+
+
+# --------------------------------------------------------------------------
+# The remaining Druid NATIVE QUERY TYPES (round 5). Druid exposes six:
+# timeseries (q_druid_hourly_dashboard), groupBy (hour-of-day profile),
+# scan (plain selects throughout), and the three below — so a user can
+# port every query TYPE their Druid console issues, not just the
+# documented dashboards. All three run through the dialect shim.
+# --------------------------------------------------------------------------
+
+
+# Druid timeBoundary: the datasource's min/max event time — the query
+# consoles issue first to bound their pickers.
+@query(
+    "q_druid_time_boundary",
+    oracle="""
+    SELECT CAST(min(ts) AS TIMESTAMP) AS min_time,
+           CAST(max(ts) AS TIMESTAMP) AS max_time,
+           count(*)::BIGINT           AS n_rows
+    FROM events
+    """,
+)
+def q_druid_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_time_view(spark, sf_dir, "events_ds")
+    return druid_sql(
+        spark,
+        """
+        SELECT MIN(__time) AS min_time, MAX(__time) AS max_time,
+               COUNT(*) AS n_rows
+        FROM events_ds
+        """,
+    )
+
+
+# Druid search: case-insensitive substring match over dimension VALUES,
+# returning each matching value with its row count.
+@query(
+    "q_druid_search_dimensions",
+    oracle="""
+    SELECT 'event_type' AS dimension, event_type AS value,
+           count(*)::BIGINT AS n
+    FROM events WHERE contains(lower(event_type), 'i')
+    GROUP BY event_type
+    """,
+)
+def q_druid_search_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_time_view(spark, sf_dir, "events_ds")
+    return druid_sql(
+        spark,
+        """
+        SELECT 'event_type' AS dimension, event_type AS value,
+               COUNT(*) AS n
+        FROM events_ds WHERE LOWER(event_type) LIKE '%i%'
+        GROUP BY event_type
+        """,
+    )
+
+
+# Druid topN: top dimension values by an aggregated metric — served
+# FROM the materialized rollup (Druid answers topN from segments, never
+# raw rows), so the scan is store-sized; the oracle recomputes from raw.
+@query(
+    "q_druid_topn_event_types",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, (round(value * 1000000))::BIGINT AS micros
+      FROM events)
+    SELECT event_type,
+           round(sum(micros) / 1000000.0, 4) AS total_value,
+           count(*)::BIGINT                  AS n_events
+    FROM m GROUP BY event_type
+    ORDER BY total_value DESC, event_type
+    LIMIT 3
+    """,
+)
+def q_druid_topn_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
+
+    e = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="rollup_topn_") + "/store"
+    RM.build_rollup(e, path)
+    r = spark.read.parquet(path)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.round(F.sum("sum_value_micros") / 1_000_000, 4).alias(
+                "total_value"
+            ),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), "event_type")
+        .limit(3)
+    )
