@@ -82,6 +82,9 @@ HEADLINE = [
     "q_ann_ivfpq_index_search",
     "q_stream_rollup_maintenance",
     "q_events_funnel_one_pass",
+    # round-6 addition: the delete/retention half of the IVF-PQ index
+    # lifecycle (build → expire tombstones per-cell → serve survivors)
+    "q_ann_ivfpq_index_expire",
 ]
 
 
@@ -199,7 +202,13 @@ def main() -> None:
         errors["__ingest__"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"[bench] ingest FAILED: {errors['__ingest__']}", file=sys.stderr)
         rows_s = None
-    payload = {
+    # The driver captures only the process tail (~2000 chars): round 5's
+    # full per-query line outgrew it and the driver recorded parsed=null
+    # (VERDICT r5 #1). The LAST stdout line is now a compact summary —
+    # totals + calibration + the 12 most expensive queries — guaranteed
+    # under budget; full per-query cold/best/median detail goes to
+    # BENCH_DETAIL.json next to this script.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -208,11 +217,45 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": rows_s,
         "queries_median": medians,
+        "queries_cold": cold,
         "calibration_sec": calibration,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        errors["__detail_file__"] = f"{type(exc).__name__}: {exc}"[:200]
+    # top-12 most expensive, best-of-3 values (same semantic as the
+    # `queries` field in every prior round's bench line)
+    top = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:12]
+    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": top,
+        "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "ingest_rows_per_sec": rows_s,
+        "calibration_sec": calibration,
+        "queries_count": len(times),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if errors:
+        # names only — full messages live in the detail file; a long
+        # traceback here would re-break the driver's tail capture
+        payload["errors"] = sorted(errors)
+    line = json.dumps(payload)
+    if len(line) > 1900:  # last-resort: totals always survive
+        payload["queries"] = {}
+        line = json.dumps(payload)
+    print(line)
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 - the JSON line already printed
