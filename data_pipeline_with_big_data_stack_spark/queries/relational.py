@@ -110,11 +110,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
-    # customer is the small side of customer⋈orders: broadcast it so the
-    # orders scan never shuffles; lineitem⋈orders shuffles on orderkey only.
+    # customer is the smaller side of customer⋈orders but grows with SF
+    # (sf100 ≈ 15M rows) — no forced broadcast; AQE picks the strategy
+    # from measured sizes. lineitem⋈orders shuffles on orderkey only.
     return (
         l.join(
-            o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")),
+            o.join(c, F.col("c_custkey") == F.col("o_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -164,7 +165,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -326,7 +327,7 @@ def q_distinct_parts_per_supplier_nation(spark: SparkSession, sf_dir: str) -> Da
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -475,7 +476,7 @@ def q_pivot_orders_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFr
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     piv = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
