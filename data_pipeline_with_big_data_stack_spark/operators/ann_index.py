@@ -27,6 +27,39 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.kmeans import _assign, _sqdist
 
+# Single-writer guard for the mutating index operations (append /
+# compact / expire): an append racing a compaction's read→swap window
+# would have its new code files silently discarded with the backup dir
+# (ADVICE r5). Same machinery as the rollup store's maintenance lock —
+# pid@host payload, automatic stale-holder reclaim — under an
+# index-specific sibling suffix.
+_INDEX_LOCK_SUFFIX = ".__index_lock"
+
+
+def _index_write_lock(spark: SparkSession, path: str):
+    """Acquire the index's single-writer lock; returns (fs, lock) —
+    caller releases with ``fs.delete(lock, False)`` in a finally."""
+    from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+        _acquire_lock,
+        break_stale_lock,
+    )
+
+    break_stale_lock(spark, path, suffix=_INDEX_LOCK_SUFFIX)
+    return _acquire_lock(spark, path, suffix=_INDEX_LOCK_SUFFIX)
+
+
+def _require_local(path: str, op: str) -> None:
+    """The compaction/expire directory swaps use os.rename — atomic on a
+    local filesystem only. Raise early with a clear message on s3a:/
+    hdfs:/… instead of corrupting a remote index half-way through
+    (ADVICE r5); the build/append/search paths are scheme-agnostic."""
+    if "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            f"{op} swaps directories via local rename and supports "
+            f"local paths only (got {path!r}); copy the index locally "
+            "or rebuild instead"
+        )
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -188,10 +221,16 @@ def append_to_ivfpq_index(
     in tests/test_ann_index.py), and appends codes-only files into the
     cell partitions: O(new vectors) map-side work, existing partition
     files untouched. Callers own id uniqueness across appends, same as
-    any append-mode sink."""
+    any append-mode sink. Holds the index's single-writer lock so an
+    append can never race a compaction/expire swap (whose backup-dir
+    teardown would silently discard the freshly appended files)."""
     coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path)
     coded = _coded_projection(vecs, coarse, pq_codebooks, sub_dim, id_col)
-    coded.write.mode("append").partitionBy("cell_id").parquet(path)
+    fs, lock = _index_write_lock(spark, path)
+    try:
+        coded.write.mode("append").partitionBy("cell_id").parquet(path)
+    finally:
+        fs.delete(lock, False)
 
 
 def compact_ivfpq_index(
@@ -207,7 +246,9 @@ def compact_ivfpq_index(
     search results are byte-identical. Returns the new file count, or
     0 if no cell was over threshold (no-op). Same local-rename swap
     contract as ``operators/layout.compact_table``, including crash
-    recovery on entry (``layout.recover_compaction``)."""
+    recovery on entry (``layout.recover_compaction``); local paths
+    only, and holds the index's single-writer lock for the whole
+    read→rewrite→swap cycle so concurrent appends can't be lost."""
     import os
     from collections import Counter
 
@@ -216,25 +257,142 @@ def compact_ivfpq_index(
         table_files,
     )
 
-    recover_compaction(path)
-    per_cell = Counter(os.path.dirname(f) for f in table_files(spark, path))
-    if not per_cell or max(per_cell.values()) <= max_files_per_cell:
-        return 0
-    df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "__compacting"
-    (
-        df.repartition(len(per_cell), F.col("cell_id"))
-        .write.mode("overwrite")
-        .partitionBy("cell_id")
-        .parquet(staging)
-    )
-    backup = path.rstrip("/") + "__precompact"
-    os.rename(path, backup)
-    os.rename(staging, path)
+    _require_local(path, "compact_ivfpq_index")
+    fs, lock = _index_write_lock(spark, path)
+    try:
+        recover_compaction(path)
+        per_cell = Counter(os.path.dirname(f) for f in table_files(spark, path))
+        if not per_cell or max(per_cell.values()) <= max_files_per_cell:
+            return 0
+        df = spark.read.parquet(path)
+        staging = path.rstrip("/") + "__compacting"
+        (
+            df.repartition(len(per_cell), F.col("cell_id"))
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(staging)
+        )
+        backup = path.rstrip("/") + "__precompact"
+        os.rename(path, backup)
+        os.rename(staging, path)
+        import shutil
+
+        shutil.rmtree(backup, ignore_errors=True)
+        return len(table_files(spark, path))
+    finally:
+        fs.delete(lock, False)
+
+
+def _recover_expire(path: str) -> bool:
+    """Heal a crashed :func:`expire_vectors` swap. For every cell dir
+    parked in ``__preexpire``: if the live cell is MISSING the crash hit
+    between the two renames — restore the original (a retry of the
+    expire re-filters it; expiry is idempotent, unlike rollup merges);
+    if the live cell exists the swap completed — the parked copy is the
+    superseded original, drop it. Stale staging is removed either way.
+    Returns True if anything was restored."""
+    import os
     import shutil
 
-    shutil.rmtree(backup, ignore_errors=True)
-    return len(table_files(spark, path))
+    trash = path.rstrip("/") + "__preexpire"
+    staging = path.rstrip("/") + "__expiring"
+    restored = False
+    if os.path.exists(trash):
+        for name in os.listdir(trash):
+            if not name.startswith("cell_id="):
+                continue
+            live = os.path.join(path, name)
+            parked = os.path.join(trash, name)
+            if os.path.exists(live):
+                shutil.rmtree(parked, ignore_errors=True)
+            else:
+                os.rename(parked, live)
+                restored = True
+        shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return restored
+
+
+def expire_vectors(
+    spark: SparkSession,
+    path: str,
+    ids=None,
+    predicate=None,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from a materialized IVF-PQ index — the retention/
+    delete half of the lifecycle (a training corpus also LOSES documents:
+    opt-outs, takedowns, retention windows), mirroring the rollup
+    store's ``expire_partitions``. ``ids`` is an iterable of vector ids
+    or a 1-column DataFrame of them (the opt-out list shape); or pass
+    ``predicate`` (a boolean Column over the codes schema). Returns the
+    number of vectors removed.
+
+    Scale shape: the tombstone scan finds the affected CELLS (metadata-
+    scale collect, like the nprobe pruning), survivors of only those
+    cells are rewritten hash-partitioned by cell, and each affected cell
+    directory is swapped by atomic local rename (live → ``__preexpire``,
+    staged → live). Untouched cells are never read or rewritten —
+    O(affected cells), not O(index). Crash-safe: :func:`_recover_expire`
+    runs on entry, restoring any half-swapped cell before the retry
+    re-filters it. Holds the index's single-writer lock; codebook
+    sidecars are untouched, so search-after-expire is byte-identical to
+    a rebuild over the survivors (pinned in tests/test_ann_index.py)."""
+    import os
+    import shutil
+
+    if (ids is None) == (predicate is None):
+        raise ValueError("pass exactly one of ids / predicate")
+    _require_local(path, "expire_vectors")
+    fs, lock = _index_write_lock(spark, path)
+    try:
+        _recover_expire(path)
+        from data_pipeline_with_big_data_stack_spark.operators.layout import recover_compaction
+
+        recover_compaction(path)
+        index = spark.read.parquet(path)
+        if predicate is not None:
+            doomed = index.filter(predicate)
+        elif isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
+            doomed = index.join(tomb, id_col, "left_semi")
+        else:
+            tomb_list = list(ids)
+            doomed = index.filter(F.col(id_col).isin(tomb_list))
+        cells = sorted(
+            r.cell_id
+            for r in doomed.select("cell_id").distinct().collect()
+        )
+        if not cells:
+            return 0
+        n_removed = doomed.count()
+        affected = index.filter(F.col("cell_id").isin(cells))
+        if predicate is not None:
+            survivors = affected.filter(~predicate)
+        elif isinstance(ids, DataFrame):
+            survivors = affected.join(tomb, id_col, "left_anti")
+        else:
+            survivors = affected.filter(~F.col(id_col).isin(tomb_list))
+        staging = path.rstrip("/") + "__expiring"
+        trash = path.rstrip("/") + "__preexpire"
+        (
+            survivors.repartition(len(cells), F.col("cell_id"))
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(staging)
+        )
+        os.makedirs(trash, exist_ok=True)
+        for c in cells:
+            part = f"cell_id={c}"
+            os.rename(os.path.join(path, part), os.path.join(trash, part))
+            staged = os.path.join(staging, part)
+            if os.path.exists(staged):  # absent ⇒ the cell expired empty
+                os.rename(staged, os.path.join(path, part))
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        return n_removed
+    finally:
+        fs.delete(lock, False)
 
 
 def search_ivfpq_index(

@@ -171,30 +171,111 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
 _LOCK_SUFFIX = ".__maintenance_lock"
 
 
-def _lock_path(spark: SparkSession, path: str):
+def _lock_path(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     jvm, fs, _ = _fs(spark, path)
     # sibling of the store root, so locking works before the store exists
-    return fs, jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + _LOCK_SUFFIX)
+    return fs, jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + suffix)
 
 
-def _acquire_lock(spark: SparkSession, path: str):
+def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     """Single-writer guard: atomic create-if-absent of a sibling lock
     file. Concurrent maintenance (two apply_increment / expire jobs on
     one store) would race the read-merge-publish cycle; the loser fails
-    fast and cleanly instead of corrupting the store. A crashed holder
-    leaves the lock behind — operators remove ``<store>.__maintenance_lock``
-    after confirming the job is dead (same contract as a Hive/Delta
-    stale lock)."""
-    fs, lock = _lock_path(spark, path)
+    fast and cleanly instead of corrupting the store. The lock body
+    records ``pid@host ts`` so a dead holder can be distinguished from
+    a live one — :func:`break_stale_lock` (called by the maintenance
+    entry points) reclaims crashed holders automatically; manual
+    removal of ``<store>.__maintenance_lock`` remains the last resort.
+
+    Only a genuine already-exists failure is reported as contention;
+    any other create error (permissions, transient IO) re-raises as
+    itself so it isn't misdiagnosed as a held lock (ADVICE r5)."""
+    import os
+    import socket
+    import time as _time
+
+    fs, lock = _lock_path(spark, path, suffix)
     try:
         out = fs.create(lock, False)  # overwrite=False → atomic claim
-        out.close()
-    except Exception as exc:  # noqa: BLE001 - FileAlreadyExists via py4j
+        try:
+            out.write(
+                f"{os.getpid()}@{socket.gethostname()} {_time.time():.3f}\n".encode()
+            )
+        finally:
+            out.close()
+    except Exception as exc:  # noqa: BLE001 - py4j wraps the Java cause
+        msg = str(exc)
+        if "AlreadyExists" not in msg and "already exists" not in msg.lower():
+            raise  # transient IO / permissions — NOT lock contention
         raise RuntimeError(
-            f"rollup store {path} is locked by another maintenance job "
-            f"(remove {path.rstrip('/') + _LOCK_SUFFIX} if that job is dead)"
+            f"store {path} is locked by another maintenance job "
+            f"(a crashed holder is reclaimed automatically after "
+            f"{_STALE_LOCK_MAX_AGE:.0f}s, or remove "
+            f"{path.rstrip('/') + suffix} manually if it is dead)"
         ) from exc
     return fs, lock
+
+
+# conservative: a live maintenance batch holds the lock for seconds to
+# minutes; an hour-old lock on these entry points is a dead holder
+_STALE_LOCK_MAX_AGE = 3600.0
+
+
+def break_stale_lock(
+    spark: SparkSession,
+    path: str,
+    max_age_seconds: float = _STALE_LOCK_MAX_AGE,
+    suffix: str = _LOCK_SUFFIX,
+) -> bool:
+    """Reclaim the maintenance lock of a CRASHED holder so a streaming
+    restart from checkpoint can self-heal without manual lock removal
+    (ADVICE r5). Two independent staleness signals, both conservative:
+
+    - the lock body names ``pid@host``: if the host is THIS machine and
+      that pid is gone, the holder is provably dead → break immediately;
+    - otherwise fall back to age: a lock older than ``max_age_seconds``
+      (default 1 h — far beyond any maintenance batch) is declared dead.
+
+    A live holder on another host within the age window always blocks.
+    Returns True iff a lock was removed. Racing breakers are safe: both
+    may delete, but re-acquisition still goes through the atomic
+    create-if-absent claim."""
+    import os
+    import socket
+
+    fs, lock = _lock_path(spark, path, suffix)
+    if not fs.exists(lock):
+        return False
+    holder_dead = False
+    try:
+        stream = fs.open(lock)
+        try:
+            raw = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8", "replace")
+        finally:
+            stream.close()
+        pid_host = raw.split()[0]
+        pid_s, host = pid_host.split("@", 1)
+        if host == socket.gethostname():
+            try:
+                os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                holder_dead = True
+            except PermissionError:
+                pass  # pid exists under another uid → alive
+    except Exception:  # noqa: BLE001 - unreadable/legacy lock → age only
+        pass
+    if not holder_dead:
+        import time as _time
+
+        try:
+            mtime_ms = fs.getFileStatus(lock).getModificationTime()
+        except Exception:  # noqa: BLE001 - vanished between exists and stat
+            return False
+        if (_time.time() - mtime_ms / 1000.0) <= max_age_seconds:
+            return False
+    return bool(fs.delete(lock, False))
 
 
 def _batch_token(batch_id) -> str:
@@ -227,13 +308,23 @@ def _recover(spark: SparkSession, path: str) -> None:
                 if fs.exists(dest):
                     fs.delete(part.getPath(), True)
                 else:
-                    fs.rename(part.getPath(), dest)
+                    _checked_rename(fs, part.getPath(), dest)
             fs.delete(st.getPath(), True)
         elif name.startswith(".staging_batch_"):
             # under the single-writer lock any staging dir left behind
             # belongs to a dead attempt; a retry of the same batch
             # restages from scratch anyway, so this is pure garbage
             fs.delete(st.getPath(), True)
+
+
+def _checked_rename(fs, src, dest) -> None:
+    """Hadoop's FileSystem.rename reports most failures (missing dest
+    parent, cross-FS move, S3A edge cases) by returning FALSE rather
+    than raising — an unchecked call would leave the store silently
+    missing a partition while the publish reports success (ADVICE r5).
+    Surface it as a retryable error instead."""
+    if not fs.rename(src, dest):
+        raise IOError(f"rename {src} -> {dest} failed (FileSystem returned false)")
 
 
 def _publish_partition(fs, jvm, root, staging, trash, part_name: str) -> None:
@@ -247,8 +338,8 @@ def _publish_partition(fs, jvm, root, staging, trash, part_name: str) -> None:
     if fs.exists(dest):
         if not fs.exists(trash):
             fs.mkdirs(trash)
-        fs.rename(dest, jvm.org.apache.hadoop.fs.Path(trash, part_name))
-    fs.rename(src, dest)
+        _checked_rename(fs, dest, jvm.org.apache.hadoop.fs.Path(trash, part_name))
+    _checked_rename(fs, src, dest)
 
 
 def apply_increment(
@@ -286,6 +377,7 @@ def apply_increment(
     checkpoint at an existing store re-issues epoch 0 and would be
     skipped wherever an ``_applied_0`` marker survives — start a fresh
     store (or namespace the ids) when discarding a checkpoint."""
+    break_stale_lock(spark, path)  # self-heal after a crashed holder
     fs, lock = _acquire_lock(spark, path)
     try:
         _apply_increment_locked(
@@ -548,6 +640,7 @@ def expire_partitions(
 
     if isinstance(keep_from, str):
         keep_from = datetime.date.fromisoformat(keep_from)
+    break_stale_lock(spark, path)  # self-heal after a crashed holder
     fs_lock, lock = _acquire_lock(spark, path)
     try:
         dropped = _expire_locked(spark, path, keep_from)

@@ -54,27 +54,35 @@ _PERIOD_TO_UNIT = {
     "P1Y": "year",
 }
 
+# every function-name regex carries the identifier-boundary guard so a
+# user-defined MY_TIME_PARSE(x) / X_TIME_FLOOR(y) passes through
+# untouched instead of being corrupted mid-identifier (ADVICE r5)
+_ID_BOUNDARY_EARLY = r"(?<![A-Za-z0-9_])"
+
 _TIME_FLOOR_RE = re.compile(
-    r"TIME_FLOOR\s*\(\s*([^,()]+?)\s*,\s*'(P[T0-9A-Z]+)'\s*\)", re.IGNORECASE
+    _ID_BOUNDARY_EARLY
+    + r"TIME_FLOOR\s*\(\s*([^,()]+?)\s*,\s*'(P[T0-9A-Z]+)'\s*\)",
+    re.IGNORECASE,
 )
 
 # TIME_EXTRACT(col, 'HOUR') → extract(HOUR FROM col)
 _TIME_EXTRACT_RE = re.compile(
-    r"TIME_EXTRACT\s*\(\s*([^,()]+?)\s*,\s*'([A-Za-z]+)'\s*\)", re.IGNORECASE
+    _ID_BOUNDARY_EARLY
+    + r"TIME_EXTRACT\s*\(\s*([^,()]+?)\s*,\s*'([A-Za-z]+)'\s*\)",
+    re.IGNORECASE,
 )
 
 # TIME_SHIFT(col, 'PT1H', k) → timestampadd(hour, k, col)
 _TIME_SHIFT_RE = re.compile(
-    r"TIME_SHIFT\s*\(\s*([^,()]+?)\s*,\s*'(P[T0-9A-Z]+)'\s*,\s*(-?\d+)\s*\)",
+    _ID_BOUNDARY_EARLY
+    + r"TIME_SHIFT\s*\(\s*([^,()]+?)\s*,\s*'(P[T0-9A-Z]+)'\s*,\s*(-?\d+)\s*\)",
     re.IGNORECASE,
 )
 
 # TIME_PARSE('2024-01-01T00:00:00') → to_timestamp(...) (ISO default)
 _TIME_PARSE_RE = re.compile(
-    r"TIME_PARSE\s*\(\s*([^,()]+?)\s*\)", re.IGNORECASE
+    _ID_BOUNDARY_EARLY + r"TIME_PARSE\s*\(\s*([^,()]+?)\s*\)", re.IGNORECASE
 )
-
-_ID_BOUNDARY_EARLY = r"(?<![A-Za-z0-9_])"
 _MILLIS_TO_TS_RE = re.compile(
     _ID_BOUNDARY_EARLY + r"MILLIS_TO_TIMESTAMP\s*\(\s*([^,()]+?)\s*\)",
     re.IGNORECASE,

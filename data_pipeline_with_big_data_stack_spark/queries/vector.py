@@ -1026,6 +1026,59 @@ def q_ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Index EXPIRY (round 6, VERDICT r5 #5): a training corpus also LOSES
+# vectors (opt-outs, takedowns, retention windows). Build the full
+# index, expire a deterministic tombstone set (vec_id % 17 == 3, ~6 %
+# spread across every cell — production tombstones are sparse and touch
+# few cells; the spread here exercises the per-cell swap everywhere),
+# then serve the probes from the surviving index. The oracle is the
+# full IVF-PQ replay with the tombstoned ids excluded from the
+# candidate set — codebooks were trained BEFORE the expiry, so only the
+# codes rows disappear, which is exactly what expire_vectors does
+# (search-after-expire == rebuild-over-survivors is separately
+# byte-pinned in tests/test_ann_index.py).
+# --------------------------------------------------------------------------
+_EXPIRE_MOD, _EXPIRE_RES = 17, 3
+_IVFPQ_CAND_JOIN = "JOIN assigned a ON p.cell_id = a.cell_id AND a.vec_id != p.q_id"
+assert _IVFPQ_CAND_JOIN in _IVFPQ_ORACLE
+_IVFPQ_EXPIRE_ORACLE = _IVFPQ_ORACLE.replace(
+    _IVFPQ_CAND_JOIN,
+    _IVFPQ_CAND_JOIN + f"\n        AND a.vec_id % {_EXPIRE_MOD} != {_EXPIRE_RES}",
+)
+
+
+@query("q_ann_ivfpq_index_expire", oracle=_IVFPQ_EXPIRE_ORACLE)
+def q_ann_ivfpq_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        expire_vectors,
+        search_ivfpq_index,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cb0, cb1 = _pq_train_codebooks(e)
+    coarse = (
+        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100))
+        .select(
+            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+            F.col("emb").alias("c_emb"),
+        )
+        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_expire_") + "/index"
+    build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+    expire_vectors(
+        spark, path, predicate=(F.col("vec_id") % _EXPIRE_MOD) == _EXPIRE_RES
+    )
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
+
+
+# --------------------------------------------------------------------------
 # STREAMING ingest into the materialized vector index (round 5): train
 # codebooks offline, create an empty index, then stream the corpus in —
 # each micro-batch coded map-side and APPENDED to the cell partitions

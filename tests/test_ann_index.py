@@ -273,3 +273,176 @@ def test_ivfpq_compaction_preserves_results(spark, tmp_path):
     assert res() == before
     # under threshold → no-op
     assert compact_ivfpq_index(spark, path, max_files_per_cell=3) == 0
+
+
+def _dead_pid() -> int:
+    """A pid guaranteed dead: a reaped child."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def _build_small(spark, tmp_path, name="idx", modulus=None):
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import build_ivfpq_index
+    from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_SUB, _pq_train_codebooks
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    src = e if modulus is None else e.filter(F.col("vec_id") % modulus == 0)
+    path = str(tmp_path / name)
+    build_ivfpq_index(src, path, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB)
+    return e, path
+
+
+def _search_res(spark, path, e, k=5):
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import search_ivfpq_index
+
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return sorted(
+        (r.q_id, r.vec_id, r.cell_id, r.adc_dist)
+        for r in search_ivfpq_index(spark, path, probes, nprobe=2, k=k).collect()
+    )
+
+
+def test_expire_equals_rebuild_over_survivors(spark, tmp_path):
+    """Retention/delete parity (VERDICT r5 #5): search after
+    expire_vectors(ids) == search over an index BUILT from the
+    survivors — and cells without tombstones are never rewritten."""
+    import glob
+    import os
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        expire_vectors,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _PQ_SUB,
+        _pq_train_codebooks,
+    )
+
+    e, path = _build_small(spark, tmp_path, "full")
+    idx = spark.read.parquet(path)
+    cells = sorted(r.cell_id for r in idx.select("cell_id").distinct().collect())
+    victim_cell = cells[0]
+    doomed_ids = [
+        r.vec_id
+        for r in idx.filter(F.col("cell_id") == victim_cell)
+        .orderBy("vec_id").limit(10).collect()
+    ]
+    assert doomed_ids
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/cell_id=*/*.parquet")
+        if f"cell_id={victim_cell}/" not in f
+    }
+    n = expire_vectors(spark, path, ids=doomed_ids)
+    assert n == len(doomed_ids)
+    after = {f: os.path.getmtime(f) for f in before}
+    assert after == before, "untouched cells must not be rewritten"
+
+    survivors = e.join(
+        spark.createDataFrame([(i,) for i in doomed_ids], ["vec_id"]),
+        "vec_id",
+        "left_anti",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivfpq_index(
+        survivors, rebuilt, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB
+    )
+    assert _search_res(spark, path, e) == _search_res(spark, rebuilt, e)
+    # idempotent: expiring the same ids again removes nothing
+    assert expire_vectors(spark, path, ids=doomed_ids) == 0
+
+
+def test_expire_with_dataframe_ids_and_predicate(spark, tmp_path):
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import expire_vectors
+
+    e, path = _build_small(spark, tmp_path)
+    total = spark.read.parquet(path).count()
+    tomb = spark.range(5).select(F.col("id").alias("vec_id"))
+    n1 = expire_vectors(spark, path, ids=tomb)
+    assert n1 == 5
+    n2 = expire_vectors(spark, path, predicate=F.col("vec_id") >= total - 3)
+    assert n2 == 3
+    assert spark.read.parquet(path).count() == total - 8
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_vectors(spark, path)
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_vectors(spark, path, ids=[1], predicate=F.lit(True))
+
+
+def test_expire_crash_recovery_restores_parked_cell(spark, tmp_path):
+    """Tightest expire crash window: a cell moved to __preexpire but its
+    staged replacement not yet renamed in. The next expire entry must
+    restore the parked original before re-filtering."""
+    import os
+    import shutil
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import expire_vectors
+
+    e, path = _build_small(spark, tmp_path)
+    baseline = _search_res(spark, path, e)
+    cell_dir = sorted(
+        d for d in os.listdir(path) if d.startswith("cell_id=")
+    )[0]
+    trash = path + "__preexpire"
+    os.makedirs(trash)
+    os.rename(os.path.join(path, cell_dir), os.path.join(trash, cell_dir))
+    shutil.os.makedirs(path + "__expiring", exist_ok=True)  # stale staging
+    assert expire_vectors(spark, path, ids=[]) == 0  # recovery runs on entry
+    assert not os.path.exists(trash)
+    assert not os.path.exists(path + "__expiring")
+    assert _search_res(spark, path, e) == baseline
+
+
+def test_index_writer_lock_blocks_and_reclaims(spark, tmp_path):
+    """A live holder blocks append/compact/expire; a crashed (dead-pid)
+    holder is reclaimed automatically — no manual lock removal."""
+    import os
+    import socket
+
+    import pytest
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _INDEX_LOCK_SUFFIX,
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        expire_vectors,
+    )
+
+    e, path = _build_small(spark, tmp_path, modulus=2)
+    lock = path + _INDEX_LOCK_SUFFIX
+    with open(lock, "w") as fh:  # a LIVE holder: this very process
+        fh.write(f"{os.getpid()}@{socket.gethostname()} 0.0\n")
+    newer = e.filter(F.col("vec_id") % 2 == 1)
+    with pytest.raises(RuntimeError, match="locked by another"):
+        append_to_ivfpq_index(spark, path, newer)
+    with pytest.raises(RuntimeError, match="locked by another"):
+        compact_ivfpq_index(spark, path)
+    with pytest.raises(RuntimeError, match="locked by another"):
+        expire_vectors(spark, path, ids=[0])
+
+    # crashed holder: dead pid on this host → reclaimed without help
+    with open(lock, "w") as fh:
+        fh.write(f"{_dead_pid()}@{socket.gethostname()} 0.0\n")
+    append_to_ivfpq_index(spark, path, newer)
+    assert not os.path.exists(lock), "lock released after append"
+
+
+def test_compact_and_expire_reject_remote_paths(spark):
+    import pytest
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        compact_ivfpq_index,
+        expire_vectors,
+    )
+
+    with pytest.raises(NotImplementedError, match="local"):
+        compact_ivfpq_index(spark, "s3a://bucket/index")
+    with pytest.raises(NotImplementedError, match="local"):
+        expire_vectors(spark, "hdfs://nn/index", ids=[1])

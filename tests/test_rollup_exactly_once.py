@@ -352,3 +352,103 @@ def test_multi_epoch_stream_equals_recompute(spark, tmp_path):
     )
     q.awaitTermination()
     assert _final(spark, path) == _expected(spark, tmp_path, e)
+
+
+def _dead_pid() -> int:
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def test_stale_lock_of_dead_holder_reclaimed_automatically(spark, tmp_path):
+    """ADVICE r5: a hard process crash used to leave the store
+    permanently locked. The lock now carries pid@host; a maintenance
+    retry detects the dead holder and self-heals — no manual removal."""
+    import socket
+
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e.filter(F.col("event_id") % 3 != 0), path)
+    lock = path + RM._LOCK_SUFFIX
+    with open(lock, "w") as fh:
+        fh.write(f"{_dead_pid()}@{socket.gethostname()} 0.0\n")
+    # crash-then-retry: acquires without manual intervention
+    RM.apply_increment(
+        spark, path, e.filter(F.col("event_id") % 3 == 0), batch_id=11
+    )
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
+    assert not os.path.exists(lock)
+
+
+def test_live_holder_lock_still_blocks(spark, tmp_path):
+    import socket
+
+    import pytest
+
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e, path)
+    lock = path + RM._LOCK_SUFFIX
+    with open(lock, "w") as fh:  # this very process: alive
+        fh.write(f"{os.getpid()}@{socket.gethostname()} 0.0\n")
+    with pytest.raises(RuntimeError, match="locked by another maintenance job"):
+        RM.apply_increment(spark, path, e.limit(10), batch_id=12)
+    os.remove(lock)
+
+
+def test_foreign_lock_reclaimed_by_age_only(spark, tmp_path):
+    """A lock from another host (pid-liveness unknowable) blocks inside
+    the age window and is reclaimed beyond it."""
+    import time
+
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "store")
+    RM.build_rollup(e, path)
+    lock = path + RM._LOCK_SUFFIX
+    with open(lock, "w") as fh:
+        fh.write("999999@some-other-host 0.0\n")
+    # fresh → blocked (default 1h window)
+    assert RM.break_stale_lock(spark, path) is False
+    # age it past the window → reclaimed
+    old = time.time() - 2 * RM._STALE_LOCK_MAX_AGE
+    os.utime(lock, (old, old))
+    assert RM.break_stale_lock(spark, path) is True
+    assert not os.path.exists(lock)
+
+
+def test_break_stale_lock_noop_when_absent(spark, tmp_path):
+    path = str(tmp_path / "store")
+    assert RM.break_stale_lock(spark, path) is False
+
+
+def test_publish_rename_failure_raises(spark, tmp_path, monkeypatch):
+    """ADVICE r5: Hadoop rename reports most failures by returning
+    false. A false return during publish must surface as an error, not
+    a silently inconsistent store."""
+    import pytest
+
+    e = load_table(spark, SF_SMOKE, "events")
+    initial, late = _split(e)
+    path = str(tmp_path / "store")
+    RM.build_rollup(initial, path)
+
+    real = RM._checked_rename
+    calls = {"n": 0}
+
+    def lying(fs, src, dest):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate FileSystem.rename returning false (the dest is
+            # NOT moved — exactly the partial state a false return means)
+            raise IOError(f"rename {src} -> {dest} failed (FileSystem returned false)")
+        return real(fs, src, dest)
+
+    monkeypatch.setattr(RM, "_checked_rename", lying)
+    with pytest.raises(Exception, match="rename .* failed"):
+        RM.apply_increment(spark, path, late, batch_id=13)
+    monkeypatch.setattr(RM, "_checked_rename", real)
+    # the failure is retryable: the same epoch converges to recompute
+    RM.apply_increment(spark, path, late, batch_id=13)
+    assert _final(spark, path) == _expected(spark, tmp_path, e)
