@@ -322,8 +322,13 @@ def apply_bpe(df: DataFrame, text_col: str, merges: list[dict], id_col: str) -> 
     ex = df.select(
         id_col, F.posexplode(words).alias("__pos", "word")
     )
+    # no forced broadcast on the word→tokens map: it is DISTINCT-WORD
+    # sized (Zipf-bounded on natural language, but unbounded on raw web
+    # text — URLs/typos/code grow it near-linearly). Let the optimizer
+    # broadcast when the measured size allows; a shuffled join on
+    # `word` is the correct fallback at open-web scale.
     agg = (
-        ex.join(F.broadcast(tok), "word")
+        ex.join(tok, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(

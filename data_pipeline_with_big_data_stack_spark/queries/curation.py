@@ -727,7 +727,12 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("n"))
-    scored = tok.join(F.broadcast(vocab), "tok").join(F.broadcast(total))
+    # no forced broadcast on vocab: Zipf keeps it ≪ corpus on natural
+    # language, but raw open-web token sets (URLs, typos, code) can
+    # outgrow any broadcast ceiling — same reasoning that hash-bucketed
+    # the DSIR estimator. The optimizer broadcasts when the measured
+    # size allows; `total` is 1 row and always safe to hint.
+    scored = tok.join(vocab, "tok").join(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tok"),
         F.round(

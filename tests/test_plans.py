@@ -248,8 +248,11 @@ class TestRound3ScaleShapes:
     """Plan pins for the round-3 operators."""
 
     def test_unigram_vocab_join_is_broadcast(self, spark):
-        # the Zipf-bounded vocabulary must ride as a broadcast; a
-        # shuffle-hash join here re-shuffles the full token stream
+        # at smoke scale the OPTIMIZER must choose broadcast for the
+        # Zipf-bounded vocabulary (round 6 removed the forced hint —
+        # raw web vocab is unbounded, so the choice belongs to measured
+        # statistics, same reasoning as the hash-bucketed DSIR); a
+        # sort-merge join here would mean statistics broke
         plan = plan_of(spark, "q_doc_unigram_logprob")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan

@@ -15,7 +15,11 @@ flagged; best≪median rows in the new run are annotated as noisy.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [threshold]
 Accepts both the driver's wrapper format ({"parsed": {...}}) and
-bench.py's raw JSON line.
+bench.py's raw JSON line. From round 6 on, the one-line bench output
+carries only totals + the top-12 queries (the full line outgrew the
+driver's tail capture in r5); complete per-query best/median/cold
+detail is written to BENCH_DETAIL.json and snapshotted per round as
+BENCH_DETAIL_r{N}.json — compare THOSE for full per-query coverage.
 """
 
 from __future__ import annotations
