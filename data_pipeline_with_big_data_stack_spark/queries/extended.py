@@ -663,8 +663,15 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def q15_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: revenue view + equality with its own max (window max
-    avoids the scalar-subquery double scan — one shuffle, no recompute)."""
+    """Q15 shape: revenue view + equality with its own max (the spec's
+    CREATE VIEW consumed twice). The view is MATERIALIZED once — tiny,
+    one row per active supplier — then the max is a 1-row aggregate
+    broadcast back onto it (the q11 threshold pattern). This avoids
+    both scale traps: a global window would funnel the SF-proportional
+    supplier rows through ONE task (sf100 ≈ 1 M rows in a single
+    partition), and a naive self-reference would re-scan lineitem for
+    the max branch (Catalyst does not reuse the exchange across the
+    broadcast boundary — measured, 2 scans without the checkpoint)."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     srev = (
@@ -677,11 +684,10 @@ def q15_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_rev")
         )
+        .localCheckpoint(eager=True)
     )
-    w = W.partitionBy()
-    best = srev.withColumn("mx", F.max("total_rev").over(w)).filter(
-        F.col("total_rev") == F.col("mx")
-    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    best = srev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("mx"))
     return best.join(s, best.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_rev"
     )

@@ -46,7 +46,14 @@ BUDGETS = {
     "q_events_funnel_one_pass": 2,  # 1 hash (user_id) + 1 single-partition
     "q_dedup_keep_best": 1,
     "q_source_capped_sampling": 1,
-    "q_dsir_domain_selection": 4,  # vocab + totals + per-doc + top-k
+    "q_dsir_domain_selection": 4,  # buckets + totals + per-doc + top-k
+    # round 6: the materialized-index lifecycle — both serve paths must
+    # stay probe-key-only (build exchanges are K×dim partials)
+    "q_ann_ivfpq_index_search": 5,
+    "q_ann_ivfpq_index_expire": 5,
+    # round 6: q15 materializes the supplier-revenue view once; the
+    # post-checkpoint plan is max-broadcast + joins — no global window
+    "q15_top_suppliers_by_revenue": 3,
 }
 
 
