@@ -40,6 +40,9 @@ AUDITED = [
     "q_ann_ivfpq_topk",
     "q_grouped_normalize_values",
     "q_frequent_items_users",
+    # round 6: index lifecycle with per-cell tombstone expiry — build is
+    # linear, expiry must stay O(affected cells), never O(pairs)
+    "q_ann_ivfpq_index_expire",
 ]
 
 
