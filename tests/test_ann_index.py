@@ -446,3 +446,51 @@ def test_compact_and_expire_reject_remote_paths(spark):
         compact_ivfpq_index(spark, "s3a://bucket/index")
     with pytest.raises(NotImplementedError, match="local"):
         expire_vectors(spark, "hdfs://nn/index", ids=[1])
+
+
+def test_streaming_optout_expiry_end_to_end(spark, tmp_path):
+    """The streaming half of the delete lifecycle: opt-out id batches
+    arrive as a stream; each micro-batch expires its ids from the live
+    index via foreachBatch (the writer lock serializes against any
+    concurrent append/compact). Expiry is IDEMPOTENT — re-expiring an
+    already-removed id deletes 0 rows — so at-least-once foreachBatch
+    delivery needs no marker machinery (unlike the rollup merge, which
+    is additive). Final index == build over never-opted-out vectors."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        expire_vectors,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _PQ_SUB,
+        _pq_train_codebooks,
+    )
+
+    e, path = _build_small(spark, tmp_path, "live")
+    optouts = e.filter(F.col("vec_id") % 11 == 5).select("vec_id")
+    src = str(tmp_path / "optout_stream")
+    # several single-file batches so multiple foreachBatch epochs run
+    optouts.repartition(3).write.mode("overwrite").parquet(src)
+    st = (
+        spark.readStream.schema(optouts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.writeStream.foreachBatch(
+            lambda df, _eid: expire_vectors(df.sparkSession, path, ids=df)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    survivors = e.filter(F.col("vec_id") % 11 != 5)
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivfpq_index(
+        survivors, rebuilt, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB
+    )
+    assert _search_res(spark, path, e) == _search_res(spark, rebuilt, e)
+    assert (
+        spark.read.parquet(path).count() == survivors.count()
+    ), "every opted-out vector gone, nothing else"
