@@ -130,6 +130,83 @@ def calibration_probe(spark, sf_dir: str) -> float:
     return best
 
 
+def serve_only_probes(spark, sf_dir: str) -> dict:
+    """Train-once/serve-many latencies, measured on PRE-BUILT artifacts
+    (VERDICT r5 split the ivfpq gate query's 5 s into train 1.2 s +
+    build 7.0 s + serve 0.88 s by hand — this makes the serving-path
+    number, the one that matters at 100×, a standing bench output).
+    Returns best-of-3 seconds for: IVF-PQ index search over a built
+    index, and a dashboard serve from a built rollup store."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+        build_rollup,
+        serve_rollup,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _K_CELLS,
+        _NPROBE,
+        _PQ_SUB,
+        N_QUERY_VECS,
+        TOP_K,
+        _emb,
+        _pq_train_codebooks,
+    )
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="bench_serve_")
+    out: dict[str, float] = {}
+    try:
+        # --- IVF-PQ: build once (untimed), serve best-of-3 ---
+        e = _emb(spark, sf_dir).select("vec_id", "emb")
+        cb0, cb1 = _pq_train_codebooks(e)
+        coarse = (
+            e.filter(
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100)
+            )
+            .select(
+                (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+                F.col("emb").alias("c_emb"),
+            )
+            .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+        )
+        idx = base + "/index"
+        build_ivfpq_index(e, idx, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+        probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            search_ivfpq_index(
+                spark, idx, probes, nprobe=_NPROBE, k=TOP_K
+            ).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        out["ivfpq_serve_sec"] = round(best, 3)
+
+        # --- rollup store: build once (untimed), dashboard serve best-of-3 ---
+        store = base + "/rollup"
+        build_rollup(load_table(spark, sf_dir, "events"), store)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            serve_rollup(spark, store, grain="day").write.mode(
+                "overwrite"
+            ).format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        out["rollup_serve_sec"] = round(best, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def ingest_throughput(spark, n_rows: int = 1_000_000) -> float:
     """GOES-shaped ingest rows/s (BASELINE: Druid claims 100K+ events/s):
     synthesize n rows, run the full spec pipeline (posix-ts parse, typed
@@ -202,6 +279,11 @@ def main() -> None:
         errors["__ingest__"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"[bench] ingest FAILED: {errors['__ingest__']}", file=sys.stderr)
         rows_s = None
+    try:
+        serve = serve_only_probes(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors["__serve_probes__"] = f"{type(exc).__name__}: {exc}"[:500]
+        serve = {}
     # The driver captures only the process tail (~2000 chars): round 5's
     # full per-query line outgrew it and the driver recorded parsed=null
     # (VERDICT r5 #1). The LAST stdout line is now a compact summary —
@@ -219,6 +301,7 @@ def main() -> None:
         "queries_median": medians,
         "queries_cold": cold,
         "calibration_sec": calibration,
+        **serve,
     }
     if errors:
         detail["errors"] = errors
@@ -244,6 +327,7 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": rows_s,
         "calibration_sec": calibration,
+        **serve,
         "queries_count": len(times),
         "detail_file": "BENCH_DETAIL.json",
     }

@@ -260,7 +260,11 @@ def compact_ivfpq_index(
     _require_local(path, "compact_ivfpq_index")
     fs, lock = _index_write_lock(spark, path)
     try:
+        # heal BOTH writers' crash states before reading: a compaction
+        # over an index with a cell still parked in __preexpire would
+        # rewrite without it and the swap would orphan the parked copy
         recover_compaction(path)
+        _recover_expire(path)
         per_cell = Counter(os.path.dirname(f) for f in table_files(spark, path))
         if not per_cell or max(per_cell.values()) <= max_files_per_cell:
             return 0
@@ -346,10 +350,13 @@ def expire_vectors(
     _require_local(path, "expire_vectors")
     fs, lock = _index_write_lock(spark, path)
     try:
-        _recover_expire(path)
         from data_pipeline_with_big_data_stack_spark.operators.layout import recover_compaction
 
+        # compaction recovery FIRST: a crashed compaction swap leaves
+        # the index dir itself missing, and restoring parked expire
+        # cells needs the dir back in place
         recover_compaction(path)
+        _recover_expire(path)
         index = spark.read.parquet(path)
         if predicate is not None:
             doomed = index.filter(predicate)

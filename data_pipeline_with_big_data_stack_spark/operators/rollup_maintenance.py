@@ -239,24 +239,36 @@ def break_stale_lock(
     A live holder on another host within the age window always blocks.
     Returns True iff a lock was removed. Racing breakers are safe: both
     may delete, but re-acquisition still goes through the atomic
-    create-if-absent claim."""
+    create-if-absent claim. Before deleting, the lock body is RE-READ
+    and compared to the content that was judged stale — if it changed,
+    another writer already broke and re-acquired, and this breaker
+    backs off (shrinks the check→delete TOCTOU window to the re-read;
+    a conditional delete doesn't exist in the FileSystem API, so the
+    residual race is the same one every advisory stale-lock scheme
+    carries — Hive/Delta included)."""
     import os
     import socket
 
     fs, lock = _lock_path(spark, path, suffix)
+
+    def _read_body() -> str | None:
+        try:
+            stream = fs.open(lock)
+            try:
+                return bytes(
+                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8", "replace")
+            finally:
+                stream.close()
+        except Exception:  # noqa: BLE001 - unreadable/legacy/vanished
+            return None
+
     if not fs.exists(lock):
         return False
+    raw = _read_body()
     holder_dead = False
     try:
-        stream = fs.open(lock)
-        try:
-            raw = bytes(
-                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            ).decode("utf-8", "replace")
-        finally:
-            stream.close()
-        pid_host = raw.split()[0]
-        pid_s, host = pid_host.split("@", 1)
+        pid_s, host = raw.split()[0].split("@", 1)
         if host == socket.gethostname():
             try:
                 os.kill(int(pid_s), 0)
@@ -275,6 +287,8 @@ def break_stale_lock(
             return False
         if (_time.time() - mtime_ms / 1000.0) <= max_age_seconds:
             return False
+    if _read_body() != raw:
+        return False  # replaced since judged stale — a live holder owns it
     return bool(fs.delete(lock, False))
 
 

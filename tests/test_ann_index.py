@@ -494,3 +494,36 @@ def test_streaming_optout_expiry_end_to_end(spark, tmp_path):
     assert (
         spark.read.parquet(path).count() == survivors.count()
     ), "every opted-out vector gone, nothing else"
+
+
+def test_compaction_heals_crashed_expire_first(spark, tmp_path):
+    """Interplay of the two crash-recovery paths: a compaction entered
+    AFTER an expire crashed mid-swap must restore the parked cell
+    BEFORE rewriting — otherwise the compacted index would silently
+    lose the cell and the parked copy would be orphaned."""
+    import glob
+    import os
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+    )
+
+    e, path = _build_small(spark, tmp_path, modulus=2)
+    for r in (1,):  # fragment the cells so compaction has work
+        append_to_ivfpq_index(spark, path, e.filter(F.col("vec_id") % 2 == r))
+    baseline = _search_res(spark, path, e)
+    total = spark.read.parquet(path).count()
+
+    # simulate the tightest expire crash: one cell parked, not replaced
+    cell_dir = sorted(d for d in os.listdir(path) if d.startswith("cell_id="))[0]
+    trash = path + "__preexpire"
+    os.makedirs(trash)
+    os.rename(os.path.join(path, cell_dir), os.path.join(trash, cell_dir))
+
+    n = compact_ivfpq_index(spark, path, max_files_per_cell=1)
+    assert n > 0
+    assert not os.path.exists(trash), "parked cell healed on compact entry"
+    assert spark.read.parquet(path).count() == total, "no vector lost"
+    assert _search_res(spark, path, e) == baseline
+    assert glob.glob(path + "/cell_id=*/*.parquet"), "index intact"
