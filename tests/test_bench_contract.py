@@ -1,0 +1,63 @@
+"""The driver tail-captures ~2,000 chars of bench.py stdout and parses
+the LAST line as JSON — round 5 lost its entire machine-readable bench
+signal when the enriched line outgrew that budget (VERDICT r5 #1).
+These tests pin the compact-line contract WITHOUT running Spark: the
+final payload must fit with margin even in the worst realizable case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _worst_case_payload() -> dict:
+    # every field at its widest plausible rendering: the 12 longest
+    # query names, 4-digit-seconds timings, errors listing EVERY
+    # headline query name (the crash-everything scenario)
+    longest = sorted(bench.HEADLINE, key=len, reverse=True)[:12]
+    return {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {n: 9999.999 for n in longest},
+        "sf": 100.001,
+        "cold_total_sec": 99999.999,
+        "ingest_rows_per_sec": 99999999.0,
+        "calibration_sec": 99.9999,
+        "ivfpq_serve_sec": 9999.999,
+        "rollup_serve_sec": 9999.999,
+        "queries_count": len(bench.HEADLINE),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+
+def test_compact_line_fits_tail_capture():
+    line = json.dumps(_worst_case_payload())
+    assert len(line) < 1900, (
+        f"compact bench line is {len(line)} chars — the driver captures "
+        "only ~2000; trim the top-N or field set"
+    )
+
+
+def test_compact_line_fits_even_with_full_error_list():
+    p = _worst_case_payload()
+    p["errors"] = sorted(bench.HEADLINE)  # names only, by design
+    line = json.dumps(p)
+    # the in-bench hard cap drops `queries` when over 1900 — mirror it
+    if len(line) > 1900:
+        p["queries"] = {}
+        line = json.dumps(p)
+    assert len(line) < 1900
+
+
+def test_headline_names_resolve_in_registry():
+    from data_pipeline_with_big_data_stack_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
