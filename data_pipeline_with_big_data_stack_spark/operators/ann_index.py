@@ -48,17 +48,26 @@ def _index_write_lock(spark: SparkSession, path: str):
     return _acquire_lock(spark, path, suffix=_INDEX_LOCK_SUFFIX)
 
 
-def _require_local(path: str, op: str) -> None:
+def _require_local(path: str, op: str) -> str:
     """The compaction/expire directory swaps use os.rename — atomic on a
     local filesystem only. Raise early with a clear message on s3a:/
     hdfs:/… instead of corrupting a remote index half-way through
-    (ADVICE r5); the build/append/search paths are scheme-agnostic."""
-    if "://" in path and not path.startswith("file:"):
+    (ADVICE r5); the build/append/search paths are scheme-agnostic.
+    Returns the path with any ``file:`` scheme stripped, since the
+    os-level swap calls need a plain filesystem path."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        local = urlparse(path).path
+        if local:
+            return local
+    if "://" in path:
         raise NotImplementedError(
             f"{op} swaps directories via local rename and supports "
             f"local paths only (got {path!r}); copy the index locally "
             "or rebuild instead"
         )
+    return path
 
 
 def _dot(a, b):
@@ -257,7 +266,7 @@ def compact_ivfpq_index(
         table_files,
     )
 
-    _require_local(path, "compact_ivfpq_index")
+    path = _require_local(path, "compact_ivfpq_index")
     fs, lock = _index_write_lock(spark, path)
     try:
         # heal BOTH writers' crash states before reading: a compaction
@@ -347,7 +356,7 @@ def expire_vectors(
 
     if (ids is None) == (predicate is None):
         raise ValueError("pass exactly one of ids / predicate")
-    _require_local(path, "expire_vectors")
+    path = _require_local(path, "expire_vectors")
     fs, lock = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import recover_compaction
