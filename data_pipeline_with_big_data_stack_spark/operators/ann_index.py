@@ -37,8 +37,8 @@ _INDEX_LOCK_SUFFIX = ".__index_lock"
 
 
 def _index_write_lock(spark: SparkSession, path: str):
-    """Acquire the index's single-writer lock; returns (fs, lock) —
-    caller releases with ``fs.delete(lock, False)`` in a finally."""
+    """Acquire the index's single-writer lock; returns a heartbeat
+    lease — caller calls ``lease.release()`` in a finally."""
     from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
         _acquire_lock,
         break_stale_lock,
@@ -235,11 +235,11 @@ def append_to_ivfpq_index(
     teardown would silently discard the freshly appended files)."""
     coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path)
     coded = _coded_projection(vecs, coarse, pq_codebooks, sub_dim, id_col)
-    fs, lock = _index_write_lock(spark, path)
+    lease = _index_write_lock(spark, path)
     try:
         coded.write.mode("append").partitionBy("cell_id").parquet(path)
     finally:
-        fs.delete(lock, False)
+        lease.release()
 
 
 def compact_ivfpq_index(
@@ -267,7 +267,7 @@ def compact_ivfpq_index(
     )
 
     path = _require_local(path, "compact_ivfpq_index")
-    fs, lock = _index_write_lock(spark, path)
+    lease = _index_write_lock(spark, path)
     try:
         # heal BOTH writers' crash states before reading: a compaction
         # over an index with a cell still parked in __preexpire would
@@ -293,7 +293,7 @@ def compact_ivfpq_index(
         shutil.rmtree(backup, ignore_errors=True)
         return len(table_files(spark, path))
     finally:
-        fs.delete(lock, False)
+        lease.release()
 
 
 def _recover_expire(path: str) -> bool:
@@ -357,7 +357,7 @@ def expire_vectors(
     if (ids is None) == (predicate is None):
         raise ValueError("pass exactly one of ids / predicate")
     path = _require_local(path, "expire_vectors")
-    fs, lock = _index_write_lock(spark, path)
+    lease = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import recover_compaction
 
@@ -408,7 +408,7 @@ def expire_vectors(
         shutil.rmtree(staging, ignore_errors=True)
         return n_removed
     finally:
-        fs.delete(lock, False)
+        lease.release()
 
 
 def search_ivfpq_index(

@@ -177,6 +177,44 @@ def _lock_path(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     return fs, jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + suffix)
 
 
+class _LockLease:
+    """A held lock plus a daemon HEARTBEAT that refreshes the lock
+    file's mtime every ``_HEARTBEAT_SECONDS`` for as long as the lease
+    lives. With the heartbeat, :func:`break_stale_lock`'s age signal
+    measures time since the holder last proved it was ALIVE — not job
+    duration — so a legitimately long (> max_age) maintenance job on
+    another host can no longer be mis-killed by an age-only breaker.
+    If the heartbeat thread dies (session stopped, lock broken under
+    us) it simply stops beating and the age fallback takes over —
+    exactly the crashed-holder behavior the breaker exists for."""
+
+    def __init__(self, fs, lock):
+        import threading
+
+        self.fs, self.lock = fs, lock
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._beat, name="lock-heartbeat", daemon=True
+        )
+        self._thread.start()
+
+    def _beat(self) -> None:
+        import time as _time
+
+        while not self._stop.wait(_HEARTBEAT_SECONDS):
+            try:
+                self.fs.setTimes(self.lock, int(_time.time() * 1000), -1)
+            except Exception:  # noqa: BLE001 - JVM gone / lock removed
+                return
+
+    def release(self) -> None:
+        self._stop.set()
+        try:
+            self.fs.delete(self.lock, False)
+        except Exception:  # noqa: BLE001 - already removed by a breaker
+            pass
+
+
 def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     """Single-writer guard: atomic create-if-absent of a sibling lock
     file. Concurrent maintenance (two apply_increment / expire jobs on
@@ -186,6 +224,8 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     a live one — :func:`break_stale_lock` (called by the maintenance
     entry points) reclaims crashed holders automatically; manual
     removal of ``<store>.__maintenance_lock`` remains the last resort.
+    Returns a :class:`_LockLease` whose heartbeat keeps the lock fresh;
+    callers release it in a ``finally``.
 
     Only a genuine already-exists failure is reported as contention;
     any other create error (permissions, transient IO) re-raises as
@@ -213,12 +253,14 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
             f"{_STALE_LOCK_MAX_AGE:.0f}s, or remove "
             f"{path.rstrip('/') + suffix} manually if it is dead)"
         ) from exc
-    return fs, lock
+    return _LockLease(fs, lock)
 
 
-# conservative: a live maintenance batch holds the lock for seconds to
-# minutes; an hour-old lock on these entry points is a dead holder
+# conservative: with the lease heartbeat refreshing the lock mtime
+# every minute, an hour of silence means the holder is dead — long
+# jobs stay protected because age now measures liveness, not duration
 _STALE_LOCK_MAX_AGE = 3600.0
+_HEARTBEAT_SECONDS = 60.0
 
 
 def break_stale_lock(
@@ -392,13 +434,13 @@ def apply_increment(
     skipped wherever an ``_applied_0`` marker survives — start a fresh
     store (or namespace the ids) when discarding a checkpoint."""
     break_stale_lock(spark, path)  # self-heal after a crashed holder
-    fs, lock = _acquire_lock(spark, path)
+    lease = _acquire_lock(spark, path)
     try:
         _apply_increment_locked(
             spark, path, new_events, dims, batch_id, on_new_columns
         )
     finally:
-        fs.delete(lock, False)
+        lease.release()
 
 
 def _evolved_dims(
@@ -655,11 +697,11 @@ def expire_partitions(
     if isinstance(keep_from, str):
         keep_from = datetime.date.fromisoformat(keep_from)
     break_stale_lock(spark, path)  # self-heal after a crashed holder
-    fs_lock, lock = _acquire_lock(spark, path)
+    lease = _acquire_lock(spark, path)
     try:
         dropped = _expire_locked(spark, path, keep_from)
     finally:
-        fs_lock.delete(lock, False)
+        lease.release()
     if dropped and table is not None:
         spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     return dropped

@@ -452,3 +452,28 @@ def test_publish_rename_failure_raises(spark, tmp_path, monkeypatch):
     # the failure is retryable: the same epoch converges to recompute
     RM.apply_increment(spark, path, late, batch_id=13)
     assert _final(spark, path) == _expected(spark, tmp_path, e)
+
+
+def test_lock_heartbeat_keeps_long_jobs_alive(spark, tmp_path, monkeypatch):
+    """The lease heartbeat refreshes the lock mtime while held, so the
+    age-based breaker measures LIVENESS, not job duration — an hours-
+    long maintenance job can no longer be mis-killed by a foreign
+    breaker's age window."""
+    import time
+
+    monkeypatch.setattr(RM, "_HEARTBEAT_SECONDS", 0.2)
+    path = str(tmp_path / "store")
+    lease = RM._acquire_lock(spark, path)
+    lock = path + RM._LOCK_SUFFIX
+    try:
+        old = time.time() - 7200
+        os.utime(lock, (old, old))  # simulate a long-running hold
+        deadline = time.time() + 5
+        while os.path.getmtime(lock) < time.time() - 60:
+            assert time.time() < deadline, "heartbeat never refreshed mtime"
+            time.sleep(0.1)
+        # even an aggressive age-only breaker now sees a fresh lock
+        assert RM.break_stale_lock(spark, path, max_age_seconds=30.0) is False
+    finally:
+        lease.release()
+    assert not os.path.exists(lock), "release deletes the lock"
