@@ -368,13 +368,22 @@ def expire_vectors(
         _recover_expire(path)
         index = spark.read.parquet(path)
         if predicate is not None:
+            # three-valued logic guard: a predicate that evaluates NULL
+            # must mean KEEP — without the coalesce, such a row is
+            # excluded from doomed (filter drops null) AND from
+            # survivors (~null is null) and silently vanishes uncounted
+            predicate = F.coalesce(predicate, F.lit(False))
             doomed = index.filter(predicate)
         elif isinstance(ids, DataFrame):
             tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
             doomed = index.join(tomb, id_col, "left_semi")
         else:
             tomb_list = list(ids)
-            doomed = index.filter(F.col(id_col).isin(tomb_list))
+            predicate = F.coalesce(
+                F.col(id_col).isin(tomb_list) if tomb_list else F.lit(False),
+                F.lit(False),
+            )
+            doomed = index.filter(predicate)
         cells = sorted(
             r.cell_id
             for r in doomed.select("cell_id").distinct().collect()
@@ -383,12 +392,10 @@ def expire_vectors(
             return 0
         n_removed = doomed.count()
         affected = index.filter(F.col("cell_id").isin(cells))
-        if predicate is not None:
+        if predicate is not None:  # null-coalesced above: ~pred is total
             survivors = affected.filter(~predicate)
-        elif isinstance(ids, DataFrame):
+        else:  # DataFrame ids: anti-join is the exact complement
             survivors = affected.join(tomb, id_col, "left_anti")
-        else:
-            survivors = affected.filter(~F.col(id_col).isin(tomb_list))
         staging = path.rstrip("/") + "__expiring"
         trash = path.rstrip("/") + "__preexpire"
         (

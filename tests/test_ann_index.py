@@ -527,3 +527,23 @@ def test_compaction_heals_crashed_expire_first(spark, tmp_path):
     assert spark.read.parquet(path).count() == total, "no vector lost"
     assert _search_res(spark, path, e) == baseline
     assert glob.glob(path + "/cell_id=*/*.parquet"), "index intact"
+
+
+def test_expire_null_predicate_rows_are_kept(spark, tmp_path):
+    """Three-valued logic regression: a predicate that evaluates NULL
+    for a row must mean KEEP — without the internal coalesce such rows
+    fell out of both the doomed set and the survivor rewrite and
+    vanished silently, uncounted."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import expire_vectors
+
+    e, path = _build_small(spark, tmp_path)
+    total = spark.read.parquet(path).count()
+    # NULL for every vec_id >= 3 (no otherwise() branch)
+    pred = F.when(F.col("vec_id") < 3, F.lit(True))
+    n = expire_vectors(spark, path, predicate=pred)
+    assert n == 3
+    assert spark.read.parquet(path).count() == total - 3, (
+        "rows where the predicate evaluated NULL must survive"
+    )
+    # empty id list is a clean no-op, not an error
+    assert expire_vectors(spark, path, ids=[]) == 0
