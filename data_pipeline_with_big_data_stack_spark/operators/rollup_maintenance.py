@@ -209,6 +209,11 @@ class _LockLease:
 
     def release(self) -> None:
         self._stop.set()
+        # join before deleting: a beat firing after the delete would
+        # touch whatever lock a NEXT holder has already created at the
+        # same path (the wait() wakes immediately on the event, so this
+        # returns fast)
+        self._thread.join(timeout=5.0)
         try:
             self.fs.delete(self.lock, False)
         except Exception:  # noqa: BLE001 - already removed by a breaker
