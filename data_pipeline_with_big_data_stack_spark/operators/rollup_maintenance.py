@@ -47,6 +47,30 @@ def store_dims(df: DataFrame) -> tuple[str, ...]:
     order — everything that isn't a time key or a metric."""
     skip = {"__date", "bucket", *_METRIC_COLS}
     return tuple(c for c in df.columns if c not in skip)
+
+
+def round4_micros(micros, divisor=None):
+    """round(micros / 1e6 [/ divisor], 4) computed EXACTLY in integer
+    space — half away from zero on the true rational, identical in any
+    engine. The naive ``F.round(m / 1e6 / n, 4)`` double path is
+    engine-dependent at exact half boundaries: Spark rounds the
+    SHORTEST DECIMAL representation of the double (Java
+    ``BigDecimal.valueOf``), DuckDB rounds the binary value, so
+    307030000 micros / 8 events (= 38.37875) rounds to 38.3788 on one
+    side and 38.3787 on the other — a half-ulp hash mismatch found by
+    the sf0.001 cross-scale sweep. Formula (q = 100·divisor):
+    sign(m) · ((2·|m| + q) div (2·q)) / 10000.0, with the integer div
+    done in decimal(38,0) via ``num - pmod(num, den)`` so no double
+    ever touches the quotient. Oracles replay the same formula with
+    HUGEINT ``//``."""
+    k = (divisor if divisor is not None else F.lit(1)).cast("long")
+    m = micros.cast("decimal(38,0)")
+    q = (F.lit(100).cast("long") * k).cast("decimal(38,0)")
+    num = F.abs(m) * 2 + q
+    den = q * 2
+    units = F.floor((num - F.pmod(num, den)) / den)
+    signed = F.when(m < 0, -units).otherwise(units)
+    return signed.cast("double") / 10000.0
 # Druid's HLLSketchBuild metric column: the rollup stores a mergeable
 # user sketch per bucket (a few KB of binary) and unions it at merge /
 # serve time — distinct counts over pre-aggregated data, the thing a
@@ -634,12 +658,10 @@ def serve_rollup(
             "bucket",
             *dims,
             "n_events",
-            F.round(F.col("_m") / 1_000_000, 4).alias("sum_value"),
-            F.round(F.col("_m") / 1_000_000 / F.col("n_events"), 4).alias(
-                "avg_value"
-            ),
-            F.round(F.col("_lo") / 1_000_000, 4).alias("min_value"),
-            F.round(F.col("_hi") / 1_000_000, 4).alias("max_value"),
+            round4_micros(F.col("_m")).alias("sum_value"),
+            round4_micros(F.col("_m"), F.col("n_events")).alias("avg_value"),
+            round4_micros(F.col("_lo")).alias("min_value"),
+            round4_micros(F.col("_hi")).alias("max_value"),
             *extra_cols,
         )
     )
@@ -654,10 +676,12 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
         "bucket",
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        (F.col("sum_value_micros") / 1_000_000).alias("sum_value"),
-        (
-            F.col("sum_value_micros") / 1_000_000 / F.col("n_events")
-        ).alias("avg_value"),
+        # exact-integer 4-dp rounding (round4_micros): the serving
+        # views emit engine-portable values, never toString artifacts
+        round4_micros(F.col("sum_value_micros")).alias("sum_value"),
+        round4_micros(F.col("sum_value_micros"), F.col("n_events")).alias(
+            "avg_value"
+        ),
     )
 
 

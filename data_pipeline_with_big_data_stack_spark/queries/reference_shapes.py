@@ -191,7 +191,7 @@ def q_druid_search_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, (round(value * 1000000))::BIGINT AS micros
       FROM events)
     SELECT event_type,
-           round(sum(micros) / 1000000.0, 4) AS total_value,
+           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS total_value,
            count(*)::BIGINT                  AS n_events
     FROM m GROUP BY event_type
     ORDER BY total_value DESC, event_type
@@ -210,7 +210,7 @@ def q_druid_topn_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.groupBy("event_type")
         .agg(
-            F.round(F.sum("sum_value_micros") / 1_000_000, 4).alias(
+            RM.round4_micros(F.sum("sum_value_micros")).alias(
                 "total_value"
             ),
             F.sum("n_events").cast("long").alias("n_events"),

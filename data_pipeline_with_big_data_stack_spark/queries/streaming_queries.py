@@ -445,10 +445,11 @@ def q_stream_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT bucket, event_type,
            count(*)::BIGINT                            AS n_events,
-           round(sum(micros) / 1000000.0, 4)           AS sum_value,
-           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value,
-           round(min(micros) / 1000000.0, 4)           AS min_value,
-           round(max(micros) / 1000000.0, 4)           AS max_value
+           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS sum_value,
+           ((2*sum(micros)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0                   AS avg_value,
+           ((2*min(micros)::HUGEINT + 100) // 200) / 10000.0 AS min_value,
+           ((2*max(micros)::HUGEINT + 100) // 200) / 10000.0 AS max_value
     FROM m GROUP BY 1, 2
     """,
 )

@@ -619,8 +619,8 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m GROUP BY 1, 2)
     SELECT bucket, event_type,
            n::BIGINT                                AS n_events,
-           round(s_micros / 1000000.0, 4)           AS sum_value,
-           round(s_micros / 1000000.0 / n, 4)       AS avg_value
+           ((2*s_micros::HUGEINT + 100) // 200) / 10000.0          AS sum_value,
+           ((2*s_micros::HUGEINT + 100*n) // (200*n)) / 10000.0    AS avg_value
     FROM r
     """,
 )
@@ -646,13 +646,9 @@ def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     RM.apply_increment(spark, path, inc_a)
     RM.apply_increment(spark, path, inc_b)
     r = RM.read_rollup(spark, path)
-    return r.select(
-        "bucket",
-        "event_type",
-        "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
-        F.round("avg_value", 4).alias("avg_value"),
-    )
+    # read_rollup's serving view already emits exact-integer-rounded
+    # 4-dp values (round4_micros) — no double re-round here
+    return r.select("bucket", "event_type", "n_events", "sum_value", "avg_value")
 
 
 # --------------------------------------------------------------------------
@@ -675,10 +671,11 @@ def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
       FROM events)
     SELECT bucket, event_type,
            count(*)::BIGINT                            AS n_events,
-           round(sum(micros) / 1000000.0, 4)           AS sum_value,
-           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value,
-           round(min(micros) / 1000000.0, 4)           AS min_value,
-           round(max(micros) / 1000000.0, 4)           AS max_value
+           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS sum_value,
+           ((2*sum(micros)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0                   AS avg_value,
+           ((2*min(micros)::HUGEINT + 100) // 200) / 10000.0 AS min_value,
+           ((2*max(micros)::HUGEINT + 100) // 200) / 10000.0 AS max_value
     FROM m GROUP BY 1, 2
     """,
 )
@@ -751,10 +748,11 @@ def q_rollup_served_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
       FROM events)
     SELECT bucket, event_type, user_cohort,
            count(*)::BIGINT                             AS n_events,
-           round(sum(micros) / 1000000.0, 4)            AS sum_value,
-           round(sum(micros) / 1000000.0 / count(*), 4) AS avg_value,
-           round(min(micros) / 1000000.0, 4)            AS min_value,
-           round(max(micros) / 1000000.0, 4)            AS max_value
+           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS sum_value,
+           ((2*sum(micros)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0                   AS avg_value,
+           ((2*min(micros)::HUGEINT + 100) // 200) / 10000.0 AS min_value,
+           ((2*max(micros)::HUGEINT + 100) // 200) / 10000.0 AS max_value
     FROM m GROUP BY 1, 2, 3
     """,
 )

@@ -202,12 +202,12 @@ def test_serve_rollup_grain_coarsening_equals_raw(spark):
                     "bucket",
                     *dims,
                     "n_events",
-                    F.round(F.col("_m") / 1_000_000, 4).alias("sum_value"),
-                    F.round(F.col("_m") / 1_000_000 / F.col("n_events"), 4).alias(
+                    RM.round4_micros(F.col("_m")).alias("sum_value"),
+                    RM.round4_micros(F.col("_m"), F.col("n_events")).alias(
                         "avg_value"
                     ),
-                    F.round(F.col("_lo") / 1_000_000, 4).alias("min_value"),
-                    F.round(F.col("_hi") / 1_000_000, 4).alias("max_value"),
+                    RM.round4_micros(F.col("_lo")).alias("min_value"),
+                    RM.round4_micros(F.col("_hi")).alias("max_value"),
                 )
                 .collect()
             )
