@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+    round4_micros as _RM_round4,
+)
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -40,7 +43,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
            event_type,
            count(*)                 AS n,
-           round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value,
+           ((2*(sum(value::DECIMAL(18,6)) * 1000000)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0 AS avg_value,
            round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -54,9 +58,12 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)), 4
+            # exact-integer 4-dp average: the double path diverges from
+            # DuckDB at .5 boundaries (operators/rollup_maintenance.
+            # round4_micros — the decimal(18,6) sum IS integer micros)
+            _RM_round4(
+                F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000,
+                F.count(F.lit(1)),
             ).alias("avg_value"),
             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
             .cast("double").alias("sum_value"),
@@ -348,7 +355,8 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-             round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value
+             ((2*(sum(value::DECIMAL(18,6)) * 1000000)::HUGEINT + 100*count(*))
+                // (200*count(*))) / 10000.0 AS avg_value
       FROM events GROUP BY 1, 2),
     bounds AS (
       SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
@@ -373,10 +381,9 @@ def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
+        _RM_round4(
+            F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000,
+            F.count(F.lit(1)),
         ).alias("avg_value")
     )
     bounds = e.agg(
