@@ -71,6 +71,20 @@ def round4_micros(micros, divisor=None):
     units = F.floor((num - F.pmod(num, den)) / den)
     signed = F.when(m < 0, -units).otherwise(units)
     return signed.cast("double") / 10000.0
+
+
+def round4_ratio(numer, denom):
+    """Exact 4-dp half-away rounding of ``numer/denom`` where ``numer``
+    is an integer count or an exact decimal(18,6) sum and ``denom`` a
+    positive integer — the engine-portable replacement for
+    ``F.round(numer.cast("double") / denom, 4)`` (see
+    :func:`round4_micros` for the half-boundary divergence). Oracles
+    replay it as ``((20000*numer + denom) // (2*denom)) / 10000.0``
+    for counts, or the micros form for decimal sums. The numerator is
+    widened to decimal BEFORE the 1e6 scale-up: an int32 count (e.g.
+    ``F.size``) times 1_000_000 overflows — and ANSI mode throws —
+    past 2147 tokens otherwise."""
+    return round4_micros(numer.cast("decimal(38,6)") * 1_000_000, denom)
 # Druid's HLLSketchBuild metric column: the rollup stores a mergeable
 # user sketch per bucket (a few KB of binary) and unions it at merge /
 # serve time — distinct counts over pre-aggregated data, the thing a

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+    round4_ratio as _r4,
+)
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.queries.textops import _docs
 from data_pipeline_with_big_data_stack_spark.queries.textops import (
@@ -1093,8 +1096,9 @@ _SOURCE_CAP = 5
     WITH t AS (
       SELECT source, doc_id,
              len(string_split(text, ' ')) AS n_tokens,
-             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / len(string_split(text, ' ')), 4) AS distinct_ratio
+             ((20000*len(list_distinct(string_split(text, ' ')))::HUGEINT
+                   + len(string_split(text, ' ')))
+                  // (2*len(string_split(text, ' ')))) / 10000.0 AS distinct_ratio
       FROM documents),
     r AS (
       SELECT *, row_number() OVER (
@@ -1115,9 +1119,9 @@ def q_source_capped_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
-        ).alias("distinct_ratio"),
+        _r4(F.size(F.array_distinct(toks)), F.size(toks)).alias(
+            "distinct_ratio"
+        ),
     )
     w = W.partitionBy("source").orderBy(F.col("distinct_ratio").desc(), "doc_id")
     return (

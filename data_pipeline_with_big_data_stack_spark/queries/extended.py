@@ -14,6 +14,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
+from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+    round4_ratio as _r4,
+)
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.queries.textops import (
     _SHINGLES_DUCK,
@@ -287,7 +290,8 @@ _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
     oracle=f"""
     SELECT b.band,
            count(*)                 AS n_events,
-           round(sum(e.value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value,
+           ((2*(sum(e.value::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0 AS avg_value,
            round(min(e.value), 4)   AS min_value,
            round(max(e.value), 4)   AS max_value
     FROM events e
@@ -304,9 +308,8 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)), 4
+        _r4(
+            F.sum(F.col("value").cast("decimal(18,6)")), F.count(F.lit(1))
         ).alias("avg_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),

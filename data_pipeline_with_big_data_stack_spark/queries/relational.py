@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+    round4_ratio as _r4,
+)
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -51,9 +54,12 @@ def _t(
                                                                             AS sum_disc_price,
            round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6)), 2)::DOUBLE
                                                                             AS sum_charge,
-           round(sum(l_quantity::DECIMAL(18,6))::DOUBLE / count(*), 4)      AS avg_qty,
-           round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_price,
-           round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 4)      AS avg_disc,
+           ((2*(sum(l_quantity::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0 AS avg_qty,
+           ((2*(sum(l_extendedprice::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0 AS avg_price,
+           ((2*(sum(l_discount::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0 AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -73,9 +79,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(disc_price.cast(_DEC)), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast(_DEC)), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
-            F.round(F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
+            _r4(F.sum(F.col("l_quantity").cast(_DEC)), F.count(F.lit(1))).alias("avg_qty"),
+            _r4(F.sum(F.col("l_extendedprice").cast(_DEC)), F.count(F.lit(1))).alias("avg_price"),
+            _r4(F.sum(F.col("l_discount").cast(_DEC)), F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -526,7 +532,8 @@ def q_topk_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal >= 2500 THEN 'standard'
                 ELSE 'basic' END AS tier,
            count(*)              AS n,
-           round(sum(c_acctbal::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_bal
+           ((2*(sum(c_acctbal::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0 AS avg_bal
     FROM customer
     GROUP BY 1, 2
     """,
@@ -543,9 +550,9 @@ def q_case_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "tier")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)), 4
+            _r4(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")),
+                F.count(F.lit(1)),
             ).alias("avg_bal"),
         )
     )

@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
+from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+    round4_ratio as _r4,
+)
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -86,12 +89,13 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang,
            len(toks)                                          AS n_tokens,
            len(list_distinct(toks))                           AS n_distinct,
-           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
-                                                              AS distinct_ratio,
-           round(CAST(len(list_filter(toks,
-                 w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
-                 / len(toks), 4)                              AS stopword_ratio,
-           round(CAST(n_chars AS DOUBLE) / len(toks), 4)      AS avg_token_len,
+           ((20000*len(list_distinct(toks))::HUGEINT + len(toks))
+              // (2*len(toks))) / 10000.0                     AS distinct_ratio,
+           ((20000*len(list_filter(toks,
+                 w -> w IN ('the','a','of','and','to')))::HUGEINT + len(toks))
+              // (2*len(toks))) / 10000.0                     AS stopword_ratio,
+           ((20000*n_chars::HUGEINT + len(toks))
+              // (2*len(toks))) / 10000.0                     AS avg_token_len,
            CASE WHEN len(toks) BETWEEN 10 AND 2000
                  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1
                 THEN 1 ELSE 0 END                             AS passes_filter
@@ -106,15 +110,15 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct("toks"))
     stop = F.array(*[F.lit(w) for w in _STOP["en"]])
     n_stop = F.size(F.filter("toks", lambda w: F.array_contains(stop, w)))
-    distinct_ratio = F.round(n_distinct.cast("double") / n_tokens, 4)
+    distinct_ratio = _r4(n_distinct, n_tokens)
     return d.select(
         "doc_id",
         "lang",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
         distinct_ratio.alias("distinct_ratio"),
-        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
-        F.round(F.col("n_chars").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        _r4(n_stop, n_tokens).alias("stopword_ratio"),
+        _r4(F.col("n_chars"), n_tokens).alias("avg_token_len"),
         F.when(
             n_tokens.between(10, 2000)
             & (n_distinct.cast("double") / n_tokens > 0.1),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
     round4_micros as _RM_round4,
+    round4_ratio as _RM_ratio4,
 )
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
@@ -268,7 +269,8 @@ def q_events_minute_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            count(*)             AS n,
-           round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_value
+           ((2*(sum(value::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
+              // (200*count(*))) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -282,9 +284,9 @@ def q_events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)), 4
+            _RM_round4(
+                F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000,
+                F.count(F.lit(1)),
             ).alias("avg_value"),
         )
     )
@@ -444,8 +446,10 @@ def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*)::BIGINT                                    AS n_step_view,
            count(t_click)::BIGINT                              AS n_step_click,
            count(t_purchase)::BIGINT                           AS n_step_purchase,
-           round(count(t_click)::DOUBLE / count(*), 4)         AS click_rate,
-           round(count(t_purchase)::DOUBLE / count(*), 4)      AS purchase_rate,
+           ((20000*count(t_click)::HUGEINT + count(*))
+              // (2*count(*))) / 10000.0                      AS click_rate,
+           ((20000*count(t_purchase)::HUGEINT + count(*))
+              // (2*count(*))) / 10000.0                      AS purchase_rate,
            round(avg(CASE WHEN t_purchase IS NOT NULL
                  THEN epoch_us(t_purchase - t_view) END), 4)   AS avg_us_to_convert
     FROM j
@@ -482,8 +486,8 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_step_view"),
         F.count("t_click").cast("long").alias("n_step_click"),
         F.count("t_purchase").cast("long").alias("n_step_purchase"),
-        F.round(F.count("t_click").cast("double") / n, 4).alias("click_rate"),
-        F.round(F.count("t_purchase").cast("double") / n, 4).alias(
+        _RM_ratio4(F.count("t_click"), n).alias("click_rate"),
+        _RM_ratio4(F.count("t_purchase"), n).alias(
             "purchase_rate"
         ),
         F.round(F.avg(convert_us), 4).alias("avg_us_to_convert"),
@@ -823,8 +827,10 @@ def q_rollup_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*)::BIGINT                                    AS n_step_view,
            count(t_click)::BIGINT                              AS n_step_click,
            count(t_purchase)::BIGINT                           AS n_step_purchase,
-           round(count(t_click)::DOUBLE / count(*), 4)         AS click_rate,
-           round(count(t_purchase)::DOUBLE / count(*), 4)      AS purchase_rate,
+           ((20000*count(t_click)::HUGEINT + count(*))
+              // (2*count(*))) / 10000.0                      AS click_rate,
+           ((20000*count(t_purchase)::HUGEINT + count(*))
+              // (2*count(*))) / 10000.0                      AS purchase_rate,
            round(avg(CASE WHEN t_purchase IS NOT NULL
                  THEN epoch_us(t_purchase - t_view) END), 4)   AS avg_us_to_convert
     FROM j
@@ -882,8 +888,8 @@ def q_events_funnel_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_step_view"),
         F.count("t_click").cast("long").alias("n_step_click"),
         F.count("t_purchase").cast("long").alias("n_step_purchase"),
-        F.round(F.count("t_click").cast("double") / n, 4).alias("click_rate"),
-        F.round(F.count("t_purchase").cast("double") / n, 4).alias(
+        _RM_ratio4(F.count("t_click"), n).alias("click_rate"),
+        _RM_ratio4(F.count("t_purchase"), n).alias(
             "purchase_rate"
         ),
         F.round(F.avg(convert_us), 4).alias("avg_us_to_convert"),
