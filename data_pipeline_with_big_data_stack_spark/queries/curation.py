@@ -48,26 +48,31 @@ from data_pipeline_with_big_data_stack_spark.queries.textops import (
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     m AS (
       SELECT doc_id,
-             list_sum([len(x) for x in words])::DOUBLE / len(words) AS mwl,
-             1 - len(list_distinct(words))::DOUBLE / len(words)     AS dwf,
+             list_sum([len(x) for x in words])::HUGEINT AS ls,
+             len(words)::HUGEINT                        AS n,
+             len(list_distinct(words))::HUGEINT         AS nd,
              CASE WHEN len(words) >= 3 THEN
-               1 - len(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                                      for i in range(1, len(words) - 1)]))::DOUBLE
-                   / (len(words) - 2)
-             ELSE 0.0 END AS dtf
+               len(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                  for i in range(1, len(words) - 1)]))::HUGEINT
+             ELSE 0 END AS ndt
       FROM w),
     bx AS (SELECT doc_id,
                   unnest([words[i] || ' ' || words[i+1]
                           for i in range(1, len(words))]) AS bg
            FROM w),
     bc AS (SELECT doc_id, bg, count(*) AS c FROM bx GROUP BY doc_id, bg),
-    tp AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM bc GROUP BY doc_id)
+    tp AS (SELECT doc_id, max(c)::HUGEINT AS mx, sum(c)::HUGEINT AS s
+           FROM bc GROUP BY doc_id)
     SELECT m.doc_id,
-           round(mwl, 4)               AS mean_word_len,
-           round(dwf, 4)               AS dup_word_frac,
-           round(dtf, 4)               AS dup_trigram_frac,
-           round(coalesce(tbf, 0), 4)  AS top_bigram_frac,
-           (mwl BETWEEN 3 AND 10 AND coalesce(tbf, 1) <= 0.18) AS quality_ok
+           ((20000*ls + n) // (2*n)) / 10000.0           AS mean_word_len,
+           ((20000*(n - nd) + n) // (2*n)) / 10000.0     AS dup_word_frac,
+           CASE WHEN n >= 3 THEN
+             ((20000*((n-2) - ndt) + (n-2)) // (2*(n-2))) / 10000.0
+           ELSE 0.0 END                                  AS dup_trigram_frac,
+           CASE WHEN tp.doc_id IS NULL THEN 0.0
+                ELSE ((20000*mx + s) // (2*s)) / 10000.0 END AS top_bigram_frac,
+           (ls::DOUBLE / n BETWEEN 3 AND 10
+            AND coalesce(mx::DOUBLE / s, 1) <= 0.18)     AS quality_ok
     FROM m LEFT JOIN tp ON m.doc_id = tp.doc_id
     """,
 )
@@ -80,20 +85,28 @@ def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words", F.split("text", " ")
     )
     n = F.size("words")
-    mwl = F.aggregate(
+    sum_len = F.aggregate(
         F.transform("words", F.length), F.lit(0).cast("long"), lambda a, x: a + x
-    ).cast("double") / n
-    dwf = 1 - F.size(F.array_distinct("words")).cast("double") / n
+    )
+    nd = F.size(F.array_distinct("words"))
     tri = F.expr(
         "transform(sequence(0, size(words) - 3), "
         "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
     )
-    dtf = F.when(
-        n >= 3,
-        1 - F.size(F.array_distinct(tri)).cast("double") / (n - 2),
-    ).otherwise(F.lit(0.0))
+    ndt = F.size(F.array_distinct(tri))
+    # fractions round via the exact-integer device (_r4); the keep/drop
+    # comparisons stay on the raw double ratio — identical integer
+    # inputs give identical IEEE doubles in both engines, only round()
+    # diverges at half boundaries
     m = d.select(
-        "doc_id", "words", mwl.alias("mwl"), dwf.alias("dwf"), dtf.alias("dtf")
+        "doc_id",
+        "words",
+        (sum_len.cast("double") / n).alias("mwl"),
+        _r4(sum_len, n).alias("mean_word_len"),
+        _r4(n - nd, n).alias("dup_word_frac"),
+        F.when(n >= 3, _r4((n - 2) - ndt, n - 2))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
     )
     bx = m.select(
         "doc_id",
@@ -108,17 +121,20 @@ def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         bx.groupBy("doc_id", "bg")
         .count()
         .groupBy("doc_id")
-        .agg((F.max("count").cast("double") / F.sum("count")).alias("tbf"))
+        .agg(
+            (F.max("count").cast("double") / F.sum("count")).alias("tbf"),
+            _r4(F.max("count"), F.sum("count")).alias("tbf_r4"),
+        )
     )
     return (
         m.drop("words")
         .join(tp, "doc_id", "left")
         .select(
             "doc_id",
-            F.round("mwl", 4).alias("mean_word_len"),
-            F.round("dwf", 4).alias("dup_word_frac"),
-            F.round("dtf", 4).alias("dup_trigram_frac"),
-            F.round(F.coalesce("tbf", F.lit(0.0)), 4).alias("top_bigram_frac"),
+            "mean_word_len",
+            "dup_word_frac",
+            "dup_trigram_frac",
+            F.coalesce("tbf_r4", F.lit(0.0)).alias("top_bigram_frac"),
             (
                 F.col("mwl").between(3, 10)
                 & (F.coalesce("tbf", F.lit(1.0)) <= 0.18)
