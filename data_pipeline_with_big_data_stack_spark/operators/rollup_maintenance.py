@@ -85,6 +85,26 @@ def round4_ratio(numer, denom):
     ``F.size``) times 1_000_000 overflows — and ANSI mode throws —
     past 2147 tokens otherwise."""
     return round4_micros(numer.cast("decimal(38,6)") * 1_000_000, denom)
+
+
+def round_ratio(numer, denom, scale: int):
+    """General-scale exact half-away rounding of ``numer/denom`` where
+    both are integer-valued OR exact decimal(…,6) columns and ``denom``
+    is positive — covers the percent-share shapes (q8 market share at
+    6 dp, q14 promo share at 4 dp, per-user pct change) whose
+    decimal/decimal division semantics otherwise differ between Spark
+    (decimal HALF_UP at a derived scale) and DuckDB (double division).
+    units = sign · ((2·|numer|·10^scale + denom) div (2·denom)); the
+    pmod/div runs on exact decimals, so fractional micros-scale inputs
+    are fine — num − pmod(num, den) is an exact multiple of den."""
+    pw = 10**scale
+    p = numer.cast("decimal(38,6)") * (2 * pw)
+    q = denom.cast("decimal(38,6)")
+    num = F.abs(p) + q
+    den = q * 2
+    units = F.floor((num - F.pmod(num, den)) / den)
+    signed = F.when(p < 0, -units).otherwise(units)
+    return signed.cast("double") / float(pw)
 # Druid's HLLSketchBuild metric column: the rollup stores a mergeable
 # user sketch per bucket (a few KB of binary) and unions it at merge /
 # serve time — distinct counts over pre-aggregated data, the thing a

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
 from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
     round4_ratio as _r4,
+    round_ratio as _rr,
 )
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.queries.textops import (
@@ -439,11 +440,12 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT round(100.0 * sum((CASE WHEN p.p_type = 'ECONOMY'
-                         THEN l.l_extendedprice * (1 - l.l_discount)
-                         ELSE 0 END)::DECIMAL(18,6))::DOUBLE
-                 / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE, 4)
-           AS promo_share_pct
+    SELECT ((2 * (100 * sum((CASE WHEN p.p_type = 'ECONOMY'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)::DECIMAL(18,6)) * 1000000)::HUGEINT * 10000
+             + (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) * 1000000)::HUGEINT)
+            // (2 * (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) * 1000000)::HUGEINT))
+           / 10000.0 AS promo_share_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= DATE '1996-09-01'
       AND l.l_shipdate < DATE '1996-10-01'
@@ -460,10 +462,10 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(p, l.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0).cast("decimal(18,6)")).cast("double")
-                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+            _rr(
+                F.lit(100)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0).cast("decimal(18,6)")),
+                F.sum(rev.cast("decimal(18,6)")),
                 4,
             ).alias("promo_share_pct")
         )
@@ -804,8 +806,11 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
       JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
       WHERE r.r_name = 'ASIA')
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                          ELSE 0 END) / sum(volume), 6)::DOUBLE AS mkt_share
+           ((2 * (sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE 0 END) * 1000000)::HUGEINT * 1000000
+             + (sum(volume) * 1000000)::HUGEINT)
+            // (2 * (sum(volume) * 1000000)::HUGEINT))
+           / 1000000.0 AS mkt_share
     FROM volumes GROUP BY o_year
     """,
 )
@@ -846,7 +851,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ) / F.sum("volume")
     return volumes.groupBy("o_year").agg(
-        F.round(share, 6).cast("double").alias("mkt_share")
+        _rr(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_1", F.col("volume")
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ),
+            F.sum("volume"),
+            6,
+        ).alias("mkt_share")
     )
 
 

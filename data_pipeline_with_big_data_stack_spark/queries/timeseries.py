@@ -209,12 +209,16 @@ def q_events_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(value, 2) AS value,
            round(value - lag(value) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id), 2) AS change_prev,
-           round(100.0 * (value - lag(value) OVER (PARTITION BY user_id
-                                                   ORDER BY ts, event_id))
-                 / nullif(lag(value) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id), 0), 4)
-             AS change_pct
+           CASE WHEN sign(lag(value) OVER w) = -1 THEN NULL ELSE
+             ((2 * abs(100 * ((round(value * 1000000))::HUGEINT
+                              - (round(lag(value) OVER w * 1000000))::HUGEINT)) * 10000
+               + nullif((round(lag(value) OVER w * 1000000))::HUGEINT, 0))
+              // (2 * nullif((round(lag(value) OVER w * 1000000))::HUGEINT, 0)))
+             * sign(100 * ((round(value * 1000000))::HUGEINT
+                           - (round(lag(value) OVER w * 1000000))::HUGEINT))
+             / 10000.0 END AS change_pct
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def q_events_value_change_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,9 +231,17 @@ def q_events_value_change_per_user(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_trunc("second", "ts").alias("ts_sec"),
         F.round("value", 2).alias("value"),
         F.round(F.col("value") - prev, 2).alias("change_prev"),
-        F.round(100.0 * (F.col("value") - prev) / F.nullif(prev, F.lit(0)), 4).alias(
-            "change_pct"
-        ),
+        F.when(
+            prev > 0,
+            _RM_ratio4(
+                F.lit(100)
+                * (
+                    F.round(F.col("value") * 1_000_000).cast("long")
+                    - F.round(prev * 1_000_000).cast("long")
+                ),
+                F.round(prev * 1_000_000).cast("long"),
+            ),
+        ).alias("change_pct"),
     )
 
 
