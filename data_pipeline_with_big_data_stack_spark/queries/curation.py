@@ -882,8 +882,8 @@ _MIX_SQL_WEIGHT = (
            n_docs::BIGINT      AS n_docs,
            n_kept::BIGINT      AS n_kept,
            kept_tokens::BIGINT AS kept_tokens,
-           round(kept_tokens::DOUBLE /
-                 (SELECT sum(kept_tokens) FROM k), 4) AS token_share
+           ((20000*kept_tokens::HUGEINT + (SELECT sum(kept_tokens) FROM k))
+              // (2*(SELECT sum(kept_tokens) FROM k))) / 10000.0 AS token_share
     FROM k
     """,
 )
@@ -913,14 +913,14 @@ def q_corpus_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens"
         ),
     )
-    total = k.agg(F.sum("kept_tokens").cast("double").alias("tot"))
+    total = k.agg(F.sum("kept_tokens").alias("tot"))
     return k.join(F.broadcast(total)).select(
         "source",
         "weight",
         "n_docs",
         "n_kept",
         "kept_tokens",
-        F.round(F.col("kept_tokens") / F.col("tot"), 4).alias("token_share"),
+        _r4(F.col("kept_tokens"), F.col("tot")).alias("token_share"),
     )
 
 

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators import multimodal as M
+from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+    round4_ratio as _r4,
+)
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -44,9 +47,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT format,
            count(*)                                   AS n_media,
-           round(avg(width), 4)                       AS avg_width,
-           round(avg(height), 4)                      AS avg_height,
-           round(avg(width * height * 3), 4)          AS avg_raw_pixbytes,
+           ((20000*sum(width)::HUGEINT + count(*))
+              // (2*count(*))) / 10000.0              AS avg_width,
+           ((20000*sum(height)::HUGEINT + count(*))
+              // (2*count(*))) / 10000.0              AS avg_height,
+           ((20000*sum(width * height * 3)::HUGEINT + count(*))
+              // (2*count(*))) / 10000.0              AS avg_raw_pixbytes,
            (sum(n_bytes))::BIGINT                     AS total_bytes
     FROM m GROUP BY format
     """,
@@ -62,11 +68,11 @@ def q_media_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_media"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.round(F.avg("height"), 4).alias("avg_height"),
-        F.round(F.avg(F.col("width") * F.col("height") * 3), 4).alias(
-            "avg_raw_pixbytes"
-        ),
+        _r4(F.sum("width"), F.count(F.lit(1))).alias("avg_width"),
+        _r4(F.sum("height"), F.count(F.lit(1))).alias("avg_height"),
+        _r4(
+            F.sum(F.col("width") * F.col("height") * 3), F.count(F.lit(1))
+        ).alias("avg_raw_pixbytes"),
         F.sum("n_bytes").alias("total_bytes"),
     )
 

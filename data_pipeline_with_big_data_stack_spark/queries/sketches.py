@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
+    round_ratio as _rr,
+)
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -156,8 +159,22 @@ _N_BINS = 20
       FROM events e JOIN b ON e.event_type = b.event_type)
     SELECT event_type, bin,
            count(*)::BIGINT AS n,
-           round(lo + bin * ((hi - lo) / {_N_BINS}), 6)       AS bin_lo,
-           round(lo + (bin + 1) * ((hi - lo) / {_N_BINS}), 6) AS bin_hi
+           ((2*abs((round(lo*1000000))::HUGEINT * {_N_BINS}
+                   + bin * ((round(hi*1000000))::HUGEINT
+                            - (round(lo*1000000))::HUGEINT)) * 1000000
+             + {_N_BINS}::HUGEINT * 1000000)
+            // (2 * {_N_BINS}::HUGEINT * 1000000))
+           * sign((round(lo*1000000))::HUGEINT * {_N_BINS}
+                  + bin * ((round(hi*1000000))::HUGEINT
+                           - (round(lo*1000000))::HUGEINT)) / 1000000.0 AS bin_lo,
+           ((2*abs((round(lo*1000000))::HUGEINT * {_N_BINS}
+                   + (bin+1) * ((round(hi*1000000))::HUGEINT
+                                - (round(lo*1000000))::HUGEINT)) * 1000000
+             + {_N_BINS}::HUGEINT * 1000000)
+            // (2 * {_N_BINS}::HUGEINT * 1000000))
+           * sign((round(lo*1000000))::HUGEINT * {_N_BINS}
+                  + (bin+1) * ((round(hi*1000000))::HUGEINT
+                               - (round(lo*1000000))::HUGEINT)) / 1000000.0 AS bin_hi
     FROM binned
     GROUP BY event_type, bin, lo, hi
     """,
@@ -183,8 +200,28 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "bin",
             "n",
-            F.round(F.col("lo") + F.col("bin") * w, 6).alias("bin_lo"),
-            F.round(F.col("lo") + (F.col("bin") + 1) * w, 6).alias("bin_hi"),
+            # exact-integer 6-dp edges over 2-dp-value micros — the
+            # double path diverges from DuckDB at half boundaries
+            _rr(
+                F.round(F.col("lo") * 1_000_000).cast("long") * _N_BINS
+                + F.col("bin")
+                * (
+                    F.round(F.col("hi") * 1_000_000).cast("long")
+                    - F.round(F.col("lo") * 1_000_000).cast("long")
+                ),
+                F.lit(_N_BINS) * 1_000_000,
+                6,
+            ).alias("bin_lo"),
+            _rr(
+                F.round(F.col("lo") * 1_000_000).cast("long") * _N_BINS
+                + (F.col("bin") + 1)
+                * (
+                    F.round(F.col("hi") * 1_000_000).cast("long")
+                    - F.round(F.col("lo") * 1_000_000).cast("long")
+                ),
+                F.lit(_N_BINS) * 1_000_000,
+                6,
+            ).alias("bin_hi"),
         )
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
     round4_micros as _RM_round4,
     round4_ratio as _RM_ratio4,
+    round_ratio as _RM_rr,
 )
 from data_pipeline_with_big_data_stack_spark.queries import query
 from data_pipeline_with_big_data_stack_spark.session import prepare_session
@@ -158,42 +159,49 @@ def q_events_trailing_24h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT count(*) AS current_files_processed,
-             sum(value) AS total, avg(value) AS avg_v,
-             count(*) / greatest(date_diff('day', min(ts), max(ts)), 1) AS files_per_day,
-             avg(value) * (count(*) / greatest(date_diff('day', min(ts), max(ts)), 1))
-               AS daily_mb
+             round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS current_storage_mb,
+             (sum(value::DECIMAL(18,6)) * 1000000)::HUGEINT AS t_m,
+             greatest(date_diff('day', min(ts), max(ts)), 1)::HUGEINT AS d
       FROM events)
     SELECT current_files_processed,
-           round(total, 2)                  AS current_storage_mb,
-           round(daily_mb, 4)               AS projected_daily_growth_mb,
-           round(daily_mb * 7, 4)           AS projected_weekly_growth_mb,
-           round(daily_mb * 30, 4)          AS projected_monthly_growth_mb,
-           round(daily_mb * 7 / 1024, 6)    AS projected_weekly_growth_gb,
-           round(daily_mb * 30 / 1024, 6)   AS projected_monthly_growth_gb
+           current_storage_mb,
+           ((2*t_m*10000 + 1000000*d) // (2000000*d)) / 10000.0
+             AS projected_daily_growth_mb,
+           ((2*7*t_m*10000 + 1000000*d) // (2000000*d)) / 10000.0
+             AS projected_weekly_growth_mb,
+           ((2*30*t_m*10000 + 1000000*d) // (2000000*d)) / 10000.0
+             AS projected_monthly_growth_mb,
+           ((2*7*t_m*1000000 + 1024000000*d) // (2048000000*d)) / 1000000.0
+             AS projected_weekly_growth_gb,
+           ((2*30*t_m*1000000 + 1024000000*d) // (2048000000*d)) / 1000000.0
+             AS projected_monthly_growth_gb
     FROM s
     """,
 )
 def q_events_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
+    # exact decimal total + integer-device rounding: avg_v·(n/days)
+    # equals total/days in rational terms, and the double path's round
+    # diverged between engines at half boundaries (round4_micros note)
     agg = e.agg(
         F.count(F.lit(1)).alias("current_files_processed"),
-        F.sum("value").alias("total"),
-        F.avg("value").alias("avg_v"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
-    files_per_day = F.col("current_files_processed") / F.greatest(
-        F.datediff("max_ts", "min_ts"), F.lit(1)
-    )
-    daily = F.col("avg_v") * files_per_day
+    days = F.greatest(F.datediff("max_ts", "min_ts"), F.lit(1)).cast("long")
     return agg.select(
         "current_files_processed",
-        F.round("total", 2).alias("current_storage_mb"),
-        F.round(daily, 4).alias("projected_daily_growth_mb"),
-        F.round(daily * 7, 4).alias("projected_weekly_growth_mb"),
-        F.round(daily * 30, 4).alias("projected_monthly_growth_mb"),
-        F.round(daily * 7 / 1024, 6).alias("projected_weekly_growth_gb"),
-        F.round(daily * 30 / 1024, 6).alias("projected_monthly_growth_gb"),
+        F.round("total", 2).cast("double").alias("current_storage_mb"),
+        _RM_rr(F.col("total"), days, 4).alias("projected_daily_growth_mb"),
+        _RM_rr(F.col("total") * 7, days, 4).alias("projected_weekly_growth_mb"),
+        _RM_rr(F.col("total") * 30, days, 4).alias("projected_monthly_growth_mb"),
+        _RM_rr(F.col("total") * 7, days * 1024, 6).alias(
+            "projected_weekly_growth_gb"
+        ),
+        _RM_rr(F.col("total") * 30, days * 1024, 6).alias(
+            "projected_monthly_growth_gb"
+        ),
     )
 
 
