@@ -51,7 +51,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
               // (2*count(*))) / 10000.0              AS avg_width,
            ((20000*sum(height)::HUGEINT + count(*))
               // (2*count(*))) / 10000.0              AS avg_height,
-           ((20000*sum(width * height * 3)::HUGEINT + count(*))
+           ((20000*sum((width * height * 3)::HUGEINT) + count(*))
               // (2*count(*))) / 10000.0              AS avg_raw_pixbytes,
            (sum(n_bytes))::BIGINT                     AS total_bytes
     FROM m GROUP BY format

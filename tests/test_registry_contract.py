@@ -99,11 +99,14 @@ def _sum_bodies(sql: str) -> list[str]:
 def test_no_float_string_formatting_drift():
     """Oracles must not emit bare unrounded double aggregates of products
     (the class that flips hash comparison across engines) — every
-    sum over a '*' product expression must be decimal-cast."""
+    sum over a '*' product expression must be cast to an exact type:
+    decimal for fractional inputs, or HUGEINT for pure-integer
+    products (e.g. width*height*3 — already exact, the cast just pins
+    the accumulator)."""
     offenders = []
     for name, sql in ORACLES.items():
         for inner in _sum_bodies(sql):
-            if "*" in inner and "decimal" not in inner:
+            if "*" in inner and "decimal" not in inner and "hugeint" not in inner:
                 offenders.append((name, inner.strip()[:60]))
     assert not offenders, offenders
 
