@@ -85,6 +85,10 @@ HEADLINE = [
     # round-6 addition: the delete/retention half of the IVF-PQ index
     # lifecycle (build → expire tombstones per-cell → serve survivors)
     "q_ann_ivfpq_index_expire",
+    # round-6 addition: the trained (fasttext-style) quality classifier
+    # — hashed-bigram Naive Bayes, train + score in one fixed-broadcast
+    # pipeline
+    "q_quality_classifier_nb",
 ]
 
 

@@ -1145,3 +1145,151 @@ def q_source_capped_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SOURCE_CAP)
         .select("source", "doc_id", "rank", "distinct_ratio", "n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# Learned quality/language classifier (round 6): the fasttext-style
+# linear-over-hashed-ngrams model every public LLM data pipeline runs
+# (CCNet, GPT-3, Llama: a classifier trained on a curated seed scores
+# every crawled doc). The SQL-replayable member of that family is
+# multinomial Naive Bayes over hashed BIGRAM features: train = two
+# counting aggregations (class priors + per-bucket class counts with
+# Laplace smoothing), score = one fixed-size-broadcast join + one
+# doc_id groupBy summing log-odds. The reference stack has no learned
+# scoring at all (its quality signals are the heuristic dashboards);
+# this complements the engine's heuristic lang-ID (q_doc_language_id)
+# and importance-weighting (q_dsir_domain_selection) with the trained-
+# classifier leg of the standard curation triad.
+#
+# Scale shape (100 TB): features hash to a FIXED 2^13-bucket space
+# (same md5 device the DSIR estimator and split logic replay exactly
+# in DuckDB), so the broadcast-back side is constant-size at any
+# corpus scale; priors/totals are 1-row aggregates; the corpus is
+# touched twice (train counts, score) with exactly one doc_id-keyed
+# shuffle on the scoring side. Seed labels come from metadata
+# (lang == 'en'), the usual bootstrap before model-labeled rounds.
+#
+# predicted_pos derives from the ROUNDED score so both engines decide
+# the boundary from the value they agree on (sum-of-logs at 4 dp —
+# the same determinism class as q_doc_unigram_logprob, sweep-green at
+# all three fixture scales).
+# --------------------------------------------------------------------------
+_NB_BUCKETS = 8192  # 2^13 — fixed model size at any corpus scale
+_NB_POS_LANG = "en"
+
+
+@query(
+    "q_quality_classifier_nb",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang = '{_NB_POS_LANG}' AS pos,
+             string_split(text, ' ') AS words
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    big AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(unnest(
+                 [words[i] || ' ' || words[i+1]
+                  for i in range(1, len(words))])), 1, 8))::BIGINT
+               % {_NB_BUCKETS} AS bkt
+      FROM w),
+    vocab AS (
+      SELECT bkt,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE     AS cp,
+             sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::DOUBLE AS cn
+      FROM big GROUP BY bkt),
+    tot AS (SELECT sum(cp) AS np, sum(cn) AS nn,
+                   count(*)::DOUBLE AS v FROM vocab),
+    prior AS (
+      SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE
+                / sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS lp
+      FROM w),
+    scored AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_feat,
+             round(any_value(prior.lp)
+                   + sum(ln(((vocab.cp + 1) / (tot.np + tot.v))
+                            / ((vocab.cn + 1) / (tot.nn + tot.v)))),
+                   4) AS nb_score
+      FROM big JOIN vocab USING (bkt) CROSS JOIN tot CROSS JOIN prior
+      GROUP BY doc_id)
+    SELECT doc_id, n_feat, nb_score, nb_score > 0 AS predicted_pos
+    FROM scored
+    """,
+)
+def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir, rebalance=True)
+    w = d.select(
+        "doc_id",
+        (F.col("lang") == _NB_POS_LANG).alias("pos"),
+        F.split("text", " ").alias("words"),
+    ).filter(F.size("words") >= 2)
+    # bigrams inline in the select (generator-pitfall rule: never
+    # explode an aliased complex expression after a withColumn)
+    big = w.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.expr(
+                "transform(slice(words, 1, size(words) - 1),"
+                " (x, i) -> concat(x, ' ', words[i + 1]))"
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % _NB_BUCKETS
+        ).alias("bkt"),
+    )
+    # model totals ride a global window over the ALREADY-AGGREGATED
+    # vocab (<= _NB_BUCKETS rows — metadata-scale, same movement as the
+    # broadcast below); a separate vocab.agg() would make Spark replay
+    # the whole corpus-scan lineage a third time
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+    vocab = (
+        big.groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("double")
+            .alias("cp"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+            .cast("double")
+            .alias("cn"),
+        )
+        .select(
+            "*",
+            F.sum("cp").over(wall).alias("np"),
+            F.sum("cn").over(wall).alias("nn"),
+            F.count(F.lit(1)).over(wall).cast("double").alias("v"),
+        )
+    )
+    prior = w.agg(
+        F.log(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double")
+            / F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+        ).alias("lp")
+    )
+    # vocab is <= _NB_BUCKETS rows by construction and prior is 1 row —
+    # both broadcasts are fixed-size at any corpus scale
+    scored = big.join(F.broadcast(vocab), "bkt").join(F.broadcast(prior))
+    log_odds = F.log(
+        ((F.col("cp") + 1) / (F.col("np") + F.col("v")))
+        / ((F.col("cn") + 1) / (F.col("nn") + F.col("v")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feat"),
+            F.round(F.min("lp") + F.sum(log_odds), 4).alias("nb_score"),
+        )
+        .select(
+            "doc_id",
+            "n_feat",
+            "nb_score",
+            (F.col("nb_score") > 0).alias("predicted_pos"),
+        )
+    )
