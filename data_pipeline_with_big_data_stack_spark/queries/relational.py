@@ -532,8 +532,10 @@ def q_topk_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal >= 2500 THEN 'standard'
                 ELSE 'basic' END AS tier,
            count(*)              AS n,
-           ((2*(sum(c_acctbal::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0 AS avg_bal
+           (sign(sum(c_acctbal::DECIMAL(18,6)))::HUGEINT
+            * ((2*abs((sum(c_acctbal::DECIMAL(18,6))*1000000)::HUGEINT)
+                + 100*count(*))
+               // (200*count(*)))) / 10000.0 AS avg_bal
     FROM customer
     GROUP BY 1, 2
     """,

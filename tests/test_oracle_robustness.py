@@ -291,3 +291,63 @@ def test_expire_partitions_drops_only_old_days(spark):
         tuple(r) for r in RM.serve_rollup(spark, fresh, grain="day").collect()
     }
     assert served == expected
+
+
+@pytest.fixture(scope="module")
+def hostile_customer_dir(tmp_path_factory):
+    """A customer table whose balances make several (segment, tier)
+    groups sum NEGATIVE: the fixture's per-group sums all happen to be
+    positive, which is the only reason a sign-less HUGEINT rounding
+    device ever hash-matched — DuckDB's ``//`` truncates toward zero,
+    so the +half offset breaks on a negative numerator (caught by the
+    round-6 self-review; verified -10000 micros / 3 rows → -0.0032
+    sign-less vs the correct -0.0033)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(4321)
+    n = 3000
+    # basic-tier balances skew heavily negative; thirds of a cent and
+    # full-precision noise land quotients on awkward boundaries
+    bal = np.where(
+        rng.rand(n) < 0.7,
+        -rng.uniform(0.0, 999.99, n),
+        rng.uniform(0.0, 9999.99, n),
+    )
+    bal = np.round(bal + rng.randn(n) * 1e-7, 2)
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(1, n + 1), pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "c_nationkey": pa.array(
+                rng.randint(0, 25, n).astype("int32"), pa.int32()
+            ),
+            "c_acctbal": pa.array(bal, pa.float64()),
+            "c_mktsegment": pa.array(
+                rng.choice(["AUTO", "HOUSE", "MACH"], n), pa.string()
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("hostile_customer")
+    pq.write_table(tbl, str(d / "customer.parquet"))
+    return str(d)
+
+
+def test_avg_bal_oracle_survives_negative_group_sums(
+    spark, hostile_customer_dir
+):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{hostile_customer_dir}/customer.parquet')"
+    )
+    spdf = QUERIES["q_case_customer_tiers"](
+        spark, hostile_customer_dir
+    ).toPandas()
+    opdf = con.sql(ORACLES["q_case_customer_tiers"]).df()
+    # the whole point of the hostile fixture: negative-sum groups exist
+    assert (spdf["avg_bal"] < 0).any()
+    assert len(spdf) == len(opdf) > 0
+    assert _canon(spdf) == _canon(opdf), "avg_bal drifted on negative sums"
