@@ -232,11 +232,27 @@ def append_to_ivfpq_index(
     files untouched. Callers own id uniqueness across appends, same as
     any append-mode sink. Holds the index's single-writer lock so an
     append can never race a compaction/expire swap (whose backup-dir
-    teardown would silently discard the freshly appended files)."""
+    teardown would silently discard the freshly appended files) — local
+    ``file:`` URIs normalize to the same plain path compact/expire lock
+    on, so all three writers exclude each other. Local appends also
+    heal crashed swap states BEFORE writing: recreating a live cell dir
+    on top of a crashed expire/compaction swap would poison the
+    "live exists ⇒ swap completed" inference those recoveries rely on,
+    and the next maintenance entry would discard the parked originals."""
+    remote = "://" in path and not path.startswith("file:")
+    if not remote:
+        path = _require_local(path, "append_to_ivfpq_index")
     coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path)
     coded = _coded_projection(vecs, coarse, pq_codebooks, sub_dim, id_col)
     lease = _index_write_lock(spark, path)
     try:
+        if not remote:
+            from data_pipeline_with_big_data_stack_spark.operators.layout import (
+                recover_compaction,
+            )
+
+            recover_compaction(path)
+            _recover_expire(path)
         coded.write.mode("append").partitionBy("cell_id").parquet(path)
     finally:
         lease.release()
@@ -384,13 +400,17 @@ def expire_vectors(
                 F.lit(False),
             )
             doomed = index.filter(predicate)
-        cells = sorted(
-            r.cell_id
-            for r in doomed.select("cell_id").distinct().collect()
-        )
+        # one aggregation produces both the affected-cell list
+        # (metadata-scale) and the removal count — a separate .count()
+        # would pay a second full traversal of the tombstone scan
+        tomb_agg = doomed.agg(
+            F.collect_set("cell_id").alias("cells"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        cells = sorted(tomb_agg["cells"])
         if not cells:
             return 0
-        n_removed = doomed.count()
+        n_removed = tomb_agg["n"]
         affected = index.filter(F.col("cell_id").isin(cells))
         if predicate is not None:  # null-coalesced above: ~pred is total
             survivors = affected.filter(~predicate)
@@ -411,6 +431,20 @@ def expire_vectors(
             staged = os.path.join(staging, part)
             if os.path.exists(staged):  # absent ⇒ the cell expired empty
                 os.rename(staged, os.path.join(path, part))
+        if not any(
+            n.startswith("cell_id=") for n in os.listdir(path)
+        ):
+            # an expiry that emptied EVERY cell (full purge / total
+            # opt-out) must not leave a directory Spark can't infer a
+            # schema from: park a 0-row sentinel partition. Cell ids
+            # are codebook row numbers (always >= 0), so -1 never
+            # collides and is never probed by a search.
+            (
+                survivors.limit(0)
+                .drop("cell_id")
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "cell_id=-1"))
+            )
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
         return n_removed

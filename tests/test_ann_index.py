@@ -547,3 +547,58 @@ def test_expire_null_predicate_rows_are_kept(spark, tmp_path):
     )
     # empty id list is a clean no-op, not an error
     assert expire_vectors(spark, path, ids=[]) == 0
+
+
+def test_append_heals_crashed_expire_first(spark, tmp_path):
+    """An append entered AFTER an expire crashed mid-swap must restore
+    the parked cell BEFORE writing: recreating the live cell dir first
+    would make the next recovery conclude "swap completed" and discard
+    the parked originals — silent loss of every pre-crash vector in
+    that cell."""
+    import os
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import append_to_ivfpq_index
+
+    e, path = _build_small(spark, tmp_path, modulus=2)
+    n_even = spark.read.parquet(path).count()
+    odds = e.filter(F.col("vec_id") % 2 == 1)
+    n_odd = odds.count()
+
+    # simulate the tightest expire crash: one cell parked, not replaced
+    cell_dir = sorted(
+        d for d in os.listdir(path) if d.startswith("cell_id=")
+    )[0]
+    trash = path + "__preexpire"
+    os.makedirs(trash)
+    os.rename(os.path.join(path, cell_dir), os.path.join(trash, cell_dir))
+
+    append_to_ivfpq_index(spark, path, odds)
+    assert not os.path.exists(trash), "parked cell healed on append entry"
+    assert spark.read.parquet(path).count() == n_even + n_odd, (
+        "every pre-crash vector survived the append"
+    )
+
+
+def test_expire_full_purge_leaves_readable_index(spark, tmp_path):
+    """An expiry that empties EVERY cell (total opt-out / retention
+    purge) must leave an index that subsequent reads, searches,
+    expiries, and appends can still open — not a bare directory Spark
+    refuses to infer a schema from."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        expire_vectors,
+        search_ivfpq_index,
+    )
+
+    e, path = _build_small(spark, tmp_path)
+    total = spark.read.parquet(path).count()
+    assert expire_vectors(spark, path, predicate=F.lit(True)) == total
+    assert spark.read.parquet(path).count() == 0
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    assert search_ivfpq_index(spark, path, probes, nprobe=2, k=5).count() == 0
+    assert expire_vectors(spark, path, ids=[1, 2, 3]) == 0
+    # the index accepts new vectors again after the purge
+    append_to_ivfpq_index(spark, path, e.filter(F.col("vec_id") < 10))
+    assert spark.read.parquet(path).count() == 10
