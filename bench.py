@@ -161,6 +161,7 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
         N_QUERY_VECS,
         TOP_K,
         _emb,
+        _km_demo_init,
         _pq_train_codebooks,
     )
     from data_pipeline_with_big_data_stack_spark.tables import load_table
@@ -171,16 +172,7 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
         # --- IVF-PQ: build once (untimed), serve best-of-3 ---
         e = _emb(spark, sf_dir).select("vec_id", "emb")
         cb0, cb1 = _pq_train_codebooks(e)
-        coarse = (
-            e.filter(
-                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100)
-            )
-            .select(
-                (F.col("vec_id") / 100).cast("long").alias("cell_id"),
-                F.col("emb").alias("c_emb"),
-            )
-            .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
-        )
+        coarse = _km_demo_init(e, _K_CELLS)
         idx = base + "/index"
         build_ivfpq_index(e, idx, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
         probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(

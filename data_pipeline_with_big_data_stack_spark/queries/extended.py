@@ -845,11 +845,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    share = F.sum(
-        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
-            F.lit(0).cast("decimal(18,6)")
-        )
-    ) / F.sum("volume")
     return volumes.groupBy("o_year").agg(
         _rr(
             F.sum(

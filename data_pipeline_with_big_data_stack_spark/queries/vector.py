@@ -414,13 +414,6 @@ _IVF_ORACLE = f"""
 @query("q_ann_ivf_topk", oracle=_IVF_ORACLE)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    cents = (
-        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100))
-        .select(
-            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
-            F.col("emb").alias("c_emb"),
-        )
-    )
 
     def sqdist(a, b):
         d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
@@ -435,7 +428,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target scale. Ranking by (dist, cell_id) struct sort matches the
     # oracle's ORDER BY list_distance, cell_id exactly (sqrt is monotone,
     # so raw squared distance preserves the argmin and its ties).
-    cb = cents.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
+    cb = _km_demo_init(e, _K_CELLS)
 
     def ranked_cells(vec_col):
         return F.array_sort(
@@ -557,9 +550,13 @@ _KM_ORACLE = f"""
 
 
 def _km_demo_init(e: DataFrame, k: int = _KM_K) -> DataFrame:
-    """Deterministic id-sampled init codebook (every 100th vec_id) — the
-    1-row broadcast shape lloyd_kmeans expects; shared by the k-means
-    and SemDeDup queries so their oracles replay one trajectory."""
+    """Deterministic id-sampled seed codebook (every 100th vec_id,
+    cell_id = vec_id/100) in the 1-row array-of-struct broadcast shape.
+    THE shared constructor for every consumer — lloyd_kmeans init, the
+    PQ sub-space trainers, the inline IVF queries, the materialized
+    IVF-PQ index lifecycle, and bench's serve-only probes — so the
+    codebook derivation its DuckDB oracles replay can never silently
+    diverge between them."""
     return (
         e.filter(
             (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < k * 100)
@@ -677,16 +674,7 @@ def _pq_train_codebooks(e: DataFrame) -> list[DataFrame]:
         sub = e.select(
             "vec_id", F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("emb")
         )
-        init = (
-            sub.filter(
-                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _PQ_K * 100)
-            )
-            .select(
-                (F.col("vec_id") / 100).cast("long").alias("cell_id"),
-                F.col("emb").alias("c_emb"),
-            )
-            .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
-        )
+        init = _km_demo_init(sub, _PQ_K)
         _assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
         codebooks.append(cb.withColumnRenamed("cb", f"cb{m}"))
     return codebooks
@@ -899,13 +887,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
-    cents = e.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100)
-    ).select(
-        (F.col("vec_id") / 100).cast("long").alias("cell_id"),
-        F.col("emb").alias("c_emb"),
-    )
-    cbi = cents.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cbi"))
+    cbi = _km_demo_init(e, _K_CELLS).withColumnRenamed("cb", "cbi")
 
     def ranked_cells(vec_col):
         return F.array_sort(
@@ -1009,14 +991,7 @@ def q_ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
-    coarse = (
-        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100))
-        .select(
-            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
-            F.col("emb").alias("c_emb"),
-        )
-        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
-    )
+    coarse = _km_demo_init(e, _K_CELLS)
     path = tempfile.mkdtemp(prefix="ivfpq_index_") + "/index"
     build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
     probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -1059,14 +1034,7 @@ def q_ann_ivfpq_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
-    coarse = (
-        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100))
-        .select(
-            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
-            F.col("emb").alias("c_emb"),
-        )
-        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
-    )
+    coarse = _km_demo_init(e, _K_CELLS)
     path = tempfile.mkdtemp(prefix="ivfpq_expire_") + "/index"
     build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
     expire_vectors(
@@ -1103,14 +1071,7 @@ def q_stream_ann_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
-    coarse = (
-        e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _K_CELLS * 100))
-        .select(
-            (F.col("vec_id") / 100).cast("long").alias("cell_id"),
-            F.col("emb").alias("c_emb"),
-        )
-        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
-    )
+    coarse = _km_demo_init(e, _K_CELLS)
     base = tempfile.mkdtemp(prefix="ivfpq_stream_")
     path = base + "/index"
     # empty build = codebook sidecars + partition root; data arrives via
