@@ -676,7 +676,17 @@ def q15_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier rows through ONE task (sf100 ≈ 1 M rows in a single
     partition), and a naive self-reference would re-scan lineitem for
     the max branch (Catalyst does not reuse the exchange across the
-    broadcast boundary — measured, 2 scans without the checkpoint)."""
+    broadcast boundary — measured, 2 scans without the checkpoint).
+
+    localCheckpoint vs the alternatives, deliberately: it stores
+    executor-local blocks without lineage, so losing an executor
+    between materialization and the final join FAILS the query (an
+    outer retry recomputes from source) rather than recomputing
+    in-flight. persist() would recompute on loss but leaks the cached
+    plan's exchanges into the textual plan the shuffle-budget pins
+    count (measured: 5 vs 3), and reliable checkpoint() needs a
+    configured HDFS checkpoint dir. srev is one row per active
+    supplier, so the exposure window is seconds even at 100×."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     srev = (
