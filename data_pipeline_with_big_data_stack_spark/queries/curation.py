@@ -1293,3 +1293,90 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nb_score") > 0).alias("predicted_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster-aware train/val/test split (round 6): hashing each
+# doc_id independently (q_doc_hash_split) lets NEAR-duplicates straddle
+# the train/test boundary — the classic eval-leakage hole (a lightly
+# edited copy of a test doc sits in train). The leakage-safe split keys
+# the hash on the doc's duplicate-CLUSTER id (LSH candidates → connected
+# components; singletons key on themselves), so an entire near-dup
+# cluster always lands on ONE side. Same md5-bucket split device as
+# q_doc_hash_split, same salt — singleton assignments are identical to
+# the naive split's by construction.
+#
+# Scale shape: the LSH/CC machinery is the q_dedup_clusters pipeline
+# (banded, capped buckets; pointer-doubling on the candidate-pair edge
+# set only); the label join is PLAIN — cluster membership is corpus-
+# proportional at web dup rates, so hint-broadcasting it is exactly the
+# r5 scale mistake this engine removed. The split itself stays a pure
+# projection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cluster_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_DUCK},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand),
+    reach AS (
+      SELECT a AS node, b AS peer FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a),
+    labels AS (
+      SELECT node, least(node, min(peer))::BIGINT AS label
+      FROM reach GROUP BY node),
+    k AS (
+      SELECT d.doc_id, coalesce(l.label, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+    b AS (
+      SELECT doc_id, split_key,
+             ('0x' || substr(md5(split_key::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM k)
+    SELECT doc_id,
+           split_key::BIGINT AS split_key,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label")
+    )
+    # plain join — no broadcast hint on the corpus-proportional labels
+    keyed = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", "doc_id").alias("split_key")
+        )
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("split_key"), F.lit(_SPLIT_SALT))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return keyed.select(
+        "doc_id",
+        F.col("split_key").cast("long").alias("split_key"),
+        split.alias("split"),
+    )

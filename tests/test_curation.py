@@ -182,3 +182,32 @@ def test_gapfill_locf_fills_holes(spark):
         if len(filled):
             assert filled.value_filled.notna().all()
     assert (~out.observed).any(), "fixture should contain gaps"
+
+
+def test_cluster_aware_split_never_splits_a_dup_cluster(spark):
+    """The leakage guard's whole contract: every member of a duplicate
+    cluster carries the same split_key and therefore the same split —
+    a near-duplicate can never straddle train/test. Singletons must
+    key on themselves, making their assignment identical to the naive
+    per-doc hash split (same salt, same device)."""
+    from data_pipeline_with_big_data_stack_spark.queries.curation import (
+        q_cluster_aware_split,
+        q_dedup_clusters,
+        q_doc_hash_split,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = q_cluster_aware_split(spark, SF_SMOKE).toPandas()
+    clusters = q_dedup_clusters(spark, SF_SMOKE).toPandas()
+    assert len(clusters) > 0, "fixture should contain duplicate clusters"
+    merged = out.merge(clusters, on="doc_id")
+    spans = merged.groupby("cluster_id")["split"].nunique()
+    assert (spans == 1).all(), "a duplicate cluster straddles splits"
+    # cluster members key on the cluster id, not themselves
+    assert (merged.split_key == merged.cluster_id).all()
+    # singletons: identical to the naive hash split
+    naive = q_doc_hash_split(spark, SF_SMOKE).toPandas()
+    singles = out[~out.doc_id.isin(clusters.doc_id)]
+    j = singles.merge(naive, on="doc_id", suffixes=("", "_naive"))
+    assert (j.split_key == j.doc_id).all()
+    assert (j.split == j.split_naive).all()
