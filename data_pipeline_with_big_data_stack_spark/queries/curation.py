@@ -89,9 +89,13 @@ def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("words", F.length), F.lit(0).cast("long"), lambda a, x: a + x
     )
     nd = F.size(F.array_distinct("words"))
+    # slice-based windows, NOT sequence(0, size-k): sequence DESCENDS
+    # when the upper bound is negative (1-word docs), and the lambda's
+    # words[i+1] then reads out of bounds — ANSI mode throws. slice
+    # with a greatest(…, 0) length is empty for short docs instead.
     tri = F.expr(
-        "transform(sequence(0, size(words) - 3), "
-        "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+        "transform(slice(words, 1, greatest(size(words) - 2, 0)), "
+        "(x, i) -> concat_ws(' ', x, words[i+1], words[i+2]))"
     )
     ndt = F.size(F.array_distinct(tri))
     # fractions round via the exact-integer device (_r4); the keep/drop
@@ -112,8 +116,8 @@ def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(words) - 2), "
-                "i -> concat_ws(' ', words[i], words[i+1]))"
+                "transform(slice(words, 1, size(words) - 1), "
+                "(x, i) -> concat_ws(' ', x, words[i+1]))"
             )
         ).alias("bg"),
     )
@@ -545,8 +549,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(words) - 2), "
-                "i -> concat_ws(' ', words[i], words[i+1]))"
+                "transform(slice(words, 1, size(words) - 1), "
+                "(x, i) -> concat_ws(' ', x, words[i+1]))"
             )
         ).alias("bg"),
     )
@@ -787,7 +791,8 @@ _FUZZY_CONTAM_THRESH = 0.5
       FROM cb JOIN pb ON cb.band = pb.band AND cb.band_key = pb.band_key),
     sh AS (
       SELECT doc_id, {_SHINGLES_DUCK} AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+            FROM documents)),
     ver AS (
       SELECT c.doc_id, c.probe_id,
              CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)

@@ -194,9 +194,9 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(lower(trim(text)))                     AS content_hash,
-           concat(string_split(text, ' ')[1], ':',
-                  string_split(text, ' ')[-1], ':',
-                  CAST(len(string_split(text, ' ')) AS VARCHAR)) AS struct_key
+           string_split(text, ' ')[1] || ':' ||
+             string_split(text, ' ')[-1] || ':' ||
+             CAST(len(string_split(text, ' ')) AS VARCHAR) AS struct_key
     FROM documents
     """,
 )
@@ -206,10 +206,14 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
-        F.concat_ws(
-            ":",
+        # F.concat (NULL-propagating, matching DuckDB ||), NOT concat_ws
+        # (which skips nulls): a NULL text must yield a NULL struct_key
+        # in both engines
+        F.concat(
             toks.getItem(0),
+            F.lit(":"),
             F.element_at(toks, -1),
+            F.lit(":"),
             F.size(toks).cast("string"),
         ).alias("struct_key"),
     )
@@ -264,10 +268,16 @@ _SHINGLES_DUCK = """
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL text normalizes to '' BEFORE shingling: Spark's concat_ws
+    already folds a null words array to the empty shingle while
+    DuckDB's array_to_string propagates NULL, so without the coalesce
+    (mirrored in _SIG_DUCK and every shingle-consuming oracle) a NULL
+    document diverges from its oracle across the whole MinHash family
+    — caught by the hostile-documents robustness suite."""
     d = _docs(spark, sf_dir, rebalance=True)
-    return d.withColumn("words", F.split("text", " ")).withColumn(
-        "shingles", F.expr(_SHINGLES_SPARK)
-    )
+    return d.withColumn(
+        "words", F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    ).withColumn("shingles", F.expr(_SHINGLES_SPARK))
 
 
 # q_dedup_ngram_jaccard is defined AFTER the MinHash/LSH block below — it
@@ -293,7 +303,7 @@ _SIG_DUCK = f"""
              {_mh_sql('s2')} AS mh2, {_mh_sql('s3')} AS mh3,
              {_mh_sql('s4')} AS mh4, {_mh_sql('s5')} AS mh5
       FROM (SELECT doc_id, {_SHINGLES_DUCK} AS sh
-            FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
                   FROM documents))
 """
 
@@ -420,7 +430,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_LSH_DUCK},
     sh AS (
       SELECT doc_id, {_SHINGLES_DUCK} AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words FROM documents))
     SELECT c.doc_a, c.doc_b,
            round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard

@@ -351,3 +351,96 @@ def test_avg_bal_oracle_survives_negative_group_sums(
     assert (spdf["avg_bal"] < 0).any()
     assert len(spdf) == len(opdf) > 0
     assert _canon(spdf) == _canon(opdf), "avg_bal drifted on negative sums"
+
+
+@pytest.fixture(scope="module")
+def hostile_documents_dir(tmp_path_factory):
+    """A documents table with everything the fixture corpus never
+    ships: empty and NULL texts, single words, runs of spaces, leading/
+    trailing spaces, unicode (accents, CJK, emoji), newlines inside
+    tokens, a 2000-word doc, and exact-duplicate groups — the text
+    pipeline must agree with its oracles on all of it BEFORE a fixture
+    regeneration ships any of these shapes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(99)
+    texts = [
+        "",                       # empty
+        "word",                   # single token
+        "a  b",                   # double space → empty token
+        " lead and trail ",       # boundary spaces
+        "héllo wörld café über",  # accents
+        "東京 大阪 京都",            # CJK
+        "smile 😀 twice 😀",       # emoji
+        "line\nbreak inside token",
+        None,                     # NULL text
+        " ".join("w%03d" % rng.randint(0, 400) for _ in range(2000)),
+    ]
+    # exact-duplicate groups + ordinary filler
+    texts += ["dup dup dup alpha"] * 3
+    texts += [
+        " ".join("w%03d" % rng.randint(0, 400) for _ in range(30))
+        for _ in range(40)
+    ]
+    # a corpus-side (doc_id >= 20) near-copy of probe doc 9 (the
+    # 2000-word text) so the fuzzy-decontamination pipeline has a
+    # planted leak to surface
+    leaked = texts[9].split(" ")
+    for j in range(0, len(leaked), 97):
+        leaked[j] = "edit%02d" % j
+    texts.append(" ".join(leaked))
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [["en", "de", "fr"][i % 3] for i in range(n)], pa.string()
+            ),
+            "source": pa.array([f"src{i % 4}" for i in range(n)], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("hostile_docs")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+TEXT_ORACLED = [
+    "q_doc_token_stats",
+    "q_doc_quality_scores",
+    "q_doc_gopher_quality",
+    "q_doc_fingerprints",
+    "q_dedup_exact",
+    "q_doc_hash_split",
+    "q_doc_chunking",
+    "q_quality_classifier_nb",
+    "q_cluster_aware_split",
+    # the MinHash family shares one shingle construction whose NULL
+    # handling the hostile corpus exercises end to end
+    "q_minhash_signatures",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_fuzzy_decontamination",
+]
+
+
+@pytest.mark.parametrize("name", TEXT_ORACLED)
+def test_text_oracle_survives_hostile_documents(
+    spark, name, hostile_documents_dir
+):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hostile_documents_dir}/documents.parquet')"
+    )
+    spdf = QUERIES[name](spark, hostile_documents_dir).toPandas()
+    opdf = con.sql(ORACLES[name]).df()
+    assert len(spdf) == len(opdf) > 0
+    assert _canon(spdf) == _canon(opdf), f"{name} drifted on hostile text"
