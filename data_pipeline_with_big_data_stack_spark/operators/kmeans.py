@@ -14,7 +14,7 @@ The scale-correct Spark shape for each iteration:
 
 Determinism (the oracle gate is exact): init centroids are a
 deterministic id-based sample, per-dimension sums accumulate
-``decimal(28,14)`` (summation-order independent, matching the engine's
+``decimal(38,14)`` (summation-order independent, matching the engine's
 money-aggregate policy), and argmin ties break on cluster id.
 """
 
@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DEC = "decimal(28,14)"
+# 24 integral digits: decimal(28,14) overflowed (ANSI throws) on
+# large-magnitude coordinates — a 1e18-scale embedding is representable
+# in float32 and must not kill the training job. 38 is the engine max
+# in BOTH Spark and DuckDB; coordinates beyond ~1e24 still raise, a
+# documented domain bound (hostile-embeddings robustness suite).
+_DEC = "decimal(38,14)"
 
 
 def _sqdist(a, b):

@@ -47,6 +47,18 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cos(a, b):
+    """Cosine with a NULL result for zero-norm inputs. The nullif is
+    load-bearing twice over: ANSI mode otherwise THROWS DIVIDE_BY_ZERO
+    on an all-zero (padding) embedding — one such vector would kill the
+    whole job — and DuckDB would return NaN where Spark's try_divide
+    would return NULL, so the oracles apply the same nullif and both
+    engines agree on NULL (which orders LAST under DESC in both, i.e.
+    zero vectors simply drop out of top-k). Caught by the
+    hostile-embeddings robustness suite."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
 # --------------------------------------------------------------------------
 # Per-label embedding stats (norms) — sanity surface for the vector column.
 # --------------------------------------------------------------------------
@@ -89,8 +101,8 @@ _COSINE_ORACLE = f"""
     sims AS (
       SELECT q.q_id, c.vec_id, c.label,
              round(list_dot_product(q.q_emb, c.emb)
-                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
-                      * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+                   / nullif(sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(c.emb, c.emb)), 0), 6) AS cosine
       FROM q CROSS JOIN c
       WHERE c.vec_id != q.q_id)
     SELECT q_id, vec_id, label, cosine FROM (
@@ -116,8 +128,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                _dot(F.col("q_emb"), F.col("emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("emb"))),
+                _cos(F.col("q_emb"), F.col("emb")),
                 6,
             ).alias("cosine"),
         )
@@ -150,8 +161,8 @@ _LSH_ORACLE = f"""
     sims AS (
       SELECT q.q_id, b.vec_id, b.bucket,
              round(list_dot_product(q.q_emb, b.emb)
-                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
-                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+                   / nullif(sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(b.emb, b.emb)), 0), 6) AS cosine
       FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id != q.q_id)
     SELECT q_id, vec_id, bucket, cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
@@ -180,8 +191,7 @@ def q_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "bucket",
             F.round(
-                _dot(F.col("q_emb"), F.col("emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("emb"))),
+                _cos(F.col("q_emb"), F.col("emb")),
                 6,
             ).alias("cosine"),
         )
@@ -317,8 +327,8 @@ _SRP_DUCK = f"""
     scored AS (
       SELECT c.vec_a, c.vec_b,
              round(list_dot_product(x.emb, y.emb)
-                   / (sqrt(list_dot_product(x.emb, x.emb))
-                      * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+                   / nullif(sqrt(list_dot_product(x.emb, x.emb))
+                      * sqrt(list_dot_product(y.emb, y.emb)), 0), 6) AS cosine
       FROM cand c
       JOIN t x ON x.vec_id = c.vec_a
       JOIN t y ON y.vec_id = c.vec_b)
@@ -330,9 +340,7 @@ def _srp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _srp_candidate_pairs(e)
     x = e.select(F.col("vec_id").alias("xid"), F.col("emb").alias("x_emb"))
     y = e.select(F.col("vec_id").alias("yid"), F.col("emb").alias("y_emb"))
-    cos = _dot(F.col("x_emb"), F.col("y_emb")) / (
-        _norm(F.col("x_emb")) * _norm(F.col("y_emb"))
-    )
+    cos = _cos(F.col("x_emb"), F.col("y_emb"))
     return (
         cand.join(x, F.col("vec_a") == F.col("xid"))
         .join(y, F.col("vec_b") == F.col("yid"))
@@ -399,8 +407,8 @@ _IVF_ORACLE = f"""
     , cand AS (
       SELECT p.q_id, a.vec_id, a.cell_id,
              round(list_dot_product(p.q_emb, a.emb)
-                   / (sqrt(list_dot_product(p.q_emb, p.q_emb))
-                      * sqrt(list_dot_product(a.emb, a.emb))), 6) AS cosine
+                   / nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))
+                      * sqrt(list_dot_product(a.emb, a.emb)), 0), 6) AS cosine
       FROM probe_cells p JOIN assigned a ON p.cell_id = a.cell_id
       WHERE p.rk <= {_NPROBE} AND a.vec_id != p.q_id)
     SELECT q_id, vec_id, cell_id, cosine FROM (
@@ -473,8 +481,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell_id",
             F.round(
-                _dot(F.col("q_emb"), F.col("emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("emb"))),
+                _cos(F.col("q_emb"), F.col("emb")),
                 6,
             ).alias("cosine"),
         )
@@ -489,7 +496,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Distributed k-means (Lloyd's): the codebook-training side of IVF.
-# Deterministic end to end — id-sampled init, decimal(28,14) centroid
+# Deterministic end to end — id-sampled init, decimal(38,14) centroid
 # sums (summation-order independent), (dist, cell_id) tie-break — so a
 # 2-iteration run is EXACTLY reproduced by the DuckDB oracle: the gate
 # checks the full training trajectory, not just one assignment.
@@ -522,7 +529,7 @@ def _km_round_sql(src: str, cb: str, out_a: str, out_c: str) -> str:
     {out_c} AS (
       SELECT cluster_id AS cell_id, list(m ORDER BY i) AS emb
       FROM (SELECT cluster_id, i,
-                   (sum((emb[i])::DECIMAL(28,14)))::DOUBLE / count(*) AS m
+                   (sum((emb[i])::DECIMAL(38,14)))::DOUBLE / count(*) AS m
             FROM {out_a} CROSS JOIN range(1, {_KM_DIM + 1}) t(i)
             GROUP BY cluster_id, i)
       GROUP BY cluster_id)"""
@@ -624,7 +631,7 @@ def _pq_round_sql(src: str, cb: str, out_a: str, out_c: str) -> str:
     {out_c} AS (
       SELECT cluster_id AS cell_id, list(m ORDER BY i) AS emb
       FROM (SELECT cluster_id, i,
-                   (sum((emb[i])::DECIMAL(28,14)))::DOUBLE / count(*) AS m
+                   (sum((emb[i])::DECIMAL(38,14)))::DOUBLE / count(*) AS m
             FROM {out_a} CROSS JOIN range(1, {_PQ_SUB + 1}) t(i)
             GROUP BY cluster_id, i)
       GROUP BY cluster_id)"""
@@ -755,8 +762,8 @@ _SEM_ORACLE = f"""
     d AS (
       SELECT y.vec_id AS vec_id, y.cluster_id, x.vec_id AS dup_of,
              round(list_dot_product(ex.emb, ey.emb)
-                   / (sqrt(list_dot_product(ex.emb, ex.emb))
-                      * sqrt(list_dot_product(ey.emb, ey.emb))), 6) AS cosine
+                   / nullif(sqrt(list_dot_product(ex.emb, ex.emb))
+                      * sqrt(list_dot_product(ey.emb, ey.emb)), 0), 6) AS cosine
       FROM a3 x JOIN a3 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
       JOIN e ex ON ex.vec_id = x.vec_id
       JOIN e ey ON ey.vec_id = y.vec_id)
@@ -804,7 +811,9 @@ def semdedup_removals(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     cos = F.round(
-        _dot(F.col("x_emb"), F.col("emb")) / (F.col("x_nrm") * F.col("nrm")), 6
+        _dot(F.col("x_emb"), F.col("emb"))
+        / F.nullif(F.col("x_nrm") * F.col("nrm"), F.lit(0.0)),
+        6
     )
     d = (
         y.join(x, ["cluster_id", "__salt"])
@@ -1120,8 +1129,8 @@ _MMR_ONE_MINUS_LAM = "0.3"
 
 def _mmr_cos_duck(a: str, b: str) -> str:
     return (
-        f"round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        f"round(list_dot_product({a}, {b}) / nullif(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0), 6)"
     )
 
 
@@ -1166,7 +1175,7 @@ def q_embed_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "emb",
         F.round(
-            _dot(F.col("emb"), q_lit) / (_norm(F.col("emb")) * _norm(q_lit)), 6
+            _cos(F.col("emb"), q_lit), 6
         ).alias("rel"),
     )
     # the k greedy rounds: ≤k driver-coordinated single-row collects
@@ -1180,10 +1189,9 @@ def q_embed_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             sims = [
                 F.round(
-                    _dot(F.col("emb"), F.array(*[F.lit(float(x)) for x in s_emb]))
-                    / (
-                        _norm(F.col("emb"))
-                        * _norm(F.array(*[F.lit(float(x)) for x in s_emb]))
+                    _cos(
+                        F.col("emb"),
+                        F.array(*[F.lit(float(x)) for x in s_emb]),
                     ),
                     6,
                 )

@@ -444,3 +444,71 @@ def test_text_oracle_survives_hostile_documents(
     opdf = con.sql(ORACLES[name]).df()
     assert len(spdf) == len(opdf) > 0
     assert _canon(spdf) == _canon(opdf), f"{name} drifted on hostile text"
+
+
+@pytest.fixture(scope="module")
+def hostile_embeddings_dir(tmp_path_factory):
+    """An embeddings table with the degenerate geometry the fixture
+    never ships: an all-zero vector (0/0 cosine → NaN ordering), exact
+    duplicate groups and sub-float32-precision near-dups (distance
+    TIES — the tie-break contracts' design point), huge/tiny magnitudes
+    (overflow/underflow in the norm product), and negative vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(2025)
+    dim, n = 64, 320
+    base = rng.randn(n, dim).astype("float32")
+    base[7] = 0.0                                   # zero vector
+    for k in (40, 41, 42, 43, 44):                  # exact duplicates
+        base[k] = base[39]
+    base[50] = base[39] + 1e-9                      # rounds to exact tie
+    # 1e6/1e-6: far beyond any normalized embedding but inside the
+    # decimal(38,14) centroid device's exact window. (1e18 was probed
+    # too: it exposed — and the fix widened — the decimal(28,14) ANSI
+    # overflow crash, but at that magnitude the decimal→double rounding
+    # tail itself diverges bit-level between engines, which no device
+    # can reconcile; the k-means family documents ~1e24 as its bound.)
+    base[60] *= 1e6                                 # huge magnitude
+    base[61] *= 1e-6                                # tiny magnitude
+    base[62] = -base[63]                            # antipodal pair
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in base],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                (np.arange(n) % 10).astype("int32"), pa.int32()
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("hostile_emb")
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+VECTOR_ORACLED = [
+    "q_ann_cosine_topk",
+    "q_ann_lsh_bucketed_topk",
+    "q_ann_ivf_topk",
+    "q_embed_pq_codes",
+]
+
+
+@pytest.mark.parametrize("name", VECTOR_ORACLED)
+def test_vector_oracle_survives_hostile_embeddings(
+    spark, name, hostile_embeddings_dir
+):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{hostile_embeddings_dir}/embeddings.parquet')"
+    )
+    spdf = QUERIES[name](spark, hostile_embeddings_dir).toPandas()
+    opdf = con.sql(ORACLES[name]).df()
+    assert len(spdf) == len(opdf) > 0
+    assert _canon(spdf) == _canon(opdf), f"{name} drifted on hostile vectors"
