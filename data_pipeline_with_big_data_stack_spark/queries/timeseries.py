@@ -287,20 +287,34 @@ def q_events_minute_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_events_json_props_extract",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    WITH j AS (
+      SELECT CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS raw,
+             value
+      FROM events)
+    SELECT CASE WHEN regexp_matches(raw, '^-?[0-9]+$')
+                THEN TRY_CAST(raw AS BIGINT) END AS k,
            count(*)             AS n,
-           ((2*(sum(value::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0 AS avg_value
-    FROM events
+           (sign(sum(value::DECIMAL(18,6)))::HUGEINT
+            * ((2*abs((sum(value::DECIMAL(18,6))*1000000)::HUGEINT)
+                + 100*count(*))
+               // (200*count(*)))) / 10000.0 AS avg_value
+    FROM j
     GROUP BY 1
     """,
 )
 def q_events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
+    # integer-shaped-or-NULL extraction, aligned across engines: a raw
+    # get_json_object(...).cast("bigint") THROWS under ANSI on a float-
+    # valued k, and DuckDB both errors on malformed JSON (json_valid
+    # guard) and ROUNDS '12.5' on a plain string→BIGINT cast (regex
+    # guard + TRY_CAST). Non-integer / malformed / overflowing values
+    # group under the NULL key in both engines.
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw.try_cast("bigint"))
     return (
-        e.select(
-            F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
-        )
+        e.select(k.alias("k"), "value")
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
