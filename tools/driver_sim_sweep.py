@@ -25,8 +25,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 if os.path.abspath(os.getcwd()).startswith(REPO):
-    # re-exec from /tmp: workers must deserialize without the package
-    # on sys.path (see .claude/skills/verify/SKILL.md)
+    # Run from /tmp so worker-side deserialization cannot lean on the
+    # repo being the cwd: closures must ship fully by value, exactly as
+    # they would on a real multi-node cluster.
     os.chdir("/tmp")
 
 sys.path.insert(0, REPO)
