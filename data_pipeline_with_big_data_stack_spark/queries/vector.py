@@ -613,37 +613,42 @@ _PQ_ITERS = 2
 _PQ_SUB = 32  # dims per subspace → 2 subspaces over the 64-dim embedding
 
 
-def _pq_dist_sql(v: str, c: str) -> str:
+def _pq_dist_sql(v: str, c: str, dim: int | None = None) -> str:
+    dim = _PQ_SUB if dim is None else dim
     return (
         f"list_sum([({v}.emb[i]-{c}.emb[i])*({v}.emb[i]-{c}.emb[i]) "
-        f"for i in range(1, {_PQ_SUB + 1})])"
+        f"for i in range(1, {dim + 1})])"
     )
 
 
-def _pq_round_sql(src: str, cb: str, out_a: str, out_c: str) -> str:
+def _pq_round_sql(
+    src: str, cb: str, out_a: str, out_c: str, dim: int | None = None
+) -> str:
+    dim = _PQ_SUB if dim is None else dim
     return f"""
     {out_a} AS (
       SELECT vec_id, emb, cell_id AS cluster_id FROM (
         SELECT v.vec_id, v.emb, c.cell_id,
                row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_pq_dist_sql('v', 'c')}, c.cell_id) AS rk
+                 ORDER BY {_pq_dist_sql('v', 'c', dim)}, c.cell_id) AS rk
         FROM {src} v CROSS JOIN {cb} c) WHERE rk = 1),
     {out_c} AS (
       SELECT cluster_id AS cell_id, list(m ORDER BY i) AS emb
       FROM (SELECT cluster_id, i,
                    (sum((emb[i])::DECIMAL(38,14)))::DOUBLE / count(*) AS m
-            FROM {out_a} CROSS JOIN range(1, {_PQ_SUB + 1}) t(i)
+            FROM {out_a} CROSS JOIN range(1, {dim + 1}) t(i)
             GROUP BY cluster_id, i)
       GROUP BY cluster_id)"""
 
 
-def _pq_final_sql(src: str, cb: str, out: str) -> str:
+def _pq_final_sql(src: str, cb: str, out: str, dim: int | None = None) -> str:
+    dim = _PQ_SUB if dim is None else dim
     return f"""
     {out} AS (
       SELECT vec_id, cell_id AS code, d AS err FROM (
-        SELECT v.vec_id, c.cell_id, {_pq_dist_sql('v', 'c')} AS d,
+        SELECT v.vec_id, c.cell_id, {_pq_dist_sql('v', 'c', dim)} AS d,
                row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_pq_dist_sql('v', 'c')}, c.cell_id) AS rk
+                 ORDER BY {_pq_dist_sql('v', 'c', dim)}, c.cell_id) AS rk
         FROM {src} v CROSS JOIN {cb} c) WHERE rk = 1)"""
 
 
@@ -1208,3 +1213,102 @@ def q_embed_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "rank int, vec_id long, score double"
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Index RETRAIN (round 7, VERDICT r6 #2): append_to_ivfpq_index codes new
+# vectors with codebooks frozen at build time, so recall decays silently
+# as the ingested distribution shifts (drift pinned in
+# tests/test_ann_index.py). retrain_ivfpq_index is the reindex: fresh
+# md5-seeded codebooks trained over the CURRENT corpus
+# (operators/ann_index.train_ivfpq_codebooks), everything re-coded, and
+# codes + both sidecars swapped as one crash-recoverable unit. The
+# trainer is deterministic (hash-ranked seeds + the same decimal-mean
+# lloyd the PQ queries use), so the oracle replays the ENTIRE post-
+# retrain state: seed selection, 2 lloyd rounds for the coarse codebook
+# (64-dim) and both PQ subspaces (32-dim), coding, probe selection, and
+# ADC ranking. The stale pre-retrain codebooks the index was built with
+# cancel out — exactly the property that makes retrain a safe reindex.
+# --------------------------------------------------------------------------
+_IVFPQ_RETRAIN_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    e0 AS (SELECT vec_id, emb[1:{_PQ_SUB}] AS emb FROM e),
+    e1 AS (SELECT vec_id, emb[{_PQ_SUB + 1}:{2 * _PQ_SUB}] AS emb FROM e),
+    seed_c AS (SELECT vec_id, row_number() OVER (ORDER BY h) - 1 AS cell_id
+               FROM (SELECT vec_id, md5(vec_id::VARCHAR) AS h FROM e
+                     ORDER BY h LIMIT {_K_CELLS})),
+    seed_p AS (SELECT vec_id, row_number() OVER (ORDER BY h) - 1 AS cell_id
+               FROM (SELECT vec_id, md5(vec_id::VARCHAR) AS h FROM e
+                     ORDER BY h LIMIT {_PQ_K})),
+    g_0 AS (SELECT s.cell_id, e.emb FROM seed_c s JOIN e USING (vec_id)),
+    h0_0 AS (SELECT s.cell_id, e0.emb FROM seed_p s JOIN e0 USING (vec_id)),
+    h1_0 AS (SELECT s.cell_id, e1.emb FROM seed_p s JOIN e1 USING (vec_id)),
+    {_pq_round_sql('e', 'g_0', 'ga_1', 'g_1', 2 * _PQ_SUB)},
+    {_pq_round_sql('e', 'g_1', 'ga_2', 'g_2', 2 * _PQ_SUB)},
+    {_pq_round_sql('e0', 'h0_0', 'ha0_1', 'h0_1')},
+    {_pq_round_sql('e0', 'h0_1', 'ha0_2', 'h0_2')},
+    {_pq_round_sql('e1', 'h1_0', 'ha1_1', 'h1_1')},
+    {_pq_round_sql('e1', 'h1_1', 'ha1_2', 'h1_2')},
+    {_pq_final_sql('e0', 'h0_2', 'f0')},
+    {_pq_final_sql('e1', 'h1_2', 'f1')},
+    assigned AS (
+      SELECT vec_id, cluster_id AS cell_id FROM (
+        SELECT v.vec_id, c.cell_id AS cluster_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_pq_dist_sql('v', 'c', 2 * _PQ_SUB)}, c.cell_id) AS rk
+        FROM e v CROSS JOIN g_2 c) WHERE rk = 1),
+    probe_cells AS (
+      SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_pq_dist_sql('q', 'c', 2 * _PQ_SUB)}, c.cell_id) AS rk
+      FROM (SELECT vec_id, emb FROM e WHERE vec_id < {N_QUERY_VECS}) q
+      CROSS JOIN g_2 c),
+    adc AS (
+      SELECT p.q_id, a.vec_id, a.cell_id,
+             round(list_sum([(p.q_emb[i] - cc0.emb[i])
+                             * (p.q_emb[i] - cc0.emb[i])
+                             for i in range(1, {_PQ_SUB + 1})])
+                 + list_sum([(p.q_emb[i + {_PQ_SUB}] - cc1.emb[i])
+                             * (p.q_emb[i + {_PQ_SUB}] - cc1.emb[i])
+                             for i in range(1, {_PQ_SUB + 1})]), 4) AS adc_dist
+      FROM probe_cells p
+      JOIN assigned a ON p.cell_id = a.cell_id AND a.vec_id != p.q_id
+      JOIN f0 ON f0.vec_id = a.vec_id
+      JOIN f1 ON f1.vec_id = a.vec_id
+      JOIN h0_2 cc0 ON cc0.cell_id = f0.code
+      JOIN h1_2 cc1 ON cc1.cell_id = f1.code
+      WHERE p.rk <= {_NPROBE})
+    SELECT q_id, vec_id, cell_id, adc_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc_dist, vec_id) AS rn FROM adc)
+    WHERE rn <= {TOP_K}
+"""
+
+
+@query("q_ann_ivfpq_index_retrain", oracle=_IVFPQ_RETRAIN_ORACLE)
+def q_ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        retrain_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    # stale starting codebooks: raw id-sampled seeds, no lloyd rounds —
+    # the cheapest valid start, since retrain replaces them wholesale
+    cb0 = _km_demo_init(
+        e.select("vec_id", F.slice("emb", 1, _PQ_SUB).alias("emb")), _PQ_K
+    ).withColumnRenamed("cb", "cb0")
+    cb1 = _km_demo_init(
+        e.select("vec_id", F.slice("emb", _PQ_SUB + 1, _PQ_SUB).alias("emb")),
+        _PQ_K,
+    ).withColumnRenamed("cb", "cb1")
+    path = tempfile.mkdtemp(prefix="ivfpq_retrain_") + "/index"
+    build_ivfpq_index(e, path, _km_demo_init(e, _K_CELLS), [cb0, cb1], sub_dim=_PQ_SUB)
+    retrain_ivfpq_index(spark, path, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)

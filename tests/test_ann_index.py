@@ -602,3 +602,182 @@ def test_expire_full_purge_leaves_readable_index(spark, tmp_path):
     # the index accepts new vectors again after the purge
     append_to_ivfpq_index(spark, path, e.filter(F.col("vec_id") < 10))
     assert spark.read.parquet(path).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# retrain_ivfpq_index: the reindex half of the lifecycle (VERDICT r6 #2)
+# ---------------------------------------------------------------------------
+
+
+def _np_df(spark, ids, vecs):
+    """ids + numpy (n, dim) float matrix → vecs(vec_id, emb) DataFrame."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, emb array<double>",
+    )
+
+
+def test_retrain_equals_fresh_build_and_drops_expired(spark, tmp_path):
+    """retrain == fresh build: retraining an index (after an expiry)
+    with the full source corpus must produce byte-identical search
+    results to building a NEW index over the survivors with the same
+    trainer — and expired ids must not re-enter via the source."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        expire_vectors,
+        retrain_ivfpq_index,
+        train_ivfpq_codebooks,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_SUB, _pq_train_codebooks
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e, path, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB)
+    expired = expire_vectors(spark, path, predicate=F.col("vec_id") % 7 == 3)
+    assert expired > 0
+
+    retrain_ivfpq_index(spark, path, e, k_coarse=4, k_pq=4)
+
+    survivors = e.filter(~(F.col("vec_id") % 7 == 3))
+    coarse, pq_cbs = train_ivfpq_codebooks(
+        survivors, k_coarse=4, k_pq=4, sub_dim=_PQ_SUB, n_sub=2
+    )
+    fresh = str(tmp_path / "fresh")
+    build_ivfpq_index(survivors, fresh, coarse, pq_cbs, sub_dim=_PQ_SUB)
+
+    assert _search_res(spark, path, e) == _search_res(spark, fresh, e)
+    # expired ids stayed out even though the source still contains them
+    left = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert left == {r.vec_id for r in survivors.collect()}
+
+
+def test_retrain_restores_recall_after_shifted_appends(spark, tmp_path):
+    """The drift scenario retrain exists for: append a SHIFTED
+    distribution to an index whose codebooks were trained before the
+    shift — recall on planted near-duplicates of shifted probes
+    collapses (stale coarse cells + stale PQ centroids can't resolve
+    the new region); retrain over the current corpus restores it."""
+    import numpy as np
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        retrain_ivfpq_index,
+        search_ivfpq_index,
+        train_ivfpq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, sub = 16, 8
+    # corpus A: 4 tight clusters near the origin
+    a_centers = rng.randn(4, dim) * 2.0
+    a_vecs = np.vstack([c + rng.randn(100, dim) * 0.5 for c in a_centers])
+    a_ids = np.arange(400)
+    # batch B: 8 tight clusters far away (the shifted distribution),
+    # one probe per cluster so ADC ties within a cluster can only be
+    # broken toward that probe's own planted ids
+    b_centers = 15.0 + rng.randn(8, dim) * 4.0
+    probes_np = np.vstack([c + rng.randn(1, dim) * 0.5 for c in b_centers])
+    planted_np = np.vstack(
+        [p + rng.randn(4, dim) * 0.05 for p in probes_np]
+    )
+    distract_np = np.vstack([c + rng.randn(50, dim) * 1.0 for c in b_centers])
+    probe_ids = np.arange(1000, 1008)
+    planted_ids = np.arange(1100, 1132)
+    distract_ids = np.arange(1200, 1600)
+    planted = {
+        int(probe_ids[j]): set(map(int, planted_ids[j * 4 : j * 4 + 4]))
+        for j in range(8)
+    }
+
+    corpus_a = _np_df(spark, a_ids, a_vecs)
+    batch_b = _np_df(
+        spark,
+        np.concatenate([probe_ids, planted_ids, distract_ids]),
+        np.vstack([probes_np, planted_np, distract_np]),
+    )
+    coarse, pq_cbs = train_ivfpq_codebooks(
+        corpus_a, k_coarse=8, k_pq=32, sub_dim=sub, n_sub=2
+    )
+    path = str(tmp_path / "drift")
+    build_ivfpq_index(corpus_a, path, coarse, pq_cbs, sub_dim=sub)
+    append_to_ivfpq_index(spark, path, batch_b)
+
+    probes = _np_df(spark, probe_ids, probes_np).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+
+    def recall():
+        got = {}
+        for r in search_ivfpq_index(spark, path, probes, nprobe=2, k=4).collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        recalls = [
+            len(got.get(q, set()) & ids) / len(ids) for q, ids in planted.items()
+        ]
+        return sum(recalls) / len(recalls)
+
+    drifted = recall()
+    assert drifted <= 0.6, f"stale codebooks should miss planted dups: {drifted}"
+    # the drifted index's coarse sidecar can have collapsed to fewer
+    # live cells than the corpus now needs — a real reindex sizes K for
+    # the grown corpus rather than inheriting the shrunken default
+    retrain_ivfpq_index(
+        spark, path, corpus_a.unionByName(batch_b), iters=3, k_coarse=12, k_pq=32
+    )
+    restored = recall()
+    assert restored >= 0.9, f"retrain should restore recall: {restored}"
+    assert restored > drifted
+
+
+def test_retrain_crash_recovery_rolls_forward(spark, tmp_path, monkeypatch):
+    """A crash ANYWHERE in retrain's 6-rename commit window must heal to
+    a consistent index on the next writer entry. Once the _ALL_STAGED
+    marker + park dir exist the staged set is publishable, so recovery
+    rolls FORWARD — the healed index equals an uncrashed retrain."""
+    import os
+
+    import data_pipeline_with_big_data_stack_spark.operators.ann_index as ai
+
+    e, path = _build_small(spark, tmp_path, name="crash")
+    _e2, twin = _build_small(spark, tmp_path, name="twin")
+    ai.retrain_ivfpq_index(spark, twin, e, k_coarse=4, k_pq=4)
+    expected = _search_res(spark, twin, e)
+
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def flaky(src, dst):
+        if "__preretrain" in dst or "__retraining" in src:
+            state["n"] += 1
+            if state["n"] == 4:  # all 3 parked + 1 published
+                raise RuntimeError("injected crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ai.retrain_ivfpq_index(spark, path, e, k_coarse=4, k_pq=4)
+    monkeypatch.setattr("os.rename", real_rename)
+
+    # any writer heals on entry; an empty expiry is the cheapest
+    assert ai.expire_vectors(spark, path, ids=[]) == 0
+    assert not os.path.exists(path + "__preretrain")
+    assert not os.path.exists(path + "__retraining")
+    assert _search_res(spark, path, e) == expected
+
+
+def test_retrain_stale_staging_rolls_back(spark, tmp_path):
+    """Staging WITHOUT a park dir means the commit never started: the
+    next writer entry discards the junk and the live index is
+    untouched."""
+    import os
+
+    import data_pipeline_with_big_data_stack_spark.operators.ann_index as ai
+
+    e, path = _build_small(spark, tmp_path)
+    baseline = _search_res(spark, path, e)
+    os.makedirs(path + "__retraining/index")
+    assert ai.expire_vectors(spark, path, ids=[]) == 0
+    assert not os.path.exists(path + "__retraining")
+    assert _search_res(spark, path, e) == baseline
