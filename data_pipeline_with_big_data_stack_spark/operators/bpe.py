@@ -37,6 +37,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.session import materialize
+
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 
 pickle_by_value(__name__)
@@ -152,7 +154,7 @@ def train_bpe(
     rows collected to the driver, so the per-round driver traffic
     stays O(batch), never O(vocabulary)."""
     syms = words.select(to_symbols("word").alias("arr"), "freq")
-    syms = syms.localCheckpoint(eager=True)
+    syms = materialize(syms)
     merges: list[dict] = []
     while len(merges) < n_merges:
         want = min(merges_per_round, n_merges - len(merges))
@@ -191,9 +193,11 @@ def train_bpe(
                 }
             )
             selected.append((a, b, a + b))
-        syms = syms.select(
-            _merge_fold_multi(F.col("arr"), selected).alias("arr"), "freq"
-        ).localCheckpoint(eager=True)
+        syms = materialize(
+            syms.select(
+                _merge_fold_multi(F.col("arr"), selected).alias("arr"), "freq"
+            )
+        )
     return merges
 
 

@@ -41,6 +41,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.session import materialize
+
 from data_pipeline_with_big_data_stack_spark.serde import pickle_by_value
 
 pickle_by_value(__name__)
@@ -151,10 +153,8 @@ def mg_frequent_items(
     # differ, ReuseExchange can't kick in, and the corpus-wide MG fold
     # would execute twice. The checkpointed table is summary-bounded
     # (≤ partitions × (k+1) rows pre-merge), never corpus-sized.
-    agg = (
-        summ.groupBy("item")
-        .agg(F.sum("cnt").alias("est_count"))
-        .localCheckpoint(eager=True)
+    agg = materialize(
+        summ.groupBy("item").agg(F.sum("cnt").alias("est_count"))
     )
     est = agg.filter(F.col("item").isNotNull())
     total_err = agg.filter(F.col("item").isNull()).agg(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.session import materialize
+
 ROLLUP_DIMS = ("event_type",)  # default dims — callers can pass their own
 ROLLUP_KEYS = ("__date", "bucket", *ROLLUP_DIMS)
 _MERGEABLE = ("n_events", "sum_value_micros")
@@ -580,9 +582,8 @@ def _apply_increment_locked(
     # never reads a path it is concurrently replacing (the slice is
     # rollup rows for a handful of days — tiny)
     if exists:
-        prev = (
+        prev = materialize(
             prev_all.filter(F.col("__date").cast("string").isin(touched))
-            .localCheckpoint(eager=True)
         )
         merged = (
             prev.unionByName(inc, allowMissingColumns=True)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.session import materialize
+
 from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import (
     round4_ratio as _r4,
 )
@@ -377,7 +379,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
     ``RuntimeError`` if the fixpoint is not reached in ``_CC_MAX_ITERS``
     rounds (needs ~log2(diameter) rounds)."""
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = materialize(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -417,7 +419,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
                 ).alias("chg"),
             )
         )
-        new = new.localCheckpoint(eager=True)
+        new = materialize(new)
         changed = new.filter("chg").limit(1).count()
         labels = new.drop("chg")
         if changed == 0:

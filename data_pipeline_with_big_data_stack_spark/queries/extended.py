@@ -23,7 +23,7 @@ from data_pipeline_with_big_data_stack_spark.queries.textops import (
     _SHINGLES_DUCK,
     _SHINGLES_SPARK,
 )
-from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.session import materialize, prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 
@@ -699,8 +699,8 @@ def q15_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_rev")
         )
-        .localCheckpoint(eager=True)
     )
+    srev = materialize(srev)
     mx = srev.agg(F.max("total_rev").alias("mx"))
     best = srev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("mx"))
     return best.join(s, best.l_suppkey == s.s_suppkey).select(

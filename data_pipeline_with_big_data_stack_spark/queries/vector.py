@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
 from data_pipeline_with_big_data_stack_spark.queries import query
-from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.session import materialize, prepare_session
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 N_QUERY_VECS = 5  # vec_id < 5 are the probe vectors
@@ -797,9 +797,11 @@ def semdedup_removals(
     # would otherwise recompute each side's norm per pair)
     # localCheckpoint: both pair-join sides consume the assignment —
     # without it each side re-executes the whole 2-round training chain
-    vecs = assigned.select(
-        "cluster_id", "vec_id", "emb", _norm(F.col("emb")).alias("nrm")
-    ).localCheckpoint(eager=True)
+    vecs = materialize(
+        assigned.select(
+            "cluster_id", "vec_id", "emb", _norm(F.col("emb")).alias("nrm")
+        )
+    )
     # salt the pair join: the demo K (8 clusters) is far below the core
     # count, so joining on cluster_id alone would funnel ALL O(n_c²)
     # dot products through K tasks. The y side gets a deterministic

