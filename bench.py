@@ -198,6 +198,24 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
             ).format("noop").save()
             best = min(best, time.perf_counter() - t0)
         out["rollup_serve_sec"] = round(best, 3)
+
+        # --- NB classifier: train once (untimed), score best-of-3 ---
+        from data_pipeline_with_big_data_stack_spark.queries.curation import (
+            nb_score_documents,
+            nb_train_quality_model,
+        )
+        from data_pipeline_with_big_data_stack_spark.queries.textops import _docs
+
+        d = _docs(spark, sf_dir, rebalance=True)
+        model = nb_train_quality_model(d)  # materialized — frozen
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            nb_score_documents(model, d).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out["nb_serve_sec"] = round(best, 3)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

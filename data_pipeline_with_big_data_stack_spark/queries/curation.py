@@ -1185,9 +1185,7 @@ _NB_BUCKETS = 8192  # 2^13 — fixed model size at any corpus scale
 _NB_POS_LANG = "en"
 
 
-@query(
-    "q_quality_classifier_nb",
-    oracle=f"""
+_NB_ORACLE = f"""
     WITH w AS (
       SELECT doc_id, lang = '{_NB_POS_LANG}' AS pos,
              string_split(text, ' ') AS words
@@ -1222,20 +1220,23 @@ _NB_POS_LANG = "en"
       GROUP BY doc_id)
     SELECT doc_id, n_feat, nb_score, nb_score > 0 AS predicted_pos
     FROM scored
-    """,
-)
-def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir, rebalance=True)
-    w = d.select(
-        "doc_id",
-        (F.col("lang") == _NB_POS_LANG).alias("pos"),
-        F.split("text", " ").alias("words"),
+    """
+
+
+def _nb_feature_buckets(docs: DataFrame, with_pos: bool) -> DataFrame:
+    """``(doc_id, [pos,] bkt)`` — one row per hashed-bigram feature.
+    Bigrams inline in the select (generator-pitfall rule: never explode
+    an aliased complex expression after a withColumn); buckets via the
+    engine's DuckDB-replayable md5 device."""
+    cols = ["doc_id"]
+    if with_pos:
+        cols.append((F.col("lang") == _NB_POS_LANG).alias("pos"))
+    w = docs.select(
+        *cols, F.split("text", " ").alias("words")
     ).filter(F.size("words") >= 2)
-    # bigrams inline in the select (generator-pitfall rule: never
-    # explode an aliased complex expression after a withColumn)
-    big = w.select(
-        "doc_id",
-        "pos",
+    keep = [c for c in ("doc_id", "pos") if with_pos or c == "doc_id"]
+    return w.select(
+        *keep,
         F.explode(
             F.expr(
                 "transform(slice(words, 1, size(words) - 1),"
@@ -1243,23 +1244,34 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).select(
-        "doc_id",
-        "pos",
+        *keep,
         (
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
             % _NB_BUCKETS
         ).alias("bkt"),
     )
-    # model totals ride a global window over the ALREADY-AGGREGATED
-    # vocab (<= _NB_BUCKETS rows — metadata-scale, same movement as the
-    # broadcast below); a separate vocab.agg() would make Spark replay
-    # the whole corpus-scan lineage a third time
-    from pyspark.sql import Window as W
 
-    wall = W.partitionBy()
-    vocab = (
-        big.groupBy("bkt")
-        .agg(
+
+def nb_train_quality_model(docs: DataFrame) -> DataFrame:
+    """Train the hashed-bigram Naive Bayes quality model over labeled
+    ``docs(doc_id, lang, text, ...)`` and return it FROZEN
+    (materialized): ≤ ``_NB_BUCKETS`` rows of
+    ``(bkt, log_odds, lp, default_lo)`` — per-bucket Laplace-smoothed
+    log-odds plus the class prior and the unseen-bucket default, ready
+    to broadcast under any number of scoring batches. Train-once /
+    score-per-batch is the production split (CCNet scores crawl shards
+    as they arrive); :func:`nb_score_documents` is the scoring half.
+
+    Scale shape: the corpus is touched twice (bucket counts + prior),
+    both combiner-friendly aggregations; the model is constant-size at
+    any corpus scale. Vocab totals use the q11/q15 threshold pattern —
+    materialize the vocab once (two consumers), 1-row agg, broadcast
+    crossJoin — NOT a Window.partitionBy() (retired in r7: the global
+    window tripped the single-partition audit and spammed WindowExec
+    warnings)."""
+    big = _nb_feature_buckets(docs, with_pos=True)
+    vocab = materialize(
+        big.groupBy("bkt").agg(
             F.sum(F.when(F.col("pos"), 1).otherwise(0))
             .cast("double")
             .alias("cp"),
@@ -1267,12 +1279,14 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("cn"),
         )
-        .select(
-            "*",
-            F.sum("cp").over(wall).alias("np"),
-            F.sum("cn").over(wall).alias("nn"),
-            F.count(F.lit(1)).over(wall).cast("double").alias("v"),
-        )
+    )
+    tot = vocab.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    w = docs.select((F.col("lang") == _NB_POS_LANG).alias("pos"), "text").filter(
+        F.size(F.split("text", " ")) >= 2
     )
     prior = w.agg(
         F.log(
@@ -1280,18 +1294,46 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(~F.col("pos"), 1).otherwise(0))
         ).alias("lp")
     )
-    # vocab is <= _NB_BUCKETS rows by construction and prior is 1 row —
-    # both broadcasts are fixed-size at any corpus scale
-    scored = big.join(F.broadcast(vocab), "bkt").join(F.broadcast(prior))
     log_odds = F.log(
         ((F.col("cp") + 1) / (F.col("np") + F.col("v")))
         / ((F.col("cn") + 1) / (F.col("nn") + F.col("v")))
     )
+    # a bucket never seen in training scores the pure-Laplace ratio
+    default_lo = F.log((F.col("nn") + F.col("v")) / (F.col("np") + F.col("v")))
+    return materialize(
+        vocab.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "bkt",
+            log_odds.alias("log_odds"),
+            "lp",
+            default_lo.alias("default_lo"),
+        )
+    )
+
+
+def nb_score_documents(model: DataFrame, docs: DataFrame) -> DataFrame:
+    """Score ``docs(doc_id, text, ...)`` against a frozen
+    :func:`nb_train_quality_model` model — the per-batch half of the
+    train-once/score-per-batch split, shared verbatim by the batch gate
+    query and the streaming twin (``q_stream_quality_scores``), so
+    stream-scored == batch-scored by construction (pinned in
+    tests/test_quality_classifier.py). One broadcast join on the
+    fixed-size model + one doc_id groupBy — the only corpus shuffle."""
+    feats = _nb_feature_buckets(docs, with_pos=False)
+    consts = model.agg(
+        F.min("lp").alias("lp"), F.min("default_lo").alias("default_lo")
+    )
+    scored = feats.join(
+        F.broadcast(model.select("bkt", "log_odds")), "bkt", "left"
+    ).join(F.broadcast(consts))
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feat"),
-            F.round(F.min("lp") + F.sum(log_odds), 4).alias("nb_score"),
+            F.round(
+                F.min("lp") + F.sum(F.coalesce("log_odds", "default_lo")), 4
+            ).alias("nb_score"),
         )
         .select(
             "doc_id",
@@ -1300,6 +1342,12 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nb_score") > 0).alias("predicted_pos"),
         )
     )
+
+
+@query("q_quality_classifier_nb", oracle=_NB_ORACLE)
+def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir, rebalance=True)
+    return nb_score_documents(nb_train_quality_model(d), d)
 
 
 # --------------------------------------------------------------------------

@@ -474,3 +474,57 @@ def q_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return RM.serve_rollup(spark, path, grain="day", dims=("event_type",))
+
+
+# --------------------------------------------------------------------------
+# Streaming scoring twin of the trained NB quality classifier (round 7,
+# VERDICT r6 #3): train-once / score-per-batch is the production shape —
+# CCNet-style pipelines score crawl shards as they arrive against a
+# model trained on a curated seed. The model is trained ONCE on the
+# static documents table and frozen (materialized constant-size bucket
+# table, curation.nb_train_quality_model); the documents then arrive as
+# a multi-file stream and each micro-batch is scored by the SAME
+# curation.nb_score_documents the batch gate query uses — scores are a
+# per-doc pure function of (model, doc), so the drained result is
+# batch-boundary independent and shares the batch query's full value
+# oracle. Each micro-batch overwrites its own batch_id=<epoch> sink
+# partition, so a foreachBatch retry republishes instead of
+# double-appending (the rollup store's exactly-once device, file-sink
+# edition).
+# --------------------------------------------------------------------------
+from data_pipeline_with_big_data_stack_spark.queries.curation import (  # noqa: E402
+    _NB_ORACLE as _NB_STREAM_ORACLE,
+)
+
+
+@query("q_stream_quality_scores", oracle=_NB_STREAM_ORACLE)
+def q_stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.queries.curation import (
+        nb_score_documents,
+        nb_train_quality_model,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.textops import _docs
+
+    d = _docs(spark, sf_dir, rebalance=True)
+    model = nb_train_quality_model(d)  # frozen before the stream starts
+    base = tempfile.mkdtemp(prefix="nb_stream_")
+    src = base + "/src"
+    d.select("doc_id", "text").repartition(4).write.parquet(src)
+    sink = base + "/scored"
+    st = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches, not one
+        .parquet(src)
+    )
+    q = (
+        st.writeStream.foreachBatch(
+            lambda df, eid: nb_score_documents(model, df)
+            .write.mode("overwrite")
+            .parquet(f"{sink}/batch_id={eid}")
+        )
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).drop("batch_id")

@@ -110,3 +110,54 @@ def test_feature_counts_and_short_doc_exclusion(spark, tmp_path_factory):
         for r in QUERIES["q_quality_classifier_nb"](spark, d).collect()
     }
     assert out == {1: 1, 2: 4, 3: 49}
+
+
+def test_stream_scored_equals_batch_scored(spark, disjoint_vocab_dir):
+    """The streaming twin (train-once model + per-micro-batch
+    nb_score_documents) must emit EXACTLY the batch classifier's rows —
+    scores are a per-doc pure function of the frozen model, so batch
+    boundaries cannot matter."""
+    batch = {
+        tuple(r)
+        for r in QUERIES["q_quality_classifier_nb"](
+            spark, disjoint_vocab_dir
+        ).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in QUERIES["q_stream_quality_scores"](
+            spark, disjoint_vocab_dir
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_score_documents_handles_unseen_buckets(spark, tmp_path):
+    """A scored doc whose bigrams hash to buckets absent from training
+    must get the pure-Laplace default log-odds, not drop out or NULL."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.queries.curation import (
+        nb_score_documents,
+        nb_train_quality_model,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "good words here", "en"), (2, "schlechte worte hier", "de")],
+        "doc_id long, text string, lang string",
+    )
+    model = nb_train_quality_model(train)
+    novel = spark.createDataFrame(
+        [(99, "zzz qqq xxx www vvv")], "doc_id long, text string"
+    )
+    out = nb_score_documents(model, novel).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 99 and r.n_feat == 4
+    assert r.nb_score is not None
+    # default log-odds = ln((nn+v)/(np+v)) + prior, replayed exactly
+    np_, nn_, v_ = 2.0, 2.0, 4.0
+    import math
+
+    want = round(math.log(1.0 / 1.0) + 4 * math.log((nn_ + v_) / (np_ + v_)), 4)
+    assert abs(r.nb_score - want) < 1e-9

@@ -54,10 +54,11 @@ BUDGETS = {
     # round 6: q15 materializes the supplier-revenue view once; the
     # post-checkpoint plan is max-broadcast + joins — no global window
     "q15_top_suppliers_by_revenue": 3,
-    # round 6: NB classifier — bkt counts + vocab-totals window (8192
-    # rows, single partition) + prior (1 row) + per-doc score groupBy;
-    # the two single-partition moves are metadata-scale by construction
-    "q_quality_classifier_nb": 4,
+    # round 7: NB classifier — vocab is materialized pre-plan (bkt-count
+    # exchange paid once at checkpoint time); the scoring plan keeps
+    # prior (1 row) + vocab totals (≤8192 checkpointed rows) + the
+    # per-doc score groupBy. No Window.partitionBy() anywhere.
+    "q_quality_classifier_nb": 3,
 }
 
 
