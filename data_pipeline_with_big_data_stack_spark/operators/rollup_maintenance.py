@@ -237,6 +237,31 @@ def _lock_path(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     return fs, jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + suffix)
 
 
+def _write_lock_body(out, payload: str) -> None:
+    """Write + close the freshly claimed lock's pid@host body (module
+    level so the crash-injection test can fail it deliberately)."""
+    try:
+        out.write(payload.encode())
+    finally:
+        out.close()
+
+
+def _read_lock_body(jvm, fs, lock) -> str | None:
+    """The lock file's current content, or None if it vanished or is
+    unreadable. Shared by the stale-lock breaker and the lease release
+    so both compare the same canonical read."""
+    try:
+        stream = fs.open(lock)
+        try:
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8", "replace")
+        finally:
+            stream.close()
+    except Exception:  # noqa: BLE001 - unreadable/legacy/vanished
+        return None
+
+
 class _LockLease:
     """A held lock plus a daemon HEARTBEAT that refreshes the lock
     file's mtime every ``_HEARTBEAT_SECONDS`` for as long as the lease
@@ -248,10 +273,11 @@ class _LockLease:
     us) it simply stops beating and the age fallback takes over —
     exactly the crashed-holder behavior the breaker exists for."""
 
-    def __init__(self, fs, lock):
+    def __init__(self, fs, lock, jvm=None, payload=None):
         import threading
 
         self.fs, self.lock = fs, lock
+        self.jvm, self.payload = jvm, payload
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._beat, name="lock-heartbeat", daemon=True
@@ -274,6 +300,17 @@ class _LockLease:
         # same path (the wait() wakes immediately on the event, so this
         # returns fast)
         self._thread.join(timeout=5.0)
+        # re-read before deleting (ADVICE r6): if a racing breaker
+        # already reclaimed this lock and a NEW holder acquired it, the
+        # path now holds the new holder's payload — deleting it would
+        # strip a live writer's protection. Same residual re-read→delete
+        # TOCTOU as break_stale_lock; with the heartbeat proving
+        # liveness every minute, a correctly configured breaker never
+        # reclaims a lease that reaches release() at all.
+        if self.jvm is not None and self.payload is not None:
+            body = _read_lock_body(self.jvm, self.fs, self.lock)
+            if body is not None and body != self.payload:
+                return  # someone else's lock now — leave it alone
         try:
             self.fs.delete(self.lock, False)
         except Exception:  # noqa: BLE001 - already removed by a breaker
@@ -300,14 +337,11 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     import time as _time
 
     fs, lock = _lock_path(spark, path, suffix)
+    # payload built BEFORE the claim: nothing fallible may sit between a
+    # successful create and the cleanup-protected body write below
+    payload = f"{os.getpid()}@{socket.gethostname()} {_time.time():.3f}\n"
     try:
         out = fs.create(lock, False)  # overwrite=False → atomic claim
-        try:
-            out.write(
-                f"{os.getpid()}@{socket.gethostname()} {_time.time():.3f}\n".encode()
-            )
-        finally:
-            out.close()
     except Exception as exc:  # noqa: BLE001 - py4j wraps the Java cause
         msg = str(exc)
         if "AlreadyExists" not in msg and "already exists" not in msg.lower():
@@ -318,7 +352,19 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
             f"{_STALE_LOCK_MAX_AGE:.0f}s, or remove "
             f"{path.rstrip('/') + suffix} manually if it is dead)"
         ) from exc
-    return _LockLease(fs, lock)
+    try:
+        _write_lock_body(out, payload)
+    except Exception:
+        # the claim succeeded but the body didn't land: an EMPTY lock
+        # file would block maintenance for the full age window (the
+        # pid-liveness path can't parse it) — best-effort remove the
+        # just-created lock before re-raising (ADVICE r6)
+        try:
+            fs.delete(lock, False)
+        except Exception:  # noqa: BLE001 - leave it to the age breaker
+            pass
+        raise
+    return _LockLease(fs, lock, jvm=spark._jvm, payload=payload)
 
 
 # conservative: with the lease heartbeat refreshing the lock mtime
@@ -359,16 +405,7 @@ def break_stale_lock(
     fs, lock = _lock_path(spark, path, suffix)
 
     def _read_body() -> str | None:
-        try:
-            stream = fs.open(lock)
-            try:
-                return bytes(
-                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                ).decode("utf-8", "replace")
-            finally:
-                stream.close()
-        except Exception:  # noqa: BLE001 - unreadable/legacy/vanished
-            return None
+        return _read_lock_body(spark._jvm, fs, lock)
 
     if not fs.exists(lock):
         return False

@@ -477,3 +477,48 @@ def test_lock_heartbeat_keeps_long_jobs_alive(spark, tmp_path, monkeypatch):
     finally:
         lease.release()
     assert not os.path.exists(lock), "release deletes the lock"
+
+
+def test_release_leaves_a_successors_lock_alone(spark, tmp_path):
+    """ADVICE r6: if a breaker reclaimed our lock and a NEW holder
+    acquired the same path, release() must NOT delete the new holder's
+    lock — it re-reads the body and backs off when the payload isn't
+    its own."""
+    path = str(tmp_path / "store")
+    lock = path + RM._LOCK_SUFFIX
+    stale = RM._acquire_lock(spark, path)
+    # a racing breaker reclaims the lock out from under the holder...
+    fs, jlock = RM._lock_path(spark, path)
+    assert fs.delete(jlock, False)
+    # ...and a new holder claims the same path
+    new = RM._acquire_lock(spark, path)
+    assert new.payload != stale.payload
+
+    stale.release()  # must notice the foreign payload and back off
+    assert os.path.exists(lock), "stale release deleted the new lock"
+    assert RM._read_lock_body(spark._jvm, fs, jlock) == new.payload
+
+    new.release()  # the rightful owner still cleans up
+    assert not os.path.exists(lock)
+
+
+def test_failed_body_write_does_not_leave_empty_lock(spark, tmp_path, monkeypatch):
+    """ADVICE r6: a write/close failure after the atomic create must
+    remove the just-created (empty, unparseable) lock on the way out —
+    otherwise maintenance is blocked for the full age window."""
+    path = str(tmp_path / "store")
+    lock = path + RM._LOCK_SUFFIX
+
+    def boom(out, payload):
+        out.close()
+        raise OSError("disk full")
+
+    monkeypatch.setattr(RM, "_write_lock_body", boom)
+    with pytest.raises(OSError, match="disk full"):
+        RM._acquire_lock(spark, path)
+    assert not os.path.exists(lock), "empty lock left behind"
+
+    monkeypatch.undo()
+    lease = RM._acquire_lock(spark, path)  # path is immediately usable
+    lease.release()
+    assert not os.path.exists(lock)
