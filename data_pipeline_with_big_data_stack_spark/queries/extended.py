@@ -291,8 +291,7 @@ _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
     oracle=f"""
     SELECT b.band,
            count(*)                 AS n_events,
-           ((2*(sum(e.value::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0 AS avg_value,
+           (sign(sum(e.value::DECIMAL(18,6)))::HUGEINT * ((2*abs((sum(e.value::DECIMAL(18,6)) * 1000000)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0 AS avg_value,
            round(min(e.value), 4)   AS min_value,
            round(max(e.value), 4)   AS max_value
     FROM events e
@@ -440,11 +439,14 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT ((2 * (100 * sum((CASE WHEN p.p_type = 'ECONOMY'
+    SELECT (sign(sum((CASE WHEN p.p_type = 'ECONOMY'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)::DECIMAL(18,6)))::HUGEINT
+            * ((2 * abs((100 * sum((CASE WHEN p.p_type = 'ECONOMY'
                               THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)::DECIMAL(18,6)) * 1000000)::HUGEINT * 10000
+                              ELSE 0 END)::DECIMAL(18,6)) * 1000000)::HUGEINT) * 10000
              + (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) * 1000000)::HUGEINT)
-            // (2 * (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) * 1000000)::HUGEINT))
+            // (2 * (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) * 1000000)::HUGEINT)))
            / 10000.0 AS promo_share_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= DATE '1996-09-01'
@@ -816,10 +818,12 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
       JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
       WHERE r.r_name = 'ASIA')
     SELECT o_year,
-           ((2 * (sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                          ELSE 0 END) * 1000000)::HUGEINT * 1000000
+           (sign(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE 0 END))::HUGEINT
+            * ((2 * abs((sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE 0 END) * 1000000)::HUGEINT) * 1000000
              + (sum(volume) * 1000000)::HUGEINT)
-            // (2 * (sum(volume) * 1000000)::HUGEINT))
+            // (2 * (sum(volume) * 1000000)::HUGEINT)))
            / 1000000.0 AS mkt_share
     FROM volumes GROUP BY o_year
     """,

@@ -191,7 +191,7 @@ def q_druid_search_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, (round(value * 1000000))::BIGINT AS micros
       FROM events)
     SELECT event_type,
-           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS total_value,
+           (sign(sum(micros))::HUGEINT * ((2*abs(sum(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS total_value,
            count(*)::BIGINT                  AS n_events
     FROM m GROUP BY event_type
     ORDER BY total_value DESC, event_type

@@ -54,12 +54,9 @@ def _t(
                                                                             AS sum_disc_price,
            round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6)), 2)::DOUBLE
                                                                             AS sum_charge,
-           ((2*(sum(l_quantity::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0 AS avg_qty,
-           ((2*(sum(l_extendedprice::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0 AS avg_price,
-           ((2*(sum(l_discount::DECIMAL(18,6))*1000000)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0 AS avg_disc,
+           (sign(sum(l_quantity::DECIMAL(18,6)))::HUGEINT * ((2*abs((sum(l_quantity::DECIMAL(18,6)) * 1000000)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0 AS avg_qty,
+           (sign(sum(l_extendedprice::DECIMAL(18,6)))::HUGEINT * ((2*abs((sum(l_extendedprice::DECIMAL(18,6)) * 1000000)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0 AS avg_price,
+           (sign(sum(l_discount::DECIMAL(18,6)))::HUGEINT * ((2*abs((sum(l_discount::DECIMAL(18,6)) * 1000000)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0 AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -445,11 +445,10 @@ def q_stream_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT bucket, event_type,
            count(*)::BIGINT                            AS n_events,
-           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS sum_value,
-           ((2*sum(micros)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0                   AS avg_value,
-           ((2*min(micros)::HUGEINT + 100) // 200) / 10000.0 AS min_value,
-           ((2*max(micros)::HUGEINT + 100) // 200) / 10000.0 AS max_value
+           (sign(sum(micros))::HUGEINT * ((2*abs(sum(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS sum_value,
+           (sign(sum(micros))::HUGEINT * ((2*abs(sum(micros)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0                   AS avg_value,
+           (sign(min(micros))::HUGEINT * ((2*abs(min(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS min_value,
+           (sign(max(micros))::HUGEINT * ((2*abs(max(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS max_value
     FROM m GROUP BY 1, 2
     """,
 )

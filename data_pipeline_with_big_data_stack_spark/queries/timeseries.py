@@ -45,8 +45,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
            event_type,
            count(*)                 AS n,
-           ((2*(sum(value::DECIMAL(18,6)) * 1000000)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0 AS avg_value,
+           (sign(sum(value::DECIMAL(18,6)))::HUGEINT * ((2*abs((sum(value::DECIMAL(18,6)) * 1000000)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0 AS avg_value,
            round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -165,15 +164,15 @@ def q_events_trailing_24h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT current_files_processed,
            current_storage_mb,
-           ((2*t_m*10000 + 1000000*d) // (2000000*d)) / 10000.0
+           (sign(t_m)::HUGEINT * ((2*abs(t_m)*10000 + 1000000*d) // (2000000*d))) / 10000.0
              AS projected_daily_growth_mb,
-           ((2*7*t_m*10000 + 1000000*d) // (2000000*d)) / 10000.0
+           (sign(t_m)::HUGEINT * ((2*7*abs(t_m)*10000 + 1000000*d) // (2000000*d))) / 10000.0
              AS projected_weekly_growth_mb,
-           ((2*30*t_m*10000 + 1000000*d) // (2000000*d)) / 10000.0
+           (sign(t_m)::HUGEINT * ((2*30*abs(t_m)*10000 + 1000000*d) // (2000000*d))) / 10000.0
              AS projected_monthly_growth_mb,
-           ((2*7*t_m*1000000 + 1024000000*d) // (2048000000*d)) / 1000000.0
+           (sign(t_m)::HUGEINT * ((2*7*abs(t_m)*1000000 + 1024000000*d) // (2048000000*d))) / 1000000.0
              AS projected_weekly_growth_gb,
-           ((2*30*t_m*1000000 + 1024000000*d) // (2048000000*d)) / 1000000.0
+           (sign(t_m)::HUGEINT * ((2*30*abs(t_m)*1000000 + 1024000000*d) // (2048000000*d))) / 1000000.0
              AS projected_monthly_growth_gb
     FROM s
     """,
@@ -391,8 +390,7 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-             ((2*(sum(value::DECIMAL(18,6)) * 1000000)::HUGEINT + 100*count(*))
-                // (200*count(*))) / 10000.0 AS avg_value
+             (sign(sum(value::DECIMAL(18,6)))::HUGEINT * ((2*abs((sum(value::DECIMAL(18,6)) * 1000000)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0 AS avg_value
       FROM events GROUP BY 1, 2),
     bounds AS (
       SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
@@ -664,8 +662,8 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m GROUP BY 1, 2)
     SELECT bucket, event_type,
            n::BIGINT                                AS n_events,
-           ((2*s_micros::HUGEINT + 100) // 200) / 10000.0          AS sum_value,
-           ((2*s_micros::HUGEINT + 100*n) // (200*n)) / 10000.0    AS avg_value
+           (sign(s_micros)::HUGEINT * ((2*abs(s_micros::HUGEINT) + 100) // 200)) / 10000.0          AS sum_value,
+           (sign(s_micros)::HUGEINT * ((2*abs(s_micros::HUGEINT) + 100*n) // (200*n))) / 10000.0    AS avg_value
     FROM r
     """,
 )
@@ -716,11 +714,10 @@ def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
       FROM events)
     SELECT bucket, event_type,
            count(*)::BIGINT                            AS n_events,
-           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS sum_value,
-           ((2*sum(micros)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0                   AS avg_value,
-           ((2*min(micros)::HUGEINT + 100) // 200) / 10000.0 AS min_value,
-           ((2*max(micros)::HUGEINT + 100) // 200) / 10000.0 AS max_value
+           (sign(sum(micros))::HUGEINT * ((2*abs(sum(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS sum_value,
+           (sign(sum(micros))::HUGEINT * ((2*abs(sum(micros)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0                   AS avg_value,
+           (sign(min(micros))::HUGEINT * ((2*abs(min(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS min_value,
+           (sign(max(micros))::HUGEINT * ((2*abs(max(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS max_value
     FROM m GROUP BY 1, 2
     """,
 )
@@ -793,11 +790,10 @@ def q_rollup_served_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
       FROM events)
     SELECT bucket, event_type, user_cohort,
            count(*)::BIGINT                             AS n_events,
-           ((2*sum(micros)::HUGEINT + 100) // 200) / 10000.0 AS sum_value,
-           ((2*sum(micros)::HUGEINT + 100*count(*))
-              // (200*count(*))) / 10000.0                   AS avg_value,
-           ((2*min(micros)::HUGEINT + 100) // 200) / 10000.0 AS min_value,
-           ((2*max(micros)::HUGEINT + 100) // 200) / 10000.0 AS max_value
+           (sign(sum(micros))::HUGEINT * ((2*abs(sum(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS sum_value,
+           (sign(sum(micros))::HUGEINT * ((2*abs(sum(micros)::HUGEINT) + 100*count(*)) // (200*count(*)))) / 10000.0                   AS avg_value,
+           (sign(min(micros))::HUGEINT * ((2*abs(min(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS min_value,
+           (sign(max(micros))::HUGEINT * ((2*abs(max(micros)::HUGEINT) + 100) // 200)) / 10000.0 AS max_value
     FROM m GROUP BY 1, 2, 3
     """,
 )

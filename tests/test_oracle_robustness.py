@@ -512,3 +512,60 @@ def test_vector_oracle_survives_hostile_embeddings(
     opdf = con.sql(ORACLES[name]).df()
     assert len(spdf) == len(opdf) > 0
     assert _canon(spdf) == _canon(opdf), f"{name} drifted on hostile vectors"
+
+
+# --------------------------------------------------------------------------
+# Round 7 (ADVICE r6): the micros-division rounding devices in the
+# events/value oracle family were sign-LESS (DuckDB // truncates toward
+# zero), latent only because fixture values are non-negative. After the
+# sign()*abs() sweep, prove the whole family end-to-end on the hostile
+# events fixture, whose mixed-magnitude values produce NEGATIVE group
+# sums — the exact class q_case_customer_tiers already pins for
+# c_acctbal. (q_range_join_value_bands got the same rewrite but its
+# bands are non-negative by construction, so negatives never reach it.)
+# --------------------------------------------------------------------------
+SIGN_FIXED_EVENTS = [
+    "q_events_hourly_rollup",
+    "q_druid_hourly_dashboard",
+    "q_druid_topn_event_types",
+    "q_events_storage_metrics",
+    "q_rollup_incremental_maintenance",
+    "q_stream_rollup_maintenance",
+]
+
+
+@pytest.fixture(scope="module")
+def negative_sf_dir(hostile_sf_dir, tmp_path_factory):
+    """The hostile events fixture with values flipped predominantly
+    NEGATIVE (9 of 10 rows), so even corpus-wide and per-event-type
+    sums — not just per-group ones — go negative."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{hostile_sf_dir}/events.parquet").to_pandas()
+    flip = tbl.index % 10 != 0
+    tbl.loc[flip, "value"] = -tbl.loc[flip, "value"].abs()
+    d = tmp_path_factory.mktemp("negative_sf")
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(tbl), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", SIGN_FIXED_EVENTS)
+def test_sign_aware_rounding_survives_negative_values(
+    spark, name, negative_sf_dir
+):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{negative_sf_dir}/events.parquet')"
+    )
+    spdf = QUERIES[name](spark, negative_sf_dir).toPandas()
+    opdf = con.sql(ORACLES[name]).df()
+    # the fixture must actually exercise the sign path
+    num = spdf.select_dtypes("number")
+    assert (num < 0).any().any(), f"{name}: no negative outputs to test"
+    assert len(spdf) == len(opdf) > 0
+    assert _canon(spdf) == _canon(opdf), f"{name} drifted on negative sums"
