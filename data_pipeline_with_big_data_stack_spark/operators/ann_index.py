@@ -173,6 +173,17 @@ def build_ivfpq_index(
     (``m, code, c_emb`` — K_PQ × M rows). The build is ONE map-side
     projection per vector under broadcast codebooks: coarse argmin +
     M subspace argmins, zero shuffle before the partitioned write."""
+    # a fresh build supersedes ALL retrain state: discard any staged or
+    # parked retrain residue first, or the next writer's roll-forward
+    # recovery would publish a stale staged retrain OVER this rebuild
+    # (retrain is re-runnable, so dropping a crashed retrain's staging
+    # loses nothing)
+    if "://" not in path or path.startswith("file:"):
+        import shutil
+
+        local = _require_local(path, "build_ivfpq_index")
+        shutil.rmtree(local.rstrip("/") + "__retraining", ignore_errors=True)
+        shutil.rmtree(local.rstrip("/") + "__preretrain", ignore_errors=True)
     coded = _coded_projection(
         vecs, coarse_codebook, pq_codebooks, sub_dim, id_col
     )
@@ -241,16 +252,21 @@ def train_ivfpq_codebooks(
     lloyd loop shuffles only K×dim partial-aggregate rows per round; the
     corpus is only map-scanned."""
     from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
+    from data_pipeline_with_big_data_stack_spark.session import materialize
 
+    # each codebook is materialized (1-row, K×dim values): a build runs
+    # several write actions (codes + two sidecars) and every one would
+    # otherwise re-execute the full O(corpus) lloyd training chain
     v = vecs.select(F.col(id_col).alias("vec_id"), "emb")
     _assigned, coarse_cb = lloyd_kmeans(v, _seed_codebook(v, k_coarse), iters=iters)
+    coarse_cb = materialize(coarse_cb)
     pq_cbs = []
     for m in range(n_sub):
         sub = v.select(
             "vec_id", F.slice("emb", m * sub_dim + 1, sub_dim).alias("emb")
         )
         _a, cbm = lloyd_kmeans(sub, _seed_codebook(sub, k_pq), iters=iters)
-        pq_cbs.append(cbm.withColumnRenamed("cb", f"cb{m}"))
+        pq_cbs.append(materialize(cbm.withColumnRenamed("cb", f"cb{m}")))
     return coarse_cb, pq_cbs
 
 
@@ -443,8 +459,6 @@ def append_to_ivfpq_index(
     remote = "://" in path and not path.startswith("file:")
     if not remote:
         path = _require_local(path, "append_to_ivfpq_index")
-    coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path)
-    coded = _coded_projection(vecs, coarse, pq_codebooks, sub_dim, id_col)
     lease = _index_write_lock(spark, path)
     try:
         if not remote:
@@ -455,6 +469,11 @@ def append_to_ivfpq_index(
             recover_compaction(path)
             _recover_expire(path)
             _recover_retrain(path)
+        # sidecars are read AFTER the lock + recovery: retrain rewrites
+        # them, so a pre-lock read could code this batch against stale
+        # (or crash-mixed) codebooks and poison the index silently
+        coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path)
+        coded = _coded_projection(vecs, coarse, pq_codebooks, sub_dim, id_col)
         coded.write.mode("append").partitionBy("cell_id").parquet(path)
     finally:
         lease.release()

@@ -308,9 +308,27 @@ class _LockLease:
         # liveness every minute, a correctly configured breaker never
         # reclaims a lease that reaches release() at all.
         if self.jvm is not None and self.payload is not None:
+            import time as _time
+
             body = _read_lock_body(self.jvm, self.fs, self.lock)
+            for _ in range(2):  # retry transient read failures briefly
+                if body is not None:
+                    break
+                _time.sleep(0.1)
+                body = _read_lock_body(self.jvm, self.fs, self.lock)
             if body is not None and body != self.payload:
                 return  # someone else's lock now — leave it alone
+            if body is None:
+                # vanished (a breaker removed it) → nothing to delete;
+                # EXISTS but unreadable (transient IO) → back off: with
+                # the heartbeat stopped, the age breaker reclaims it —
+                # deleting a possibly-foreign lock is the worse failure
+                try:
+                    if self.fs.exists(self.lock):
+                        return
+                except Exception:  # noqa: BLE001 - IO still failing
+                    return
+                return
         try:
             self.fs.delete(self.lock, False)
         except Exception:  # noqa: BLE001 - already removed by a breaker

@@ -1234,7 +1234,7 @@ def _nb_feature_buckets(docs: DataFrame, with_pos: bool) -> DataFrame:
     w = docs.select(
         *cols, F.split("text", " ").alias("words")
     ).filter(F.size("words") >= 2)
-    keep = [c for c in ("doc_id", "pos") if with_pos or c == "doc_id"]
+    keep = ["doc_id", "pos"] if with_pos else ["doc_id"]
     return w.select(
         *keep,
         F.explode(

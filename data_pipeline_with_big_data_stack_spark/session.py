@@ -61,6 +61,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # reliable checkpoints written by session.materialize are
+        # reclaimed when their RDD is GC'd instead of accumulating
+        # forever on the checkpoint filesystem (context-creation-time
+        # conf — cannot be asserted later by prepare_session)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
@@ -95,17 +100,31 @@ def materialize(df):
       local[...] test/bench runs, which is why it is the no-config
       default.
 
-    Either way the returned plan's lineage is cut eagerly. Blocks are
-    freed by the ContextCleaner when the returned DataFrame is GC'd —
-    callers that loop (BPE/CC) drop references each round, bounding
-    live storage at one round's blocks."""
+    Either way the returned plan's lineage is cut eagerly.
+
+    Storage lifecycle: localCheckpoint blocks are freed by the
+    ContextCleaner when the returned DataFrame is GC'd — loops (BPE/CC)
+    drop references each round, bounding live storage at one round's
+    blocks. Reliable checkpoint DIRECTORIES are only auto-deleted when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on —
+    :func:`get_spark` sets it, but it is context-creation-time only, so
+    on an externally built session configure it yourself or prune the
+    checkpoint dir on a schedule. The plan is persisted around a
+    reliable checkpoint so its lineage runs once, not twice (RDD
+    checkpointing recomputes in the checkpoint-write job otherwise)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
         if env_dir:
             sc.setCheckpointDir(env_dir)
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=True)
 
 

@@ -781,3 +781,83 @@ def test_retrain_stale_staging_rolls_back(spark, tmp_path):
     assert ai.expire_vectors(spark, path, ids=[]) == 0
     assert not os.path.exists(path + "__retraining")
     assert _search_res(spark, path, e) == baseline
+
+
+def test_append_after_crashed_retrain_codes_with_healed_sidecars(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review r7 finding: append must read the codebook sidecars
+    AFTER lock + recovery. A retrain crash that left codes + one sidecar
+    new and one old would otherwise let the next append code its batch
+    against crash-mixed codebooks — silent index poisoning."""
+    import os
+
+    import data_pipeline_with_big_data_stack_spark.operators.ann_index as ai
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter(F.col("vec_id") % 2 == 1)
+
+    def build(name):
+        from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_SUB, _pq_train_codebooks
+
+        p = str(tmp_path / name)
+        ai.build_ivfpq_index(old, p, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB)
+        return p
+
+    # twin: clean retrain, then append → the expected end state
+    twin = build("twin")
+    ai.retrain_ivfpq_index(spark, twin, old, k_coarse=4, k_pq=4)
+    ai.append_to_ivfpq_index(spark, twin, batch)
+    expected = _search_res(spark, twin, e)
+
+    # crash path: retrain dies mid-swap (2 of 3 components published)
+    path = build("crash")
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def flaky(src, dst):
+        if "__preretrain" in dst or "__retraining" in src:
+            state["n"] += 1
+            if state["n"] == 5:
+                raise RuntimeError("injected crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ai.retrain_ivfpq_index(spark, path, old, k_coarse=4, k_pq=4)
+    monkeypatch.setattr("os.rename", real_rename)
+
+    # the very next append must heal forward FIRST, then code the batch
+    # with the healed (fully-new) sidecars
+    ai.append_to_ivfpq_index(spark, path, batch)
+    assert _search_res(spark, path, e) == expected
+
+
+def test_fresh_build_discards_stale_retrain_residue(spark, tmp_path):
+    """Code-review r7 finding: a fresh build over a path carrying a
+    crashed retrain's staging + park dirs must discard them — otherwise
+    the next writer's roll-forward recovery would publish the STALE
+    staged retrain over the newer rebuild."""
+    import os
+
+    import data_pipeline_with_big_data_stack_spark.operators.ann_index as ai
+    from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_SUB, _pq_train_codebooks
+
+    e, path = _build_small(spark, tmp_path)
+    # fabricate crashed-retrain residue: marker + park dir present
+    staging = path + "__retraining"
+    os.makedirs(staging + "/index")
+    with open(staging + "/_ALL_STAGED", "w") as fh:
+        fh.write("staged\n")
+    os.makedirs(path + "__preretrain")
+
+    ai.build_ivfpq_index(e, path, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB)
+    assert not os.path.exists(staging)
+    assert not os.path.exists(path + "__preretrain")
+    baseline = _search_res(spark, path, e)
+    # recovery on the next writer entry is now a no-op
+    assert ai.expire_vectors(spark, path, ids=[]) == 0
+    assert _search_res(spark, path, e) == baseline

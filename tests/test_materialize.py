@@ -34,9 +34,9 @@ def reliable_dir(spark, tmp_path, monkeypatch):
         _unset_checkpoint_dir(spark)
 
 
-def test_materialize_local_fallback(spark):
+def test_materialize_local_fallback(spark, monkeypatch):
     assert spark.sparkContext.getCheckpointDir() is None
-    assert "SPARK_GRAFT_CHECKPOINT_DIR" not in os.environ
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
     df = spark.range(100).select((F.col("id") * 2).alias("x"))
     out = materialize(df)
     assert out.agg(F.sum("x")).head()[0] == 9900
