@@ -1206,8 +1206,8 @@ _NB_ORACLE = f"""
     tot AS (SELECT sum(cp) AS np, sum(cn) AS nn,
                    count(*)::DOUBLE AS v FROM vocab),
     prior AS (
-      SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE
-                / sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS lp
+      SELECT ln(nullif(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE, 0)
+                / nullif(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END), 0)) AS lp
       FROM w),
     scored AS (
       SELECT doc_id,
@@ -1288,10 +1288,22 @@ def nb_train_quality_model(docs: DataFrame) -> DataFrame:
     w = docs.select((F.col("lang") == _NB_POS_LANG).alias("pos"), "text").filter(
         F.size(F.split("text", " ")) >= 2
     )
+    # nullif on BOTH prior terms: a single-class seed corpus is a
+    # degenerate training set, and the two engines disagree on the raw
+    # math (ANSI Spark THROWS on x/0 — one hostile corpus would kill
+    # the job — while DuckDB returns ±inf). With the guards, both sides
+    # agree on a NULL prior → NULL scores, the same survive-don't-crash
+    # policy as the zero-norm cosine nullif.
     prior = w.agg(
         F.log(
-            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double")
-            / F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+            F.nullif(
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double"),
+                F.lit(0.0),
+            )
+            / F.nullif(
+                F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("lp")
     )
     log_odds = F.log(

@@ -161,3 +161,28 @@ def test_score_documents_handles_unseen_buckets(spark, tmp_path):
 
     want = round(math.log(1.0 / 1.0) + 4 * math.log((nn_ + v_) / (np_ + v_)), 4)
     assert abs(r.nb_score - want) < 1e-9
+
+
+def test_single_class_corpus_yields_null_scores_not_a_crash(spark, tmp_path_factory):
+    """A seed corpus with only one class is a degenerate training set:
+    ANSI Spark would THROW on the prior's x/0 (killing the job) and
+    DuckDB would emit ±inf — with the nullif guards both engines agree
+    on NULL scores and the pipeline survives."""
+    import duckdb
+
+    from data_pipeline_with_big_data_stack_spark.queries import ORACLES
+
+    rows = [(i, "all english words here", "en") for i in range(30)]
+    d = _write_docs(tmp_path_factory, "nb_oneclass", rows)
+    out = QUERIES["q_quality_classifier_nb"](spark, d).toPandas()
+    assert len(out) == 30
+    assert out["nb_score"].isna().all()
+    assert out["predicted_pos"].isna().all()
+    assert (out["n_feat"] == 3).all()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    opdf = con.sql(ORACLES["q_quality_classifier_nb"]).df()
+    assert len(opdf) == 30 and opdf["nb_score"].isna().all()

@@ -43,6 +43,13 @@ AUDITED = [
     # round 6: index lifecycle with per-cell tombstone expiry — build is
     # linear, expiry must stay O(affected cells), never O(pairs)
     "q_ann_ivfpq_index_expire",
+    # round 7: full reindex (md5-seeded codebook retrain + re-code +
+    # tri-dir swap) — O(corpus) by design, must stay LINEAR in it
+    "q_ann_ivfpq_index_retrain",
+    # round 7: trained NB classifier (train counts + broadcast-model
+    # scoring) — the model is fixed-size, so scoring must scale with
+    # the corpus only
+    "q_quality_classifier_nb",
 ]
 
 
