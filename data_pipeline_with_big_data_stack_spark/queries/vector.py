@@ -1314,3 +1314,114 @@ def q_ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
+
+
+# --------------------------------------------------------------------------
+# Recall MONITOR for the materialized index (round 7): appends code new
+# vectors with build-time codebooks, so recall decays silently on
+# distribution shift — retrain (above) is the repair, and this is the
+# SIGNAL: a deterministic md5-ranked probe sample, exact L2 ground
+# truth over the indexed corpus, the index's own nprobe/ADC answer,
+# and mean |intersection|/k. The whole estimate is deterministic
+# (hash-ranked probes, id tie-breaks on both rankings), so the oracle
+# replays it end to end: probe choice, coarse/PQ trajectories, cell
+# assignment, ADC top-k, exact top-k, and the final average.
+# --------------------------------------------------------------------------
+_RECALL_N_PROBES = 16
+
+
+_IVFPQ_RECALL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    e0 AS (SELECT vec_id, emb[1:{_PQ_SUB}] AS emb FROM e),
+    e1 AS (SELECT vec_id, emb[{_PQ_SUB + 1}:{2 * _PQ_SUB}] AS emb FROM e),
+    c0_0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+             FROM e0 WHERE vec_id % 100 = 0 AND vec_id < {_PQ_K * 100}),
+    c1_0 AS (SELECT (vec_id // 100)::BIGINT AS cell_id, emb
+             FROM e1 WHERE vec_id % 100 = 0 AND vec_id < {_PQ_K * 100}),
+    {_pq_round_sql('e0', 'c0_0', 'a0_1', 'c0_1')},
+    {_pq_round_sql('e0', 'c0_1', 'a0_2', 'c0_2')},
+    {_pq_round_sql('e1', 'c1_0', 'a1_1', 'c1_1')},
+    {_pq_round_sql('e1', 'c1_1', 'a1_2', 'c1_2')},
+    {_pq_final_sql('e0', 'c0_2', 'f0')},
+    {_pq_final_sql('e1', 'c1_2', 'f1')},
+    cents AS (
+      SELECT (vec_id / 100)::BIGINT AS cell_id, embedding::DOUBLE[] AS c_emb
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_K_CELLS * 100}),
+    assigned AS (
+      SELECT t.vec_id, a.cell_id
+      FROM e t
+      CROSS JOIN LATERAL (
+        SELECT cell_id FROM cents
+        ORDER BY list_distance(t.emb, c_emb), cell_id LIMIT 1) a),
+    probes AS (
+      SELECT vec_id AS q_id, emb AS q_emb FROM e
+      ORDER BY md5(vec_id::VARCHAR) LIMIT {_RECALL_N_PROBES}),
+    probe_cells AS (
+      SELECT p.q_id, p.q_emb, c.cell_id,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY list_distance(p.q_emb, c.c_emb), c.cell_id) AS rk
+      FROM probes p CROSS JOIN cents c),
+    adc AS (
+      SELECT p.q_id, a.vec_id,
+             round(list_sum([(p.q_emb[i] - cc0.emb[i])
+                             * (p.q_emb[i] - cc0.emb[i])
+                             for i in range(1, {_PQ_SUB + 1})])
+                 + list_sum([(p.q_emb[i + {_PQ_SUB}] - cc1.emb[i])
+                             * (p.q_emb[i + {_PQ_SUB}] - cc1.emb[i])
+                             for i in range(1, {_PQ_SUB + 1})]), 4) AS adc_dist
+      FROM probe_cells p
+      JOIN assigned a ON p.cell_id = a.cell_id AND a.vec_id != p.q_id
+      JOIN f0 ON f0.vec_id = a.vec_id
+      JOIN f1 ON f1.vec_id = a.vec_id
+      JOIN c0_2 cc0 ON cc0.cell_id = f0.code
+      JOIN c1_2 cc1 ON cc1.cell_id = f1.code
+      WHERE p.rk <= {_NPROBE}),
+    got AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_dist, vec_id) AS rn FROM adc)
+      WHERE rn <= {TOP_K}),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT p.q_id, t.vec_id,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY list_sum([(t.emb[i] - p.q_emb[i])
+                                    * (t.emb[i] - p.q_emb[i])
+                                    for i in range(1, {2 * _PQ_SUB + 1})]),
+                          t.vec_id) AS rn
+        FROM probes p JOIN e t ON t.vec_id != p.q_id)
+      WHERE rn <= {TOP_K}),
+    per_probe AS (
+      SELECT t.q_id,
+             count(g.vec_id)::DOUBLE / {TOP_K} AS recall
+      FROM truth t LEFT JOIN got g
+        ON g.q_id = t.q_id AND g.vec_id = t.vec_id
+      GROUP BY t.q_id)
+    SELECT {_RECALL_N_PROBES}::BIGINT AS n_probes,
+           {TOP_K}::BIGINT            AS k,
+           round(avg(recall), 4)      AS recall_at_k
+    FROM per_probe
+"""
+
+
+@query("q_ann_ivfpq_recall_monitor", oracle=_IVFPQ_RECALL_ORACLE)
+def q_ann_ivfpq_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        estimate_ivfpq_recall,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cb0, cb1 = _pq_train_codebooks(e)
+    coarse = _km_demo_init(e, _K_CELLS)
+    path = tempfile.mkdtemp(prefix="ivfpq_recall_") + "/index"
+    build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+    rec = estimate_ivfpq_recall(
+        spark, path, e, n_probes=_RECALL_N_PROBES, k=TOP_K, nprobe=_NPROBE
+    )
+    return spark.createDataFrame(
+        [(_RECALL_N_PROBES, TOP_K, round(rec, 4))],
+        "n_probes long, k long, recall_at_k double",
+    )
