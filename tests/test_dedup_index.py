@@ -71,3 +71,25 @@ def test_incremental_append_unions_signatures(spark, tmp_path):
         assert inc == full
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_index_incr")
+
+
+def test_stream_dedup_ingest_equals_batch_lowest_partner_rule(spark):
+    """The streaming ingestion dedup (batch-vs-materialized-index, round
+    7) must emit exactly the batch rule's rejections: a doc is a dup iff
+    it Jaccard-verifies against any lower-id doc, with dup_of = the
+    lowest such partner — independent of micro-batch boundaries."""
+    from data_pipeline_with_big_data_stack_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    expected = {}
+    for r in pairs:  # doc_a < doc_b by construction
+        cur = expected.get(r.doc_b)
+        if cur is None or r.doc_a < cur[0]:
+            expected[r.doc_b] = (r.doc_a, r.jaccard)
+    got = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in QUERIES["q_stream_dedup_ingest"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
