@@ -89,6 +89,14 @@ HEADLINE = [
     # — hashed-bigram Naive Bayes, train + score in one fixed-broadcast
     # pipeline
     "q_quality_classifier_nb",
+    # round-7 additions: the reindex half of the IVF-PQ lifecycle
+    # (fresh codebooks over the current corpus, tri-dir atomic swap),
+    # its drift signal (probe-sampled recall estimate vs exact ground
+    # truth), and streaming ingestion dedup against the materialized
+    # signature index
+    "q_ann_ivfpq_index_retrain",
+    "q_ann_ivfpq_recall_monitor",
+    "q_stream_dedup_ingest",
 ]
 
 

@@ -28,10 +28,13 @@ _SALTS = ("s0", "s1", "s2", "s3", "s4", "s5")
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """One row per doc: k=6 salted-md5 minhash signature columns plus the
-    3 band keys (2 rows/band). Single pass, no shuffle."""
-    d = docs.withColumn("words", F.split(F.col(text_col), " ")).withColumn(
-        "sh", F.expr(_SHINGLES_SPARK)
-    )
+    3 band keys (2 rows/band). Single pass, no shuffle. NULL text
+    coalesces to '' BEFORE shingling, exactly like the inline batch
+    family (`queries/textops._shingled`) — without it a NULL document's
+    signatures diverge between the index path and the batch oracles."""
+    d = docs.withColumn(
+        "words", F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).withColumn("sh", F.expr(_SHINGLES_SPARK))
 
     def mh(salt: str):
         return F.array_min(F.transform("sh", lambda s: F.md5(F.concat(F.lit(salt), s))))
@@ -68,17 +71,29 @@ def build_minhash_index(
     )
 
 
-def candidate_pairs(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs(
+    index: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """LSH candidate pairs from a signature index: explode the 3 band
     keys, group docs per bucket, emit i<j pairs inside buckets — one
-    shuffle on the band key (zero if the index is bucketed on it)."""
+    shuffle on the band key (zero if the index is bucketed on it).
+    Buckets are capped at the batch family's ``_LSH_MAX_BUCKET`` ceiling
+    (lowest ids win — same rule the inline queries' oracles replay), so
+    a degenerate mega-bucket (boilerplate/empty documents hashing
+    identically) bounds per-task memory instead of materializing an
+    unbounded collect_list."""
+    from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
+    from data_pipeline_with_big_data_stack_spark.queries.textops import _LSH_MAX_BUCKET
+
+    if max_bucket is None:
+        max_bucket = _LSH_MAX_BUCKET
     bands = index.select(
         id_col,
         F.posexplode(F.array("band0", "band1", "band2")).alias("band", "band_key"),
     )
-    buckets = bands.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list(id_col)).alias("docs")
-    )
+    buckets = capped_buckets(
+        bands, ["band", "band_key"], id_col, F.col(id_col), max_bucket
+    ).withColumnRenamed("ids", "docs")
     pairs = buckets.filter(F.size("docs") >= 2).select(
         F.explode(
             F.expr(
@@ -103,9 +118,9 @@ def verify_jaccard(
     """Exact trigram-set Jaccard on candidate pairs only (two hash joins
     on doc id; the expensive set math runs on candidates, not the
     corpus)."""
-    sh = docs.withColumn("words", F.split(F.col(text_col), " ")).select(
-        F.col(id_col), F.expr(_SHINGLES_SPARK).alias("sh")
-    )
+    sh = docs.withColumn(
+        "words", F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).select(F.col(id_col), F.expr(_SHINGLES_SPARK).alias("sh"))
     x = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1362,6 +1362,84 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_score_documents(nb_train_quality_model(d), d)
 
 
+# the PR-curve oracle reuses the NB oracle's CTE chain up to `scored`
+_NB_ORACLE_BODY = _NB_ORACLE.split("SELECT doc_id, n_feat")[0].strip()
+assert _NB_ORACLE_BODY.startswith("WITH ") and _NB_ORACLE_BODY.endswith(")")
+_NB_ORACLE_BODY = _NB_ORACLE_BODY[len("WITH "):] + ","
+
+
+# --------------------------------------------------------------------------
+# Classifier EVALUATION: the precision/recall sweep every curation
+# pipeline runs before picking the keep threshold (CCNet publishes
+# exactly this curve for its quality classifier). Scores come from the
+# SAME frozen model as the gate query (deterministic 4-dp sum-of-logs),
+# labels from the metadata bootstrap (lang == 'en'), thresholds from a
+# fixed grid broadcast over the scored corpus: one corpus-scale pass,
+# one (threshold)-keyed combiner-friendly aggregation. Ratios use the
+# exact integer count device (round4_ratio / HUGEINT replay) — and the
+# 0-predictions edge nullifs to an agreed NULL precision.
+# --------------------------------------------------------------------------
+_PR_THRESHOLDS = (-20, -10, -5, -2, 0, 2, 5, 10, 20)
+
+
+@query(
+    "q_quality_classifier_pr",
+    oracle=f"""
+    WITH {_NB_ORACLE_BODY}
+    labels AS (
+      SELECT doc_id, lang = '{_NB_POS_LANG}' AS is_pos FROM documents),
+    t(threshold) AS (VALUES {", ".join(f"({t})" for t in _PR_THRESHOLDS)}),
+    j AS (
+      SELECT t.threshold, s.nb_score > t.threshold AS pred, l.is_pos
+      FROM scored s JOIN labels l USING (doc_id) CROSS JOIN t),
+    agg AS (
+      SELECT threshold,
+             sum(CASE WHEN pred THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos,
+             sum(CASE WHEN pred AND is_pos THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS n_pos
+      FROM j GROUP BY threshold)
+    SELECT threshold::BIGINT AS threshold, n_pred_pos, tp,
+           ((20000*tp::HUGEINT + nullif(n_pred_pos, 0))
+              // (2*nullif(n_pred_pos, 0))) / 10000.0 AS precision_at_t,
+           ((20000*tp::HUGEINT + nullif(n_pos, 0))
+              // (2*nullif(n_pos, 0))) / 10000.0      AS recall_at_t
+    FROM agg
+    """,
+)
+def q_quality_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir, rebalance=True)
+    scored = nb_score_documents(nb_train_quality_model(d), d)
+    labels = d.select("doc_id", (F.col("lang") == _NB_POS_LANG).alias("is_pos"))
+    t = spark.createDataFrame(
+        [(int(x),) for x in _PR_THRESHOLDS], "threshold long"
+    )
+    j = (
+        scored.join(labels, "doc_id")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "threshold",
+            (F.col("nb_score") > F.col("threshold")).alias("pred"),
+            "is_pos",
+        )
+    )
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.when(F.col("pred"), 1).otherwise(0)).cast("long").alias("n_pred_pos"),
+        F.sum(F.when(F.col("pred") & F.col("is_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+    )
+    return agg.select(
+        "threshold",
+        "n_pred_pos",
+        "tp",
+        _r4(F.col("tp"), F.nullif(F.col("n_pred_pos"), F.lit(0))).alias(
+            "precision_at_t"
+        ),
+        _r4(F.col("tp"), F.nullif(F.col("n_pos"), F.lit(0))).alias("recall_at_t"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Duplicate-cluster-aware train/val/test split (round 6): hashing each
 # doc_id independently (q_doc_hash_split) lets NEAR-duplicates straddle

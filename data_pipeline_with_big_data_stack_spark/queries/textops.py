@@ -668,3 +668,56 @@ def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.round(F.col("n_bpe_tokens") / n_ws, 4).alias("tokens_per_word"),
     )
+
+
+# --------------------------------------------------------------------------
+# The MATERIALIZED half of fuzzy dedup (round 7): build the signature
+# index ONCE as a band0-bucketed metastore table
+# (operators/dedup_index.build_minhash_index — at 100 TB signature
+# computation is the dominant linear cost and must not re-run per
+# query), then generate candidates from the INDEX and verify exact
+# Jaccard on candidates only. Signatures, caps, and the verify rule are
+# byte-identical to the inline batch pipeline, so this query shares
+# q_dedup_ngram_jaccard's oracle — the driver value-checks the whole
+# build → bucketed-scan → pair → verify path, like
+# q_ann_ivfpq_index_search does for the vector index. The verified
+# pairs are written to a temp parquet before the managed table is
+# dropped (the lazy plan must not outlive its table).
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_index_pipeline",
+    oracle=f"""
+    WITH {_LSH_DUCK},
+    sh AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words FROM documents))
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    """,
+)
+def q_dedup_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
+        build_minhash_index,
+        candidate_pairs,
+        verify_jaccard,
+    )
+
+    d = _docs(spark, sf_dir, rebalance=True)
+    tbl = f"dedup_idx_{uuid.uuid4().hex[:12]}"
+    out = tempfile.mkdtemp(prefix="dedup_index_") + "/pairs"
+    build_minhash_index(d, tbl)
+    try:
+        ver = verify_jaccard(candidate_pairs(spark.table(tbl)), d, threshold=0.8)
+        ver.write.mode("overwrite").parquet(out)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return spark.read.parquet(out)

@@ -34,6 +34,9 @@ ALLOW_NONNEG = {
     # decoder-emitted dimensions: width/height are nibble-derived
     # (64 + nib*8 >= 64), pixbytes/hist bins are products of those
     "q_media_metadata_profile",
+    # precision/recall ratios: tp / n_pred_pos / n_pos are CASE-counted
+    # row tallies
+    "q_quality_classifier_pr",
 }
 
 # A half-offset rounding device: a doubled (or 10^4-scaled) numerator
