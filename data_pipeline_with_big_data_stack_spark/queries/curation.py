@@ -1388,7 +1388,7 @@ _PR_THRESHOLDS = (-20, -10, -5, -2, 0, 2, 5, 10, 20)
     WITH {_NB_ORACLE_BODY}
     labels AS (
       SELECT doc_id, lang = '{_NB_POS_LANG}' AS is_pos FROM documents),
-    t(threshold) AS (VALUES {", ".join(f"({t})" for t in _PR_THRESHOLDS)}),
+    t AS (SELECT unnest([{", ".join(str(t) for t in _PR_THRESHOLDS)}]) AS threshold),
     j AS (
       SELECT t.threshold, s.nb_score > t.threshold AS pred, l.is_pos
       FROM scored s JOIN labels l USING (doc_id) CROSS JOIN t),

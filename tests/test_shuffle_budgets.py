@@ -59,6 +59,10 @@ BUDGETS = {
     # prior (1 row) + vocab totals (≤8192 checkpointed rows) + the
     # per-doc score groupBy. No Window.partitionBy() anywhere.
     "q_quality_classifier_nb": 3,
+    # round 7: PR sweep over the frozen model — consts agg + per-doc
+    # score groupBy + per-threshold groupBy (model lineage is cut by
+    # materialize)
+    "q_quality_classifier_pr": 3,
 }
 
 
