@@ -50,6 +50,11 @@ AUDITED = [
     # scoring) — the model is fixed-size, so scoring must scale with
     # the corpus only
     "q_quality_classifier_nb",
+    # round 7: streaming ingestion dedup — per batch it joins batch
+    # bands against the accumulated index and verifies candidates;
+    # a bucket-cap regression here is exactly the pair-explosion class
+    # this audit exists for
+    "q_stream_dedup_ingest",
 ]
 
 
