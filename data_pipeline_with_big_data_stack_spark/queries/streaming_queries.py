@@ -672,7 +672,20 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        texts = s.read.parquet(store).unionByName(batch)
+        # verify is O(candidates), not O(store): semi-join the doc store
+        # to the candidate ids BEFORE shingling — re-shingling the whole
+        # accumulated corpus per batch would grow each batch's cost with
+        # total ingested size instead of batch size
+        need = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        texts = (
+            s.read.parquet(store)
+            .unionByName(batch)
+            .join(need, "doc_id", "left_semi")
+        )
         sh = _shingles(texts)
         x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
