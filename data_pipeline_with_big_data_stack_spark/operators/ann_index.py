@@ -886,10 +886,13 @@ def estimate_ivfpq_recall(
         .groupBy("q_id")
         .agg(F.collect_set(id_col).alias("got_ids"))
     )
+    # denominator is k (matching the oracle and the standard recall@k
+    # definition), not |true_ids| — on a corpus smaller than k+1 the
+    # estimate tops out below 1.0 rather than inflating
     per_probe = truth.join(got, "q_id", "left").select(
         (
             F.size(F.array_intersect("true_ids", F.coalesce("got_ids", F.array())))
-            / F.size("true_ids")
+            / F.lit(float(k))
         ).alias("recall")
     )
     row = per_probe.agg(F.avg("recall")).head()

@@ -91,10 +91,11 @@ def candidate_pairs(
         id_col,
         F.posexplode(F.array("band0", "band1", "band2")).alias("band", "band_key"),
     )
+    # capped_buckets already drops <2-member buckets
     buckets = capped_buckets(
         bands, ["band", "band_key"], id_col, F.col(id_col), max_bucket
     ).withColumnRenamed("ids", "docs")
-    pairs = buckets.filter(F.size("docs") >= 2).select(
+    pairs = buckets.select(
         F.explode(
             F.expr(
                 """
@@ -117,10 +118,23 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact trigram-set Jaccard on candidate pairs only (two hash joins
     on doc id; the expensive set math runs on candidates, not the
-    corpus)."""
-    sh = docs.withColumn(
-        "words", F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    ).select(F.col(id_col), F.expr(_SHINGLES_SPARK).alias("sh"))
+    corpus). ``docs`` is semi-joined to the pair ids BEFORE shingling,
+    so the shingle computation is O(candidate docs) — without the prune
+    both join branches re-shingle the whole corpus. Callers whose
+    ``pairs`` lineage is expensive should materialize it first (the
+    pair list is candidate-scale); this function reads it twice."""
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids, id_col, "left_semi")
+        .withColumn(
+            "words", F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        )
+        .select(F.col(id_col), F.expr(_SHINGLES_SPARK).alias("sh"))
+    )
     x = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -557,24 +557,12 @@ _STREAM_DEDUP_TAU = 0.8
 
 from data_pipeline_with_big_data_stack_spark.queries.textops import (  # noqa: E402
     _LSH_DUCK as _SD_LSH,
-    _SHINGLES_DUCK as _SD_SHINGLES,
+    _VERIFY_DUCK as _SD_VERIFY,
 )
 
 _STREAM_DEDUP_ORACLE = f"""
     WITH {_SD_LSH},
-    sh AS (
-      SELECT doc_id, {_SD_SHINGLES} AS sh
-      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
-            FROM documents)),
-    ver AS (
-      SELECT c.doc_a, c.doc_b,
-             round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
-      FROM cand c
-      JOIN sh x ON x.doc_id = c.doc_a
-      JOIN sh y ON y.doc_id = c.doc_b
-      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8)
+    {_SD_VERIFY}
     SELECT doc_id, dup_of, jaccard FROM (
       SELECT v.doc_b AS doc_id, v.doc_a AS dup_of, v.jaccard,
              row_number() OVER (PARTITION BY v.doc_b ORDER BY v.doc_a) AS rk
@@ -708,9 +696,16 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard",
             )
         )
-        rejected.write.mode("overwrite").parquet(f"{out}/batch_id={eid}")
-        capped.write.mode("append").parquet(bands_idx)
-        batch.write.mode("append").parquet(store)
+        # three actions share the capped subtree (decide, index append,
+        # store append) — persist so the signature pipeline, the rank
+        # window, and the prior-count index scan run ONCE per batch
+        capped.persist()
+        try:
+            rejected.write.mode("overwrite").parquet(f"{out}/batch_id={eid}")
+            capped.write.mode("append").parquet(bands_idx)
+            batch.write.mode("append").parquet(store)
+        finally:
+            capped.unpersist()
 
     st = (
         spark.readStream.schema("doc_id long, text string")

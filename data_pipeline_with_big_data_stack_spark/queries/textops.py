@@ -363,6 +363,27 @@ _LSH_DUCK = f"""
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
 """
 
+# Exact-Jaccard verification of the LSH candidates — THE one definition
+# of the verify rule (threshold, shingle source, rounding), shared by
+# the inline batch query, the materialized-index pipeline, and the
+# streaming ingest-dedup oracle so the three gates can never
+# desynchronize. Appended after _LSH_DUCK in a WITH chain; yields `ver`.
+_VERIFY_DUCK = f"""
+    sh AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+            FROM documents)),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8)
+"""
+
 
 def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (doc, band) with the band's bucket key. Built with a
@@ -428,17 +449,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram_jaccard",
     oracle=f"""
     WITH {_LSH_DUCK},
-    sh AS (
-      SELECT doc_id, {_SHINGLES_DUCK} AS sh
-      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words FROM documents))
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
-    FROM cand c
-    JOIN sh x ON x.doc_id = c.doc_a
-    JOIN sh y ON y.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    {_VERIFY_DUCK}
+    SELECT doc_a, doc_b, jaccard FROM ver
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,17 +700,8 @@ def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_index_pipeline",
     oracle=f"""
     WITH {_LSH_DUCK},
-    sh AS (
-      SELECT doc_id, {_SHINGLES_DUCK} AS sh
-      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words FROM documents))
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
-    FROM cand c
-    JOIN sh x ON x.doc_id = c.doc_a
-    JOIN sh y ON y.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    {_VERIFY_DUCK}
+    SELECT doc_a, doc_b, jaccard FROM ver
     """,
 )
 def q_dedup_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,7 +719,12 @@ def q_dedup_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dedup_index_") + "/pairs"
     build_minhash_index(d, tbl)
     try:
-        ver = verify_jaccard(candidate_pairs(spark.table(tbl)), d, threshold=0.8)
+        # pairs are read twice by verify (id prune + the join) —
+        # candidate-scale, so cut the bucketed-scan lineage once
+        from data_pipeline_with_big_data_stack_spark.session import materialize
+
+        pairs = materialize(candidate_pairs(spark.table(tbl)))
+        ver = verify_jaccard(pairs, d, threshold=0.8)
         ver.write.mode("overwrite").parquet(out)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
