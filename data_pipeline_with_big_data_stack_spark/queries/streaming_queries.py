@@ -581,7 +581,6 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_pipeline_with_big_data_stack_spark.queries.textops import (
         _LSH_MAX_BUCKET,
-        _SHINGLES_SPARK,
         _docs,
     )
 
@@ -627,11 +626,6 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band", "band_key"),
         )
 
-    def _shingles(docs):
-        return docs.withColumn(
-            "words", F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-        ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("sh"))
-
     def process(batch, eid):
         s = batch.sparkSession
         if batch.isEmpty():
@@ -664,28 +658,16 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to the candidate ids BEFORE shingling — re-shingling the whole
         # accumulated corpus per batch would grow each batch's cost with
         # total ingested size instead of batch size
-        need = (
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        # verify via operators/dedup_index.verify_jaccard: joins move
+        # raw text, shingling runs AFTER them on candidate-scale rows
+        # only — per-batch verify compute is O(candidates), never
+        # O(accumulated store)
+        from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
+            verify_jaccard,
         )
-        texts = (
-            s.read.parquet(store)
-            .unionByName(batch)
-            .join(need, "doc_id", "left_semi")
-        )
-        sh = _shingles(texts)
-        x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-        y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
-        jac = inter.cast("double") / union
-        ver = (
-            cand.join(x, "doc_a")
-            .join(y, "doc_b")
-            .filter(jac >= _STREAM_DEDUP_TAU)
-            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        )
+
+        texts = s.read.parquet(store).unionByName(batch)
+        ver = verify_jaccard(cand, texts, threshold=_STREAM_DEDUP_TAU)
         wv = W.partitionBy("doc_b").orderBy("doc_a")
         rejected = (
             ver.withColumn("vrk", F.row_number().over(wv))
@@ -696,15 +678,19 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard",
             )
         )
-        # three actions share the capped subtree (decide, index append,
-        # store append) — persist so the signature pipeline, the rank
-        # window, and the prior-count index scan run ONCE per batch
+        # the batch's actions share the capped-bands and candidate-pair
+        # subtrees (id prune, verify, decide, index append) — persist
+        # both so the signature pipeline, the rank window, the
+        # prior-count index scan, and the bucket join run ONCE per
+        # batch instead of once per consumer
         capped.persist()
+        cand.persist()
         try:
             rejected.write.mode("overwrite").parquet(f"{out}/batch_id={eid}")
             capped.write.mode("append").parquet(bands_idx)
             batch.write.mode("append").parquet(store)
         finally:
+            cand.unpersist()
             capped.unpersist()
 
     st = (
