@@ -426,6 +426,11 @@ TEXT_ORACLED = [
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_fuzzy_decontamination",
+    # round 7: the materialized + streaming dedup paths and the PR
+    # sweep must agree with their oracles on the same hostile corpus
+    "q_dedup_index_pipeline",
+    "q_stream_dedup_ingest",
+    "q_quality_classifier_pr",
 ]
 
 
