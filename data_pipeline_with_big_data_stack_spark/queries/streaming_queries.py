@@ -578,6 +578,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
         minhash_signatures,
+        verify_jaccard,
     )
     from data_pipeline_with_big_data_stack_spark.queries.textops import (
         _LSH_MAX_BUCKET,
@@ -654,18 +655,10 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        # verify is O(candidates), not O(store): semi-join the doc store
-        # to the candidate ids BEFORE shingling — re-shingling the whole
-        # accumulated corpus per batch would grow each batch's cost with
-        # total ingested size instead of batch size
         # verify via operators/dedup_index.verify_jaccard: joins move
         # raw text, shingling runs AFTER them on candidate-scale rows
         # only — per-batch verify compute is O(candidates), never
         # O(accumulated store)
-        from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
-            verify_jaccard,
-        )
-
         texts = s.read.parquet(store).unionByName(batch)
         ver = verify_jaccard(cand, texts, threshold=_STREAM_DEDUP_TAU)
         wv = W.partitionBy("doc_b").orderBy("doc_a")
@@ -678,19 +671,17 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard",
             )
         )
-        # the batch's actions share the capped-bands and candidate-pair
-        # subtrees (id prune, verify, decide, index append) — persist
-        # both so the signature pipeline, the rank window, the
-        # prior-count index scan, and the bucket join run ONCE per
-        # batch instead of once per consumer
+        # two actions share the capped-bands subtree (the decide write
+        # via cand, and the index append) — persist so the signature
+        # pipeline, the rank window, and the prior-count index scan run
+        # ONCE per batch; cand itself has a single consumer now that
+        # verify reads the pair list once
         capped.persist()
-        cand.persist()
         try:
             rejected.write.mode("overwrite").parquet(f"{out}/batch_id={eid}")
             capped.write.mode("append").parquet(bands_idx)
             batch.write.mode("append").parquet(store)
         finally:
-            cand.unpersist()
             capped.unpersist()
 
     st = (

@@ -719,12 +719,7 @@ def q_dedup_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dedup_index_") + "/pairs"
     build_minhash_index(d, tbl)
     try:
-        # pairs are read twice by verify (id prune + the join) —
-        # candidate-scale, so cut the bucketed-scan lineage once
-        from data_pipeline_with_big_data_stack_spark.session import materialize
-
-        pairs = materialize(candidate_pairs(spark.table(tbl)))
-        ver = verify_jaccard(pairs, d, threshold=0.8)
+        ver = verify_jaccard(candidate_pairs(spark.table(tbl)), d, threshold=0.8)
         ver.write.mode("overwrite").parquet(out)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
