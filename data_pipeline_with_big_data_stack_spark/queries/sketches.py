@@ -336,3 +336,60 @@ def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch (round 7): the point-frequency member of the sketch
+# family — MG answers "which items are frequent", CMS answers "how
+# often does THIS item occur" from a FIXED d×w counter table. Hashing
+# is the engine's md5 device (deterministic), so the oracle replays the
+# ENTIRE sketch: per-row buckets, counter sums, and the min-over-rows
+# estimate, giving a full value gate including the overcounts. est >=
+# true always (counters only ever add); error/mergeability contracts
+# pinned in tests/test_sketches.py. Build is one combiner-friendly
+# groupBy with d×w bounded output; the estimate broadcasts the
+# constant-size sketch.
+# --------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+
+
+@query(
+    "q_cms_user_event_counts",
+    oracle=f"""
+    WITH k AS (SELECT user_id::VARCHAR AS item FROM events),
+    cells AS (
+      SELECT t.r AS row,
+             (('0x' || substr(md5('r' || t.r || ':' || item), 1, 8))::BIGINT
+               % {_CMS_WIDTH}) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM k CROSS JOIN range(0, {_CMS_DEPTH}) t(r)
+      GROUP BY 1, 2),
+    probes AS (SELECT item, count(*)::BIGINT AS true_count
+               FROM k GROUP BY item),
+    probed AS (
+      SELECT p.item, p.true_count, t.r AS row,
+             (('0x' || substr(md5('r' || t.r || ':' || p.item), 1, 8))::BIGINT
+               % {_CMS_WIDTH}) AS bucket
+      FROM probes p CROSS JOIN range(0, {_CMS_DEPTH}) t(r))
+    SELECT pr.item,
+           any_value(pr.true_count)        AS true_count,
+           min(coalesce(c.cnt, 0))::BIGINT AS est_count
+    FROM probed pr
+    LEFT JOIN cells c ON c.row = pr.row AND c.bucket = pr.bucket
+    GROUP BY pr.item
+    """,
+)
+def q_cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_big_data_stack_spark.operators.cms import cms_build, cms_estimate
+
+    e = _t(spark, sf_dir, "events")
+    keys = e.select(F.col("user_id").cast("string").alias("item"))
+    sk = cms_build(keys, "item", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    probes = keys.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    est = cms_estimate(
+        sk, probes.select("item"), "item", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return probes.join(est, "item").select("item", "true_count", "est_count")

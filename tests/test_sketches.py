@@ -379,3 +379,63 @@ def test_mg_negative_weights_are_excluded(spark):
            mg_frequent_items(df, "item", k=16, top_n=10, weight_col="w").collect()}
     # only the non-negative rows count; c (negative-only) vanishes
     assert got == {"a": 10, "b": 5}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (round 7): deterministic md5-hashed counters
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bounds_overcount(spark):
+    """The two CMS contracts on data with REAL collisions (width << the
+    key space, zipf-ish skew): est >= true for EVERY key (counters only
+    add), and the average overcount stays within the classic N/width
+    scale (min-over-depth beats the single-row expectation N/w)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.cms import cms_build, cms_estimate
+
+    depth, width = 4, 256
+    n = 200_000
+    # skewed keys: id % (id % 997 + 1) concentrates mass on small keys
+    df = spark.range(n).select(
+        F.concat(
+            F.lit("k"), (F.col("id") % (F.col("id") % 997 + 1)).cast("string")
+        ).alias("item")
+    )
+    sk = cms_build(df, "item", depth=depth, width=width)
+    truth = df.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    est = cms_estimate(sk, truth.select("item"), "item", depth=depth, width=width)
+    rows = truth.join(est, "item").collect()
+    assert len(rows) > 900  # far more keys than buckets → collisions
+    over = [r.est_count - r.t for r in rows]
+    assert min(over) >= 0, "CMS underestimated a key"
+    assert max(over) > 0, "no collisions — the bound was not exercised"
+    assert sum(over) / len(over) <= 2 * n / width, (
+        sum(over) / len(over),
+        n / width,
+    )
+
+
+def test_cms_merge_equals_global_sketch(spark):
+    """Counters are linear: the cell-wise sum of per-partition sketches
+    must equal the sketch of the union — the mergeability contract that
+    makes CMS a per-source/per-batch aggregator."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.cms import cms_build, cms_merge
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 3).alias("part"),
+        F.concat(F.lit("u"), (F.col("id") % 1234).cast("string")).alias("item"),
+    )
+    merged = cms_merge(
+        *[
+            cms_build(df.filter(F.col("part") == p), "item", depth=3, width=128)
+            for p in range(3)
+        ]
+    )
+    whole = cms_build(df, "item", depth=3, width=128)
+    a = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in whole.collect()}
+    assert a == b
