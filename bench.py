@@ -224,6 +224,41 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
             ).save()
             best = min(best, time.perf_counter() - t0)
         out["nb_serve_sec"] = round(best, 3)
+
+        # --- streaming dedup ingest: accumulate 3 of 4 id-ordered
+        # chunks into the signature index/doc store (untimed), then time
+        # ONE incremental micro-batch against the pre-built state — the
+        # 100×-relevant per-batch ingest cost, not the build-everything
+        # gate number. Re-timing replays the SAME epoch id: the sinks
+        # are per-epoch overwrite partitions, so each run is an
+        # idempotent replay of an identical batch. ---
+        from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+            dedup_ingest_batch,
+            init_dedup_ingest_store,
+        )
+        from data_pipeline_with_big_data_stack_spark.queries.textops import (
+            _LSH_MAX_BUCKET,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()
+        span = max(1, hi - lo + 1)
+        chunks = [
+            docs.filter(
+                (F.col("doc_id") >= lo + span * i // 4)
+                & (F.col("doc_id") < lo + span * (i + 1) // 4)
+            )
+            for i in range(4)
+        ]
+        dstore = init_dedup_ingest_store(spark, base + "/dedup")
+        for i in range(3):
+            dedup_ingest_batch(chunks[i], i, dstore, max_bucket=_LSH_MAX_BUCKET)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dedup_ingest_batch(chunks[3], 3, dstore, max_bucket=_LSH_MAX_BUCKET)
+            best = min(best, time.perf_counter() - t0)
+        out["dedup_ingest_batch_sec"] = round(best, 3)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

@@ -173,37 +173,48 @@ def build_ivfpq_index(
     (``m, code, c_emb`` — K_PQ × M rows). The build is ONE map-side
     projection per vector under broadcast codebooks: coarse argmin +
     M subspace argmins, zero shuffle before the partitioned write."""
-    # a fresh build supersedes ALL retrain state: discard any staged or
-    # parked retrain residue first, or the next writer's roll-forward
-    # recovery would publish a stale staged retrain OVER this rebuild
-    # (retrain is re-runnable, so dropping a crashed retrain's staging
-    # loses nothing)
-    if "://" not in path or path.startswith("file:"):
-        import shutil
+    # the build joins the locked lifecycle writers (ADVICE r7): the
+    # residue purge below deletes retrain staging/park state, and doing
+    # that against a LIVE locked retrain on the same path would destroy
+    # its swap mid-protocol — so the whole build runs under the same
+    # single-writer lock as append/compact/expire/retrain
+    lease = _index_write_lock(vecs.sparkSession, path)
+    try:
+        # a fresh build supersedes ALL retrain state: discard any staged
+        # or parked retrain residue first, or the next writer's
+        # roll-forward recovery would publish a stale staged retrain
+        # OVER this rebuild (retrain is re-runnable, so dropping a
+        # crashed retrain's staging loses nothing)
+        if "://" not in path or path.startswith("file:"):
+            import shutil
 
-        local = _require_local(path, "build_ivfpq_index")
-        shutil.rmtree(local.rstrip("/") + "__retraining", ignore_errors=True)
-        shutil.rmtree(local.rstrip("/") + "__preretrain", ignore_errors=True)
-    coded = _coded_projection(
-        vecs, coarse_codebook, pq_codebooks, sub_dim, id_col
-    )
-    coded.write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    coarse = coarse_codebook.select(F.col(coarse_codebook.columns[0]).alias("__cb"))
-    coarse.select(F.explode("__cb").alias("c")).select(
-        F.col("c.cell_id").alias("cell_id"), F.col("c.c_emb").alias("c_emb")
-    ).write.mode("overwrite").parquet(path + "_codebook")
-    pq_rows = None
-    for m, cbm in enumerate(pq_codebooks):
-        rows = (
-            cbm.select(F.explode(F.col(cbm.columns[0])).alias("c"))
-            .select(
-                F.lit(m).alias("m"),
-                F.col("c.cell_id").alias("code"),
-                F.col("c.c_emb").alias("c_emb"),
-            )
+            local = _require_local(path, "build_ivfpq_index")
+            shutil.rmtree(local.rstrip("/") + "__retraining", ignore_errors=True)
+            shutil.rmtree(local.rstrip("/") + "__preretrain", ignore_errors=True)
+        coded = _coded_projection(
+            vecs, coarse_codebook, pq_codebooks, sub_dim, id_col
         )
-        pq_rows = rows if pq_rows is None else pq_rows.unionByName(rows)
-    pq_rows.write.mode("overwrite").parquet(path + "_pq_codebook")
+        coded.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+        coarse = coarse_codebook.select(
+            F.col(coarse_codebook.columns[0]).alias("__cb")
+        )
+        coarse.select(F.explode("__cb").alias("c")).select(
+            F.col("c.cell_id").alias("cell_id"), F.col("c.c_emb").alias("c_emb")
+        ).write.mode("overwrite").parquet(path + "_codebook")
+        pq_rows = None
+        for m, cbm in enumerate(pq_codebooks):
+            rows = (
+                cbm.select(F.explode(F.col(cbm.columns[0])).alias("c"))
+                .select(
+                    F.lit(m).alias("m"),
+                    F.col("c.cell_id").alias("code"),
+                    F.col("c.c_emb").alias("c_emb"),
+                )
+            )
+            pq_rows = rows if pq_rows is None else pq_rows.unionByName(rows)
+        pq_rows.write.mode("overwrite").parquet(path + "_pq_codebook")
+    finally:
+        lease.release()
 
 
 def _seed_codebook(vecs: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
@@ -304,8 +315,27 @@ def _recover_retrain(path: str) -> bool:
         if os.path.exists(marker):
             for live, name in _retrain_components(path):
                 staged = os.path.join(staging, name)
+                parked = os.path.join(park, name)
                 if not os.path.exists(live):
-                    os.rename(staged, live)
+                    if os.path.exists(staged):
+                        os.rename(staged, live)
+                    elif os.path.exists(parked):
+                        # staged dir gone despite the _ALL_STAGED
+                        # invariant (external cleanup/tampering): fall
+                        # back to the parked pre-retrain copy so the
+                        # index stays serveable instead of failing
+                        # every writer entry with a bare rename error
+                        os.rename(parked, live)
+                    else:
+                        raise RuntimeError(
+                            "retrain recovery: index component "
+                            f"{live!r} is missing and neither its "
+                            f"staged copy ({staged!r}) nor its parked "
+                            f"pre-retrain copy ({parked!r}) exists — "
+                            "the protocol dirs were externally "
+                            "modified; rebuild the index with "
+                            "build_ivfpq_index"
+                        )
                     changed = True
                 elif os.path.exists(staged):
                     os.rename(live, os.path.join(park, name))

@@ -69,16 +69,32 @@ def cms_build(
         ).alias("row", "bucket"),
         w.alias("__w"),
     )
-    return cells.groupBy("row", "bucket").agg(F.sum("__w").alias("cnt"))
+    # geometry rides with the sketch (constant literal columns) so
+    # merge/estimate can verify it instead of trusting call-site
+    # constants — a silent depth/width mismatch returns wrong (not
+    # merely over-) estimates
+    return (
+        cells.groupBy("row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+        .withColumn("d", F.lit(int(depth)))
+        .withColumn("w", F.lit(int(width)))
+    )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Sum counters cell-wise — sketch(A) + sketch(B) == sketch(A ∪ B)
-    exactly (counters are linear)."""
+    exactly (counters are linear). Grouping keeps the (d, w) geometry
+    columns: merging sketches of differing geometry produces mixed
+    (d, w) groups, which :func:`cms_estimate`'s in-plan guard rejects
+    instead of silently summing incompatible counter tables."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy("row", "bucket", "d", "w").agg(
+        F.sum("cnt").alias("cnt")
+    )
 
 
 def cms_estimate(
@@ -91,7 +107,13 @@ def cms_estimate(
     """``probes[key_col]`` → ``(key_col, est_count)`` with
     ``est = min over rows of the probed cell`` (absent cell = 0). The
     sketch rides along as a broadcast (d×w rows, constant at any
-    scale); probes are never shuffled."""
+    scale); probes are never shuffled.
+
+    Geometry guard: the sketch carries its build-time (d, w) as
+    constant columns; any matched cell whose geometry differs from the
+    ``depth``/``width`` this call probes with raises in-plan
+    (``raise_error`` inside the min aggregate, so it cannot be pruned
+    away) instead of silently returning wrong estimates."""
     key = F.col(key_col).cast("string")
     probed = probes.select(
         key_col,
@@ -99,8 +121,25 @@ def cms_estimate(
             F.array(*[_bucket(key, i, width) for i in range(depth)])
         ).alias("row", "bucket"),
     )
+    joined = probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    bad = F.col("cnt").isNotNull() & (
+        (F.col("d") != F.lit(int(depth))) | (F.col("w") != F.lit(int(width)))
+    )
+    cell = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"cms_estimate: probed with depth={depth} width={width} "
+                    "but sketch was built with d="
+                ),
+                F.col("d").cast("string"),
+                F.lit(" w="),
+                F.col("w").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.coalesce("cnt", F.lit(0)))
     return (
-        probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
-        .groupBy(key_col)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
+        joined.groupBy(key_col)
+        .agg(F.min(cell).cast("long").alias("est_count"))
     )

@@ -7,10 +7,11 @@ reference has no media path (its closest analogue is the opaque NetCDF
 binary ingest, ``goes_satellite_etl.py:133-388``) — this module is part
 of the engine's extended training-data surface.
 
-Container note: no image/audio libs are installed here. Real PNG decodes
-natively via the pure-Python decoder in ``operators/png.py`` (stdlib
-zlib); other real media magics (JPEG/GIF/RIFF) raise
-``NotImplementedError`` unless PIL is importable; synthetic media
+Container note: no image/audio libs are installed here; all real media
+magics decode natively via the pure-Python decoders in this package —
+PNG (``operators/png.py``, stdlib zlib), JPEG baseline+progressive
+(``operators/jpeg.py``), GIF (``operators/gif.py``), and RIFF/WAV
+(``operators/wav.py``) — no library gates remain; synthetic media
 (deterministic bytes derived from ``md5`` of a seed column —
 reproducible in any engine) flow through a deterministic byte-level
 feature extractor. Everything Spark-side — schema, batch shape,

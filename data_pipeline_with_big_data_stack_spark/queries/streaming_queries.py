@@ -531,26 +531,32 @@ def q_stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Streaming ingestion dedup against the MATERIALIZED signature index
-# (round 7): the production shape of fuzzy dedup at 100 TB is not a
-# full-corpus re-dedup per run — crawl shards arrive continuously, each
-# batch is checked against the accumulated index, and only the index
-# grows. Per micro-batch: minhash signatures (operators/dedup_index —
-# the same salted-md5 pipeline the batch queries replay in SQL), band
-# buckets capped at the SAME 256-id ceiling as the batch LSH family
-# (ranks are assigned at insertion: prior bucket count + within-batch
-# rank — ids only grow, so a doc's capped-band membership never
-# changes), candidate pairs = batch bands × (index ∪ batch) bands,
-# exact trigram Jaccard >= 0.8 verified against the accumulated doc
-# store, and a doc is REJECTED iff it verifies against any lower-id
-# doc (dup_of = the lowest such partner). Ingest ids are monotone
-# (files streamed in id order — the crawl-shard contract), so every
-# decision depends only on already-arrived docs and the drained result
-# is batch-boundary independent: the oracle replays the WHOLE corpus
-# through the batch LSH + verify machinery and keeps each doc's
-# lowest-id verified partner. Decisions land in per-epoch overwrite
-# partitions (retry republishes, never double-appends); the per-batch
-# prior-rank aggregate scans the skinny bands index (production keeps
-# a per-bucket count sidecar — noted, not needed at gate scale).
+# (round 7; exactly-once + count-sidecar rework round 8): the
+# production shape of fuzzy dedup at 100 TB is not a full-corpus
+# re-dedup per run — crawl shards arrive continuously, each batch is
+# checked against the accumulated index, and only the index grows.
+# The per-batch machinery lives in operators/dedup_ingest:
+#   - minhash signatures (operators/dedup_index — the same salted-md5
+#     pipeline the batch queries replay in SQL), band buckets capped at
+#     the SAME 256-id ceiling as the batch LSH family (ranks assigned
+#     at insertion: prior bucket occupancy + within-batch rank — ids
+#     only grow, so a doc's capped-band membership never changes);
+#   - prior bucket occupancy comes from a per-bucket COUNT SIDECAR
+#     (one row per bucket touched per epoch), so per-batch planning
+#     never aggregates the accumulated bands index;
+#   - candidate pairs = batch bands x (index + batch) bands, exact
+#     trigram Jaccard >= 0.8 against the accumulated doc store, REJECT
+#     iff a lower-id doc verifies (dup_of = the lowest such partner).
+# Ingest ids are monotone (files streamed in id order — the crawl-shard
+# contract), so every decision depends only on already-arrived docs and
+# the drained result is batch-boundary independent: the oracle replays
+# the WHOLE corpus through the batch LSH + verify machinery and keeps
+# each doc's lowest-id verified partner. ALL FOUR sinks (decisions,
+# bands index, count sidecar, doc store) are per-epoch batch_id=<eid>
+# overwrite partitions and every prior-state read filters
+# batch_id < eid — a foreachBatch retry republishes identical
+# partitions and never double-appends (crash-injection pinned in
+# tests/test_dedup_index.py).
 # --------------------------------------------------------------------------
 _STREAM_DEDUP_TAU = 0.8
 
@@ -572,13 +578,10 @@ _STREAM_DEDUP_ORACLE = f"""
 
 @query("q_stream_dedup_ingest", oracle=_STREAM_DEDUP_ORACLE)
 def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from pyspark.sql import Window as W
-
-    from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
-        minhash_signatures,
-        verify_jaccard,
+    from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+        init_dedup_ingest_store,
+        run_dedup_ingest_stream,
+        stage_ordered_chunks,
     )
     from data_pipeline_with_big_data_stack_spark.queries.textops import (
         _LSH_MAX_BUCKET,
@@ -587,113 +590,9 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare_session(spark)
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="dedup_ingest_")
-    src = base + "/src"
-    os.makedirs(src)
-    # id-ordered arrival (the crawl-shard contract): 4 chunk files in
-    # doc_id range order, ascending mtimes so the file source streams
-    # them in order
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).head()
-    span = max(1, (hi - lo + 1))
-    for i in range(4):
-        a = lo + span * i // 4
-        b = lo + span * (i + 1) // 4
-        chunk = d.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b))
-        chunk.coalesce(1).write.mode("overwrite").parquet(f"{base}/tmp_{i}")
-        part = [
-            f for f in os.listdir(f"{base}/tmp_{i}") if f.endswith(".parquet")
-        ][0]
-        dst = f"{src}/chunk_{i}.parquet"
-        os.rename(f"{base}/tmp_{i}/{part}", dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-
-    bands_idx = base + "/bands_idx"
-    store = base + "/docstore"
-    out = base + "/decisions"
-    empty_bands = spark.createDataFrame(
-        [], "doc_id long, band int, band_key string, rk long"
+    base, chunks = stage_ordered_chunks(spark, d, n_chunks=4)
+    store = init_dedup_ingest_store(spark, base)
+    run_dedup_ingest_stream(
+        spark, chunks, store, tau=_STREAM_DEDUP_TAU, max_bucket=_LSH_MAX_BUCKET
     )
-    empty_bands.write.mode("overwrite").parquet(bands_idx)
-    d.limit(0).write.mode("overwrite").parquet(store)
-    spark.createDataFrame(
-        [], "doc_id long, dup_of long, jaccard double"
-    ).write.mode("overwrite").parquet(out + "/batch_id=-1")
-
-    def _bands(sig):
-        return sig.select(
-            "doc_id",
-            F.posexplode(
-                F.array("band0", "band1", "band2")
-            ).alias("band", "band_key"),
-        )
-
-    def process(batch, eid):
-        s = batch.sparkSession
-        if batch.isEmpty():
-            return
-        new_bands = _bands(minhash_signatures(batch))
-        w = W.partitionBy("band", "band_key").orderBy("doc_id")
-        new_ranked = new_bands.withColumn("brk", F.row_number().over(w))
-        prior = s.read.parquet(bands_idx)
-        prior_counts = prior.groupBy("band", "band_key").agg(
-            F.max("rk").alias("prior_n")
-        )
-        capped = (
-            new_ranked.join(prior_counts, ["band", "band_key"], "left")
-            .withColumn("rk", F.coalesce("prior_n", F.lit(0)) + F.col("brk"))
-            .filter(F.col("rk") <= _LSH_MAX_BUCKET)
-            .select("doc_id", "band", "band_key", "rk")
-        )
-        all_bands = prior.unionByName(capped)
-        cand = (
-            capped.alias("n")
-            .join(all_bands.alias("p"), ["band", "band_key"])
-            .filter(F.col("p.doc_id") < F.col("n.doc_id"))
-            .select(
-                F.col("p.doc_id").alias("doc_a"),
-                F.col("n.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        # verify via operators/dedup_index.verify_jaccard: joins move
-        # raw text, shingling runs AFTER them on candidate-scale rows
-        # only — per-batch verify compute is O(candidates), never
-        # O(accumulated store)
-        texts = s.read.parquet(store).unionByName(batch)
-        ver = verify_jaccard(cand, texts, threshold=_STREAM_DEDUP_TAU)
-        wv = W.partitionBy("doc_b").orderBy("doc_a")
-        rejected = (
-            ver.withColumn("vrk", F.row_number().over(wv))
-            .filter(F.col("vrk") == 1)
-            .select(
-                F.col("doc_b").alias("doc_id"),
-                F.col("doc_a").alias("dup_of"),
-                "jaccard",
-            )
-        )
-        # two actions share the capped-bands subtree (the decide write
-        # via cand, and the index append) — persist so the signature
-        # pipeline, the rank window, and the prior-count index scan run
-        # ONCE per batch; cand itself has a single consumer now that
-        # verify reads the pair list once
-        capped.persist()
-        try:
-            rejected.write.mode("overwrite").parquet(f"{out}/batch_id={eid}")
-            capped.write.mode("append").parquet(bands_idx)
-            batch.write.mode("append").parquet(store)
-        finally:
-            capped.unpersist()
-
-    st = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        st.writeStream.foreachBatch(process)
-        .option("checkpointLocation", base + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out).drop("batch_id")
+    return spark.read.parquet(store.decisions).drop("batch_id")

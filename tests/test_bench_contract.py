@@ -33,6 +33,7 @@ def _worst_case_payload() -> dict:
         "ivfpq_serve_sec": 9999.999,
         "rollup_serve_sec": 9999.999,
         "nb_serve_sec": 9999.999,
+        "dedup_ingest_batch_sec": 9999.999,
         "queries_count": len(bench.HEADLINE),
         "detail_file": "BENCH_DETAIL.json",
     }

@@ -3,6 +3,8 @@ oracle gate — error bounds are pinned here instead)."""
 
 from __future__ import annotations
 
+import pytest
+
 from data_pipeline_with_big_data_stack_spark.queries.sketches import (
     q_approx_distinct_users,
     q_approx_percentiles_value,
@@ -439,3 +441,27 @@ def test_cms_merge_equals_global_sketch(spark):
     a = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     b = {(r.row, r.bucket): r.cnt for r in whole.collect()}
     assert a == b
+
+
+def test_cms_merge_zero_sketches_raises():
+    from data_pipeline_with_big_data_stack_spark.operators.cms import cms_merge
+
+    with pytest.raises(ValueError, match="at least one"):
+        cms_merge()
+
+
+def test_cms_estimate_geometry_mismatch_raises(spark):
+    """The sketch carries its build geometry; probing with a different
+    depth must raise in-plan (a silent mismatch would return wrong
+    estimates — probed rows beyond the built depth simply miss)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.cms import cms_build, cms_estimate
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("item")
+    )
+    sk = cms_build(df, "item", depth=4, width=128)
+    wrong = cms_estimate(sk, df.select("item").distinct(), "item", depth=8, width=128)
+    with pytest.raises(Exception, match="built with d=4"):
+        wrong.collect()
