@@ -97,6 +97,10 @@ HEADLINE = [
     "q_ann_ivfpq_index_retrain",
     "q_ann_ivfpq_recall_monitor",
     "q_stream_dedup_ingest",
+    # round-8 addition: the reader-safe generation-versioned lifecycle
+    # (build → retrain → search behind an atomic _CURRENT pointer —
+    # maintenance never pauses serving)
+    "q_ann_ivfpq_versioned_lifecycle",
 ]
 
 

@@ -1316,6 +1316,44 @@ def q_ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
 
 
+@query("q_ann_ivfpq_versioned_lifecycle", oracle=_IVFPQ_RETRAIN_ORACLE)
+def q_ann_ivfpq_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-safe generation-versioned lifecycle (round 8): the same
+    stale-build → retrain → search trajectory as
+    ``q_ann_ivfpq_index_retrain``, but through
+    ``operators/ann_index_versioned`` — every maintenance op publishes a
+    whole immutable generation behind an atomic ``_CURRENT`` pointer, so
+    a concurrent search never pauses and never sees a half-swapped
+    index (pinned in tests/test_ann_versioned.py). The retrain
+    generation IS a fresh deterministic build over the live ids, so the
+    full-replay DuckDB oracle is shared with the in-place twin."""
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index_versioned import (
+        build_ivfpq_versioned,
+        retrain_ivfpq_versioned,
+        search_ivfpq_versioned,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cb0 = _km_demo_init(
+        e.select("vec_id", F.slice("emb", 1, _PQ_SUB).alias("emb")), _PQ_K
+    ).withColumnRenamed("cb", "cb0")
+    cb1 = _km_demo_init(
+        e.select("vec_id", F.slice("emb", _PQ_SUB + 1, _PQ_SUB).alias("emb")),
+        _PQ_K,
+    ).withColumnRenamed("cb", "cb1")
+    root = tempfile.mkdtemp(prefix="ivfpq_versioned_") + "/root"
+    build_ivfpq_versioned(
+        e, root, _km_demo_init(e, _K_CELLS), [cb0, cb1], sub_dim=_PQ_SUB
+    )
+    retrain_ivfpq_versioned(spark, root, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return search_ivfpq_versioned(spark, root, probes, nprobe=_NPROBE, k=TOP_K)
+
+
 # --------------------------------------------------------------------------
 # Recall MONITOR for the materialized index (round 7): appends code new
 # vectors with build-time codebooks, so recall decays silently on

@@ -1,0 +1,193 @@
+"""Generation-versioned IVF-PQ index root: readers never pause.
+
+Pins the round-8 reader-safety contract (VERDICT r7 #3): every
+maintenance op publishes a whole new generation behind an atomic
+``_CURRENT`` pointer, a concurrent search loop observes only fully-old
+or fully-new results (never an error or a mixed read), old generations
+GC down to current + one grace predecessor, and each versioned op's
+results equal its single-generation twin's.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_with_big_data_stack_spark.operators import ann_index_versioned as V
+from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+    build_ivfpq_index,
+    search_ivfpq_index,
+)
+from data_pipeline_with_big_data_stack_spark.queries.vector import (
+    _K_CELLS,
+    _PQ_SUB,
+    _emb,
+    _pq_train_codebooks,
+)
+from tests.conftest import SF_SMOKE
+from tests.test_ann_index import _codebook
+
+
+def _vecs(spark):
+    return _emb(spark, SF_SMOKE).select("vec_id", "emb")
+
+
+def _probes(e, n=3):
+    return e.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+
+
+def _res(df):
+    return sorted(
+        (r.q_id, r.vec_id, r.cell_id, r.adc_dist) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    e = _vecs(spark)
+    root = str(tmp_path / "vroot")
+    coarse = _codebook(e, k=_K_CELLS)
+    pq = _pq_train_codebooks(e)
+    gen = V.build_ivfpq_versioned(e, root, coarse, list(pq), sub_dim=_PQ_SUB)
+    return e, root, coarse, pq, gen
+
+
+def test_build_publish_and_search_equals_flat_index(spark, built, tmp_path):
+    e, root, coarse, pq, gen = built
+    assert V.read_current(root) == gen
+    flat = str(tmp_path / "flat")
+    build_ivfpq_index(e, flat, coarse, list(pq), sub_dim=_PQ_SUB)
+    got = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
+    want = _res(search_ivfpq_index(spark, flat, _probes(e), nprobe=2, k=5))
+    assert got == want and len(got) > 0
+
+
+def test_append_clone_shares_files_and_equals_union_build(spark, tmp_path):
+    e = _vecs(spark)
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    coarse = _codebook(e, k=_K_CELLS)
+    pq = _pq_train_codebooks(e)
+    root = str(tmp_path / "vroot")
+    g1 = V.build_ivfpq_versioned(half, root, coarse, list(pq), sub_dim=_PQ_SUB)
+    g2 = V.append_ivfpq_versioned(spark, root, rest)
+    assert g2 > g1 and V.read_current(root) == g2
+    # generations share unchanged code files via hardlinks (nlink > 1)
+    old_files = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(root, g1))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert old_files and all(os.stat(f).st_nlink >= 2 for f in old_files)
+    flat = str(tmp_path / "flat")
+    build_ivfpq_index(e, flat, coarse, list(pq), sub_dim=_PQ_SUB)
+    got = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
+    want = _res(search_ivfpq_index(spark, flat, _probes(e), nprobe=2, k=5))
+    assert got == want
+
+
+def test_expire_versioned_keeps_predecessor_intact(spark, built):
+    e, root, coarse, pq, g1 = built
+    before = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
+    victim = {r[1] for r in before}.pop()
+    g2 = V.expire_ivfpq_versioned(spark, root, ids=[victim])
+    after = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
+    assert victim not in {r[1] for r in after}
+    # the grace predecessor still serves the OLD corpus untouched
+    old = _res(
+        search_ivfpq_index(
+            spark, V._gen_index(root, g1), _probes(e), nprobe=2, k=5
+        )
+    )
+    assert old == before
+
+
+def test_retrain_versioned_equals_flat_retrain(spark, tmp_path):
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import retrain_ivfpq_index
+    from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_K, _km_demo_init
+
+    e = _vecs(spark)
+    cb0 = _km_demo_init(
+        e.select("vec_id", F.slice("emb", 1, _PQ_SUB).alias("emb")), _PQ_K
+    ).withColumnRenamed("cb", "cb0")
+    cb1 = _km_demo_init(
+        e.select("vec_id", F.slice("emb", _PQ_SUB + 1, _PQ_SUB).alias("emb")),
+        _PQ_K,
+    ).withColumnRenamed("cb", "cb1")
+    coarse = _km_demo_init(e, _K_CELLS)
+
+    flat = str(tmp_path / "flat")
+    build_ivfpq_index(e, flat, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+    retrain_ivfpq_index(spark, flat, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
+
+    root = str(tmp_path / "vroot")
+    V.build_ivfpq_versioned(e, root, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+    V.retrain_ivfpq_versioned(spark, root, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
+
+    got = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
+    want = _res(search_ivfpq_index(spark, flat, _probes(e), nprobe=2, k=5))
+    assert got == want and len(got) > 0
+
+
+def test_gc_keeps_current_plus_grace_and_drops_orphans(spark, built):
+    e, root, coarse, pq, g1 = built
+    os.makedirs(os.path.join(root, "gen-999999"))  # crashed unpublished writer
+    g2 = V.append_ivfpq_versioned(
+        spark, root, e.limit(0).select("vec_id", "emb")
+    )
+    gens = V._list_generations(root)
+    assert g2 in gens and g1 in gens  # current + grace predecessor
+    assert "gen-999999" not in gens  # orphan GC'd
+    V.append_ivfpq_versioned(spark, root, e.limit(0).select("vec_id", "emb"))
+    gens = V._list_generations(root)
+    assert len(gens) == 2 and g1 not in gens
+
+
+def test_concurrent_search_during_retrain_never_errors_or_mixes(spark, built):
+    """THE reader-safety pin: a search loop racing a retrain observes
+    only the fully-old or the fully-new result set — never an error,
+    never a mixed read (VERDICT r7 #3's done-criterion)."""
+    e, root, coarse, pq, g1 = built
+    probes = _probes(e)
+    old = _res(V.search_ivfpq_versioned(spark, root, probes, nprobe=2, k=5))
+
+    results, errors, stop = [], [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                results.append(
+                    _res(V.search_ivfpq_versioned(spark, root, probes, nprobe=2, k=5))
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_K
+
+        V.retrain_ivfpq_versioned(spark, root, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
+        # let the reader observe the post-publish world too
+        import time
+
+        deadline = time.time() + 10
+        new = _res(V.search_ivfpq_versioned(spark, root, probes, nprobe=2, k=5))
+        while time.time() < deadline and (not results or results[-1] != new):
+            time.sleep(0.2)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, f"reader errored during retrain: {errors[0]!r}"
+    assert results, "reader never completed a search"
+    allowed = {tuple(map(tuple, old)), tuple(map(tuple, new))}
+    seen = {tuple(map(tuple, r)) for r in results}
+    assert seen <= allowed, "reader observed a mixed/torn result set"
+    assert tuple(map(tuple, new)) in seen, "reader never saw the new generation"
