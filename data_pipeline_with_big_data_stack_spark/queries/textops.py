@@ -628,15 +628,25 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE merge training (operators/bpe.py): learn the first merges of a
 # GPT-style tokenizer from the corpus itself. Iterative driver-
 # coordinated loop (argmax row per round) over a distributed
-# Zipf-bounded word-frequency table — the documented non-SQL-shape
-# exception class (kmeans, connected components). Rows-only in the
-# gate; bit-exact equality with a pure-Python reference implementation
-# is pinned in tests/test_bpe.py.
+# Zipf-bounded word-frequency table. Fully ORACLED since round 8: the
+# trainer is deterministic (count-desc / pair-lex tie-breaks,
+# left-to-right non-overlapping fold), so queries/bpe_oracle.py replays
+# the whole k-round trajectory as chained DuckDB CTEs — the same device
+# as the MMR / k-means oracles — including the batched disjoint-pair
+# greedy selection (a recursive CTE) and the merge fold (islands +
+# parity over adjacent-match runs). Bit-exact equality with a
+# pure-Python reference implementation remains pinned in
+# tests/test_bpe.py.
 # --------------------------------------------------------------------------
 _BPE_N_MERGES = 12
 
+from data_pipeline_with_big_data_stack_spark.queries.bpe_oracle import (  # noqa: E402
+    bpe_tokenize_oracle,
+    bpe_train_oracle,
+)
 
-@query("q_bpe_train_merges", oracle=None)
+
+@query("q_bpe_train_merges", oracle=bpe_train_oracle(_BPE_N_MERGES))
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_big_data_stack_spark.operators.bpe import train_bpe
 
@@ -652,17 +662,21 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "left", "right", "merged", "pair_count")
 
 
-@query("q_doc_tokenize_bpe", oracle=None)
+@query("q_doc_tokenize_bpe", oracle=bpe_tokenize_oracle(_BPE_N_MERGES))
 def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the corpus BPE merges in BATCHED mode (top-N disjoint
     pairs per round — the production-training trick, one Spark round
     instead of one per merge), then tokenize the corpus with them
     (vocabulary-cached constant-depth apply — see
     operators/bpe.apply_bpe) and report per-doc whitespace vs BPE token
-    counts. Deterministic end to end, but the merge table can't ride
-    into a SQL oracle → rows-only; trainer (both modes) and applier are
-    pinned bit-exactly vs the pure-Python reference in
-    tests/test_bpe.py."""
+    counts. Deterministic end to end and fully oracled (round 8): the
+    DuckDB side replays the batched training trajectory and reads the
+    final vocabulary state (sequential apply of the learned merges to
+    the training corpus IS the trainer's final state); trainer (both
+    modes) and applier also stay pinned bit-exactly vs the pure-Python
+    reference in tests/test_bpe.py. ``tokens_per_word`` rounds in
+    integer space (round4 half-offset device) so the 4-dp value is
+    engine-independent."""
     from data_pipeline_with_big_data_stack_spark.operators.bpe import apply_bpe, train_bpe
 
     d = _docs(spark, sf_dir)
@@ -674,11 +688,22 @@ def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(words, _BPE_N_MERGES, merges_per_round=_BPE_N_MERGES)
     out = apply_bpe(d, "text", merges, "doc_id")
     n_ws = F.size(F.split("text", " ")).cast("long")
+    # integer-space 4-dp rounding: round(p/q, 4) on a double diverges
+    # between engines at exact half-boundaries (q = 160 makes p/q a
+    # non-representable .XXXX5); both counts are non-negative so the
+    # sign-less half-offset form is exact here, and `div` keeps the
+    # whole device in BIGINT arithmetic
     return out.select(
         "doc_id",
         n_ws.alias("n_ws_tokens"),
         "n_bpe_tokens",
-        F.round(F.col("n_bpe_tokens") / n_ws, 4).alias("tokens_per_word"),
+        (
+            F.expr(
+                "(2 * n_bpe_tokens * 10000 + size(split(text, ' '))) "
+                "div (2 * size(split(text, ' ')))"
+            )
+            / F.lit(10000.0)
+        ).alias("tokens_per_word"),
     )
 
 

@@ -37,6 +37,9 @@ ALLOW_NONNEG = {
     # precision/recall ratios: tp / n_pred_pos / n_pos are CASE-counted
     # row tallies
     "q_quality_classifier_pr",
+    # BPE tokens_per_word: both numerator (BPE token count) and
+    # denominator (whitespace token count) are list-length tallies
+    "q_doc_tokenize_bpe",
 }
 
 # A half-offset rounding device: a doubled (or 10^4-scaled) numerator
