@@ -212,18 +212,31 @@ def run_dedup_ingest_stream(
             fail_after=fail_after if eid == fail_epoch else None,
         )
 
-    st = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(src)
+    # single-writer lock for the drain: the store compactor
+    # (compact_dedup_ingest_store) swaps sink directories wholesale, so
+    # a drain racing it could write epoch partitions into a dir about
+    # to be renamed away — same lock machinery as the ANN index /
+    # rollup-store writers, stale-holder reclaim included
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _index_write_lock,
     )
-    q = (
-        st.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(store.base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    lease = _index_write_lock(spark, store.base)
+    try:
+        st = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(src)
+        )
+        q = (
+            st.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(store.base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        lease.release()
 
 
 def compact_dedup_ingest_store(
@@ -237,9 +250,24 @@ def compact_dedup_ingest_store(
     heals on the next call). Monotonic epoch ids make this safe: Spark
     never reuses a committed batch id after restart, so every future
     epoch's ``batch_id < eid`` prior-filter still covers the folded
-    partition. Must not run concurrently with the stream (same
-    single-writer contract as the ANN index lifecycle). Returns the new
+    partition. Holds the store's single-writer lock (shared with
+    :func:`run_dedup_ingest_stream`'s drain) so a compaction can never
+    rename a sink out from under a live micro-batch. Returns the new
     per-sink file counts."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _index_write_lock,
+    )
+
+    lease = _index_write_lock(spark, store.base)
+    try:
+        return _compact_sinks(spark, store, target_file_bytes)
+    finally:
+        lease.release()
+
+
+def _compact_sinks(
+    spark: SparkSession, store: DedupIngestStore, target_file_bytes: int
+) -> dict[str, int]:
     from data_pipeline_with_big_data_stack_spark.operators.layout import (
         recover_compaction,
         table_files,

@@ -596,3 +596,35 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, chunks, store, tau=_STREAM_DEDUP_TAU, max_bucket=_LSH_MAX_BUCKET
     )
     return spark.read.parquet(store.decisions).drop("batch_id")
+
+
+@query("q_stream_dedup_ingest_compacted", oracle=_STREAM_DEDUP_ORACLE)
+def q_stream_dedup_ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the ingestion-dedup stream, then run the store compactor
+    (fold every committed epoch of all four sinks into one partition
+    under the single-writer lock — the small-file hygiene a
+    long-running 100 TB ingest needs) and serve the DECISIONS from the
+    compacted store. Shares the full-corpus replay oracle with
+    ``q_stream_dedup_ingest``: compaction must be invisible to every
+    reader, so the driver value-checks the whole drain → compact →
+    serve path."""
+    from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+        compact_dedup_ingest_store,
+        init_dedup_ingest_store,
+        run_dedup_ingest_stream,
+        stage_ordered_chunks,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.textops import (
+        _LSH_MAX_BUCKET,
+        _docs,
+    )
+
+    prepare_session(spark)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base, chunks = stage_ordered_chunks(spark, d, n_chunks=4)
+    store = init_dedup_ingest_store(spark, base)
+    run_dedup_ingest_stream(
+        spark, chunks, store, tau=_STREAM_DEDUP_TAU, max_bucket=_LSH_MAX_BUCKET
+    )
+    compact_dedup_ingest_store(spark, store)
+    return spark.read.parquet(store.decisions).drop("batch_id")
