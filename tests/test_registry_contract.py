@@ -43,12 +43,12 @@ def test_oracle_references_only_fixture_tables(name):
     refs = re.findall(r"(?:from|join)\s+([a-z_][a-z0-9_]*)", sql)
     known = set(TABLE_NAMES)
     # CTE names defined in the oracle itself are fine
+    # `name AS (` with DuckDB's optional [NOT] MATERIALIZED modifier
+    cte_head = r"([a-z_][a-z0-9_]*)\s+as\s*(?:not\s+)?(?:materialized\s*)?\("
     ctes = set(
-        re.findall(
-            r"(?:with(?:\s+recursive)?|,)\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql
-        )
+        re.findall(r"(?:with(?:\s+recursive)?|,)\s*" + cte_head, sql)
     )
-    ctes |= set(re.findall(r"\)\s*,\s*([a-z_][a-z0-9_]*)\s+as\s*\(", sql))
+    ctes |= set(re.findall(r"\)\s*,\s*" + cte_head, sql))
     table_fns = {"lateral", "range", "generate_series", "unnest"}
     for r in refs:
         assert r in known or r in ctes or r in table_fns, (
