@@ -35,7 +35,16 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
     r4 one — the round number in the filename is the recency key;
     plain green-counts alone tie-broke alphabetically and let newer
     greens crowd the stalest rows out of the window), then least-often
-    checked, stable by name within a tier."""
+    checked, stable by name within a tier.
+
+    Queries WITHOUT an oracle sort behind every oracled query once
+    they have a rows-only green: a no-oracle row can never upgrade to
+    hash-green, so re-gating it every few rounds spends a bounded gate
+    slot to re-learn the same rows-only fact while a hash-verifiable
+    query goes stale (r8 verdict: the 4 sketch rows crowded
+    q_ann_lsh_bucketed_topk out of the window for 3 rounds). A BRAND
+    NEW no-oracle query still gates once (never-green tier) for its
+    first rows-only check."""
     import glob
     import json
     import re
@@ -68,6 +77,7 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
         names,
         key=lambda n: (
             min(green.get(n, 0), 1),  # never-green strictly first
+            0 if n in ORACLES else 1,  # rows-only greens rotate last
             last_green.get(n, 0),
             green.get(n, 0),
             seen.get(n, 0),

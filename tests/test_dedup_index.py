@@ -141,7 +141,7 @@ def test_dedup_ingest_crash_retry_equals_single_run(spark):
     docs = _small_docs(spark)
     ref = _snapshot(spark, _drain(spark, docs))
 
-    for fail_after in ("decisions", "bands_idx", "counts"):
+    for fail_after in ("decisions", "bands_idx", "counts", "docstore"):
         base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
         store = DI.init_dedup_ingest_store(spark, base)
         try:

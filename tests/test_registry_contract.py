@@ -44,7 +44,7 @@ def test_oracle_references_only_fixture_tables(name):
     known = set(TABLE_NAMES)
     # CTE names defined in the oracle itself are fine
     # `name AS (` with DuckDB's optional [NOT] MATERIALIZED modifier
-    cte_head = r"([a-z_][a-z0-9_]*)\s+as\s*(?:not\s+)?(?:materialized\s*)?\("
+    cte_head = r"([a-z_][a-z0-9_]*)\s+as\s+(?:(?:not\s+)?materialized\s*)?\("
     ctes = set(
         re.findall(r"(?:with(?:\s+recursive)?|,)\s*" + cte_head, sql)
     )
