@@ -54,6 +54,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators import generations as G
 from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
     _index_write_lock,
     _require_local,
@@ -62,12 +63,17 @@ from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
     train_ivfpq_codebooks,
 )
 
-_POINTER = "_CURRENT"
-_GEN_PREFIX = "gen-"
-
-
-def _gen_name(n: int) -> str:
-    return f"{_GEN_PREFIX}{n:06d}"
+# pointer/GC/clone primitives live in operators/generations (shared with
+# the streaming-dedup store's compactor); the names below are this
+# module's original surface, kept as aliases.
+_POINTER = G.POINTER
+_GEN_PREFIX = G.GEN_PREFIX
+_gen_name = G.gen_name
+_list_generations = G.list_generations
+_publish = G.publish
+_gc = G.gc_generations
+_next_gen = G.next_gen
+_clone_generation = G.clone_generation
 
 
 def _gen_index(root: str, gen: str) -> str:
@@ -78,82 +84,16 @@ def _gen_index(root: str, gen: str) -> str:
     return os.path.join(root, gen, "index")
 
 
-def _list_generations(root: str) -> list[str]:
-    return sorted(
-        d
-        for d in os.listdir(root)
-        if d.startswith(_GEN_PREFIX)
-        and os.path.isdir(os.path.join(root, d))
-    )
-
-
 def read_current(root: str) -> str:
     """Resolve the live generation name. Readers call this ONCE per
     query and then touch only that generation's files."""
-    ptr = os.path.join(root, _POINTER)
-    try:
-        with open(ptr) as fh:
-            gen = fh.read().strip()
-    except FileNotFoundError:
-        raise FileNotFoundError(
-            f"versioned index at {root!r} has no {_POINTER} pointer — "
-            "not initialized (build_ivfpq_versioned) or externally damaged"
-        ) from None
-    if not gen or not os.path.isdir(os.path.join(root, gen)):
-        raise RuntimeError(
-            f"versioned index pointer {ptr!r} names {gen!r} which does "
-            "not exist — externally damaged; rebuild with "
-            "build_ivfpq_versioned"
-        )
-    return gen
+    return G.read_current(root, init_hint="build_ivfpq_versioned")
 
 
 def current_index_path(root: str) -> str:
     """Resolved inner index path of the live generation — hand this to
     any read-only ``ann_index`` helper (search, recall estimate)."""
     return _gen_index(root, read_current(root))
-
-
-def _publish(root: str, gen: str) -> None:
-    """Atomically flip the pointer to ``gen`` (write-temp + rename)."""
-    ptr = os.path.join(root, _POINTER)
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(gen + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, ptr)
-
-
-def _gc(root: str, new: str) -> None:
-    """Drop every generation except ``new`` and its immediate
-    predecessor (the reader grace generation); orphans from crashed
-    unpublished writers go too."""
-    gens = _list_generations(root)
-    older = [g for g in gens if g < new]
-    keep = {new, older[-1]} if older else {new}
-    for g in gens:
-        if g not in keep:
-            shutil.rmtree(os.path.join(root, g), ignore_errors=True)
-
-
-def _next_gen(root: str) -> str:
-    gens = _list_generations(root)
-    n = int(gens[-1][len(_GEN_PREFIX):]) + 1 if gens else 1
-    return _gen_name(n)
-
-
-def _clone_generation(src: str, dst: str) -> None:
-    """Hardlink-copy a generation tree: directories recreated, files
-    linked — O(#files) metadata ops, zero bytes moved. Parquet files
-    are immutable once written, so sharing them between generations is
-    safe; deleting either generation only unlinks its names."""
-    for dirpath, dirnames, filenames in os.walk(src):
-        rel = os.path.relpath(dirpath, src)
-        tgt = os.path.join(dst, rel) if rel != "." else dst
-        os.makedirs(tgt, exist_ok=True)
-        for f in filenames:
-            os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
 
 
 def build_ivfpq_versioned(

@@ -17,20 +17,48 @@ Every micro-batch:
      candidate-scale rows only), and
   5. publishes the batch's rejections, bands, counts, and documents.
 
+**Bucket-pruned prior reads (the 100 TB steady-state contract).** Every
+accumulated sink the per-batch job consults is partitioned by a hash
+bucket of its lookup key — ``bkt = pmod(hash(band, band_key), n_bkt)``
+for the bands index and count sidecar, ``dbkt = pmod(hash(doc_id),
+n_bkt)`` for the doc store — in addition to the epoch. The batch's
+touched bucket set is tiny and bounded (≤ n_bkt values, collected to
+the driver once per batch), so each prior read partition-prunes to the
+touched buckets: per-batch scan cost is O(touched fraction of the
+index), never O(accumulated index). This mirrors the materialized batch
+index's band0-bucketing (`operators/dedup_index.build_minhash_index`).
+``n_bkt`` is a persisted store knob trading prune granularity against
+per-epoch directory/commit overhead (measured ~50 ms per bucket per
+batch on local[32]): the prune wins when the steady-state batch's key
+count is well under n_bkt — the trickle-ingest regime where unbounded
+index creep actually bites — so size n_bkt ≫ typical batch keys in
+production (thousands on a cluster) and small (16) for the local gate
+fixtures whose batches touch every bucket regardless.
+
 Exactly-once under foreachBatch retry: EVERY sink — decisions, bands
 index, counts sidecar, doc store — is a per-epoch ``batch_id=<eid>``
-partition written with ``mode('overwrite')``, and every *read* of prior
-state filters ``batch_id < eid`` (partition-pruned). A crash anywhere in
-:func:`dedup_ingest_batch` replays the epoch against exactly the same
-prior state (its own half-written partition is excluded by the filter
-and then overwritten), so retry ≡ single run for all four stores.
-This is the same per-epoch-partition idempotence device as the rollup
-store's staged publish (`operators/rollup_maintenance`), applied to all
-side stores rather than just the result sink.
+partition written with static ``mode('overwrite')`` (the whole epoch
+directory is replaced, including its bucket subdirectories), and every
+*read* of prior state filters ``batch_id < eid`` (partition-pruned). A
+crash anywhere in :func:`dedup_ingest_batch` replays the epoch against
+exactly the same prior state (its own half-written partition is
+excluded by the filter and then overwritten), so retry ≡ single run
+for all four stores.
+
+**Reader-safe compaction.** The four sinks live inside an immutable
+``gen-NNNNNN/`` directory behind the store root's atomic ``_CURRENT``
+pointer (`operators/generations` — the same protocol as the versioned
+ANN index root). The compactor folds all committed epochs into a NEW
+generation and publishes it with one pointer flip; a concurrent reader
+that already resolved the old pointer keeps a fully intact tree (GC
+retains one grace predecessor), so serving reads never race a swap.
+Writers (drain, compactor) are serialized by the store's single-writer
+lock; readers take no lock at all.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -38,46 +66,145 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from data_pipeline_with_big_data_stack_spark.operators import generations as G
+
 _SINKS = ("decisions", "bands_idx", "counts", "docstore")
+# lookup-key bucket column per sink (None = no pruned lookups)
+_SINK_BKT = {"bands_idx": "bkt", "counts": "bkt", "docstore": "dbkt"}
+_DEFAULT_N_BKT = 16
+_META = "_meta.json"
 
 
 class DedupIngestStore:
-    """Paths + schemas for the four per-epoch-partitioned sinks."""
+    """Generation-versioned store root. Sink paths resolve the live
+    generation through the ``_CURRENT`` pointer at access time —
+    readers see a fully published generation or the grace predecessor,
+    never a half-compacted directory. The streaming checkpoint and the
+    writer lock live at the root, OUTSIDE generations (epoch ids are
+    monotonic across compactions, so a folded store keeps satisfying
+    every future ``batch_id < eid`` prior-read)."""
 
     def __init__(self, base: str):
         self.base = base
-        self.decisions = os.path.join(base, "decisions")
-        self.bands_idx = os.path.join(base, "bands_idx")
-        self.counts = os.path.join(base, "counts")
-        self.docstore = os.path.join(base, "docstore")
+        self._n_bkt: int | None = None
+
+    @property
+    def n_bkt(self) -> int:
+        if self._n_bkt is None:
+            try:
+                with open(os.path.join(self.base, _META)) as fh:
+                    self._n_bkt = int(json.load(fh)["n_bkt"])
+            except FileNotFoundError:
+                self._n_bkt = _DEFAULT_N_BKT
+        return self._n_bkt
+
+    def current_generation(self) -> str:
+        return G.read_current(self.base, init_hint="init_dedup_ingest_store")
+
+    def _sink(self, name: str) -> str:
+        return os.path.join(self.base, self.current_generation(), name)
+
+    @property
+    def decisions(self) -> str:
+        return self._sink("decisions")
+
+    @property
+    def bands_idx(self) -> str:
+        return self._sink("bands_idx")
+
+    @property
+    def counts(self) -> str:
+        return self._sink("counts")
+
+    @property
+    def docstore(self) -> str:
+        return self._sink("docstore")
 
 
-def init_dedup_ingest_store(spark: SparkSession, base: str) -> DedupIngestStore:
-    """Seed each sink with an empty ``batch_id=-1`` partition so root
-    reads discover the partition column before the first epoch lands."""
+_SINK_SCHEMAS = {
+    "decisions": "doc_id long, dup_of long, jaccard double",
+    "bands_idx": "doc_id long, band int, band_key string, rk long",
+    "counts": "band int, band_key string, n long",
+    "docstore": "doc_id long, text string",
+}
+
+
+def _seed_sink(spark: SparkSession, gen_dir: str, sink: str) -> None:
+    """Seed a sink with an empty ``batch_id=-1`` partition (nested under
+    a zero bucket for the bucketed sinks) so root reads discover the
+    partition columns before the first epoch lands."""
+    sub = os.path.join(gen_dir, sink, "batch_id=-1")
+    bkt_col = _SINK_BKT.get(sink)
+    if bkt_col:
+        sub = os.path.join(sub, f"{bkt_col}=0")
+    spark.createDataFrame([], _SINK_SCHEMAS[sink]).write.mode("overwrite").parquet(sub)
+
+
+def init_dedup_ingest_store(
+    spark: SparkSession, base: str, n_bkt: int = _DEFAULT_N_BKT
+) -> DedupIngestStore:
+    """Create generation 1 with seeded sinks and publish it."""
+    os.makedirs(base, exist_ok=True)
+    meta = os.path.join(base, _META)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_bkt": int(n_bkt)}, fh)
+    os.replace(tmp, meta)
+    gen = G.next_gen(base)
+    gen_dir = os.path.join(base, gen)
+    for sink in _SINKS:
+        _seed_sink(spark, gen_dir, sink)
+    G.publish(base, gen)
+    G.gc_generations(base, gen)
     st = DedupIngestStore(base)
-    seeds = {
-        st.decisions: "doc_id long, dup_of long, jaccard double",
-        st.bands_idx: "doc_id long, band int, band_key string, rk long",
-        st.counts: "band int, band_key string, n long",
-        st.docstore: "doc_id long, text string",
-    }
-    for path, schema in seeds.items():
-        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
-            os.path.join(path, "batch_id=-1")
-        )
+    st._n_bkt = int(n_bkt)
     return st
 
 
-def _prior(spark: SparkSession, path: str, eid: int) -> DataFrame:
+def _prior(
+    spark: SparkSession,
+    path: str,
+    eid: int,
+    bkt_col: str | None = None,
+    touched: list[int] | None = None,
+) -> DataFrame:
     """Committed state as of epoch ``eid``: partition-pruned to
     ``batch_id < eid`` so a replayed epoch never sees its own
-    half-written rows, then the partition column dropped."""
-    return (
-        spark.read.parquet(path)
-        .filter(F.col("batch_id") < F.lit(int(eid)))
-        .drop("batch_id")
-    )
+    half-written rows, AND (for the bucketed sinks) to the batch's
+    touched lookup buckets — the scan reads O(touched buckets) of the
+    accumulated state, never all of it. Partition columns dropped."""
+    df = spark.read.parquet(path).filter(F.col("batch_id") < F.lit(int(eid)))
+    drop = ["batch_id"]
+    if bkt_col is not None:
+        df = df.filter(
+            F.col(bkt_col).isin([int(b) for b in touched])
+            if touched
+            else F.lit(False)
+        )
+        drop.append(bkt_col)
+    return df.drop(*drop)
+
+
+def _band_bkt(n_bkt: int):
+    return F.pmod(F.hash("band", "band_key"), F.lit(int(n_bkt))).cast("int")
+
+
+def _doc_bkt(col: str, n_bkt: int):
+    return F.pmod(F.hash(F.col(col)), F.lit(int(n_bkt))).cast("int")
+
+
+def _write_epoch(df: DataFrame, path: str, eid: int, bkt_col: str | None) -> None:
+    """Publish one sink's epoch partition: static overwrite of the whole
+    ``batch_id=<eid>`` directory (idempotent under retry). Bucketed
+    sinks repartition BY the bucket column first so each bucket lands
+    in one task — one file per touched bucket, not tasks × buckets."""
+    w = df
+    if bkt_col is not None:
+        w = w.repartition(F.col(bkt_col))
+    writer = w.write.mode("overwrite").option("partitionOverwriteMode", "static")
+    if bkt_col is not None:
+        writer = writer.partitionBy(bkt_col)
+    writer.parquet(os.path.join(path, f"batch_id={int(eid)}"))
 
 
 def dedup_ingest_batch(
@@ -107,83 +234,113 @@ def dedup_ingest_batch(
     if batch.isEmpty():
         return
     eid = int(eid)
+    n_bkt = store.n_bkt
 
     bands = minhash_signatures(batch).select(
         "doc_id",
         F.posexplode(F.array("band0", "band1", "band2")).alias("band", "band_key"),
     )
     w = W.partitionBy("band", "band_key").orderBy("doc_id")
-    new_ranked = bands.withColumn("brk", F.row_number().over(w))
-    # per-bucket prior occupancy from the SIDECAR (one row per touched
-    # (bucket, epoch)) — the bands index itself is never aggregated here
-    prior_counts = (
-        _prior(s, store.counts, eid)
-        .groupBy("band", "band_key")
-        .agg(F.max("n").alias("prior_n"))
+    new_ranked = (
+        bands.withColumn("bkt", _band_bkt(n_bkt))
+        .withColumn("brk", F.row_number().over(w))
+        .persist()
     )
-    capped = (
-        new_ranked.join(prior_counts, ["band", "band_key"], "left")
-        .withColumn("rk", F.coalesce("prior_n", F.lit(0)) + F.col("brk"))
-        .filter(F.col("rk") <= max_bucket)
-        .select("doc_id", "band", "band_key", "rk")
-    )
-    prior_bands = _prior(s, store.bands_idx, eid)
-    all_bands = prior_bands.unionByName(capped)
-    cand = (
-        capped.alias("n")
-        .join(all_bands.alias("p"), ["band", "band_key"])
-        .filter(F.col("p.doc_id") < F.col("n.doc_id"))
-        .select(
-            F.col("p.doc_id").alias("doc_a"),
-            F.col("n.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    # verify via operators/dedup_index.verify_jaccard: joins move raw
-    # text, shingling runs AFTER them on candidate-scale rows only —
-    # per-batch verify compute is O(candidates), never O(store)
-    texts = _prior(s, store.docstore, eid).unionByName(batch)
-    ver = verify_jaccard(cand, texts, threshold=tau)
-    wv = W.partitionBy("doc_b").orderBy("doc_a")
-    rejected = (
-        ver.withColumn("vrk", F.row_number().over(wv))
-        .filter(F.col("vrk") == 1)
-        .select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("dup_of"),
-            "jaccard",
-        )
-    )
-    # capped feeds three sinks (decisions via cand, the index partition,
-    # the counts partition) — persist so the signature pipeline and the
-    # rank window run once per batch
-    capped.persist()
+    persisted = [new_ranked]
     try:
-        part = f"batch_id={eid}"
-        rejected.write.mode("overwrite").parquet(
-            os.path.join(store.decisions, part)
+        # the batch's touched lookup buckets — BOUNDED (≤ n_bkt ints)
+        # and collected once per batch; every prior-state read below
+        # partition-prunes to this set
+        touched = sorted(
+            r[0] for r in new_ranked.select("bkt").distinct().collect()
         )
+        # per-bucket prior occupancy from the SIDECAR (one row per
+        # touched (bucket, epoch)) — the bands index itself is never
+        # aggregated here, and the sidecar scan prunes to touched bkts
+        prior_counts = (
+            _prior(s, store.counts, eid, "bkt", touched)
+            .groupBy("band", "band_key")
+            .agg(F.max("n").alias("prior_n"))
+        )
+        capped = (
+            new_ranked.join(prior_counts, ["band", "band_key"], "left")
+            .withColumn("rk", F.coalesce("prior_n", F.lit(0)) + F.col("brk"))
+            .filter(F.col("rk") <= max_bucket)
+            .select("doc_id", "band", "band_key", "rk", "bkt")
+            .persist()
+        )
+        persisted.append(capped)
+        # prior bands scan prunes to the batch's buckets: any prior row
+        # that can equi-join a batch row on (band, band_key) has the
+        # same bkt by construction, so pruning loses no candidate
+        prior_bands = _prior(s, store.bands_idx, eid, "bkt", touched)
+        all_bands = prior_bands.unionByName(capped.drop("bkt"))
+        cand = (
+            capped.drop("bkt")
+            .alias("n")
+            .join(all_bands.alias("p"), ["band", "band_key"])
+            .filter(F.col("p.doc_id") < F.col("n.doc_id"))
+            .select(
+                F.col("p.doc_id").alias("doc_a"),
+                F.col("n.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        persisted.append(cand)
+        # candidate partners' doc-store buckets (doc_b is always in the
+        # batch, so only doc_a needs prior text) — again ≤ n_bkt ints
+        partner_bkts = sorted(
+            r[0]
+            for r in cand.select(
+                _doc_bkt("doc_a", n_bkt).alias("dbkt")
+            )
+            .distinct()
+            .collect()
+        )
+        # verify via operators/dedup_index.verify_jaccard: joins move
+        # raw text, shingling runs AFTER them on candidate-scale rows
+        # only — per-batch verify compute is O(candidates), and the
+        # prior doc-store scan prunes to the partners' buckets
+        texts = _prior(s, store.docstore, eid, "dbkt", partner_bkts).unionByName(
+            batch.select("doc_id", "text")
+        )
+        ver = verify_jaccard(cand, texts, threshold=tau)
+        wv = W.partitionBy("doc_b").orderBy("doc_a")
+        rejected = (
+            ver.withColumn("vrk", F.row_number().over(wv))
+            .filter(F.col("vrk") == 1)
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("dup_of"),
+                "jaccard",
+            )
+        )
+        _write_epoch(rejected, store.decisions, eid, None)
         if fail_after == "decisions":
             raise RuntimeError("injected crash after decisions write")
-        capped.write.mode("overwrite").parquet(
-            os.path.join(store.bands_idx, part)
-        )
+        _write_epoch(capped, store.bands_idx, eid, "bkt")
         if fail_after == "bands_idx":
             raise RuntimeError("injected crash after bands_idx write")
         # this epoch's sidecar rows: the new cumulative occupancy of
         # every bucket it touched (rk is already cumulative)
-        capped.groupBy("band", "band_key").agg(F.max("rk").alias("n")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store.counts, part))
+        epoch_counts = (
+            capped.groupBy("band", "band_key", "bkt")
+            .agg(F.max("rk").alias("n"))
+            .select("band", "band_key", "n", "bkt")
+        )
+        _write_epoch(epoch_counts, store.counts, eid, "bkt")
         if fail_after == "counts":
             raise RuntimeError("injected crash after counts write")
-        batch.select("doc_id", "text").write.mode("overwrite").parquet(
-            os.path.join(store.docstore, part)
+        docs_out = batch.select("doc_id", "text").withColumn(
+            "dbkt", _doc_bkt("doc_id", n_bkt)
         )
+        _write_epoch(docs_out, store.docstore, eid, "dbkt")
         if fail_after == "docstore":
             raise RuntimeError("injected crash after docstore write")
     finally:
-        capped.unpersist()
+        for df in persisted:
+            df.unpersist()
 
 
 def run_dedup_ingest_stream(
@@ -213,10 +370,10 @@ def run_dedup_ingest_stream(
         )
 
     # single-writer lock for the drain: the store compactor
-    # (compact_dedup_ingest_store) swaps sink directories wholesale, so
-    # a drain racing it could write epoch partitions into a dir about
-    # to be renamed away — same lock machinery as the ANN index /
-    # rollup-store writers, stale-holder reclaim included
+    # (compact_dedup_ingest_store) publishes new generations, so a
+    # drain racing it could write epoch partitions into a generation
+    # about to be superseded and GC'd — same lock machinery as the ANN
+    # index / rollup-store writers, stale-holder reclaim included
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         _index_write_lock,
     )
@@ -243,66 +400,67 @@ def compact_dedup_ingest_store(
     spark: SparkSession, store: DedupIngestStore, target_file_bytes: int = 128 * 1024 * 1024
 ) -> dict[str, int]:
     """Small-file hygiene for a long-running ingest: every epoch appends
-    ~1 file per sink per shuffle partition, so thousands of micro-batches
-    accumulate thousands of tiny files. Fold all COMMITTED epochs of each
-    sink into the single highest committed ``batch_id`` partition via
-    ``layout.compact_table``'s staged-rename protocol (crash mid-swap
-    heals on the next call). Monotonic epoch ids make this safe: Spark
+    ~1 file per sink per touched bucket, so thousands of micro-batches
+    accumulate thousands of tiny files. Fold all COMMITTED epochs of
+    each sink into the single highest committed ``batch_id`` partition
+    of a NEW generation, then publish it with one atomic pointer flip
+    (`operators/generations`) — concurrent readers that resolved the
+    old pointer keep a fully intact grace generation, so compaction
+    never pauses serving. Monotonic epoch ids make the fold safe: Spark
     never reuses a committed batch id after restart, so every future
     epoch's ``batch_id < eid`` prior-filter still covers the folded
-    partition. Holds the store's single-writer lock (shared with
+    partition. Bucketed sinks keep their bucket partitioning (the fold
+    must stay prunable), so their compacted file floor is one file per
+    occupied bucket. Holds the store's single-writer lock (shared with
     :func:`run_dedup_ingest_stream`'s drain) so a compaction can never
-    rename a sink out from under a live micro-batch. Returns the new
-    per-sink file counts."""
+    supersede a generation a live micro-batch is writing into. A crash
+    mid-compaction leaves an unpublished orphan generation, GC'd on the
+    next publish. Returns the new per-sink file counts."""
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         _index_write_lock,
     )
 
     lease = _index_write_lock(spark, store.base)
     try:
-        return _compact_sinks(spark, store, target_file_bytes)
+        return _compact_into_new_generation(spark, store, target_file_bytes)
     finally:
         lease.release()
 
 
-def _compact_sinks(
+def _compact_into_new_generation(
     spark: SparkSession, store: DedupIngestStore, target_file_bytes: int
 ) -> dict[str, int]:
-    from data_pipeline_with_big_data_stack_spark.operators.layout import (
-        recover_compaction,
-        table_files,
-    )
+    from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
 
+    cur = store.current_generation()
+    gen = G.next_gen(store.base)
+    gen_dir = os.path.join(store.base, gen)
     out: dict[str, int] = {}
     for sink in _SINKS:
-        path = getattr(store, sink)
-        recover_compaction(path)
-        parts = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(path)
-            if d.startswith("batch_id=")
+        src = os.path.join(store.base, cur, sink)
+        hi = max(
+            (
+                int(d.split("=", 1)[1])
+                for d in os.listdir(src)
+                if d.startswith("batch_id=")
+            ),
+            default=-1,
         )
-        hi = parts[-1]
-        df = spark.read.parquet(path).drop("batch_id")
-        staging = path.rstrip("/") + "__compacting"
-        files = table_files(spark, path)
-        total = max(1, sum(os.path.getsize(f) for f in files))
-        n_out = max(1, -(-total // target_file_bytes))
-        df.repartition(int(n_out)).write.mode("overwrite").parquet(
-            os.path.join(staging, f"batch_id={hi}")
-        )
-        # seed partition so root reads still discover batch_id even if
-        # every data row folded away
-        spark.read.parquet(path).limit(0).drop("batch_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(staging, "batch_id=-1"))
-        backup = path.rstrip("/") + "__precompact"
-        os.rename(path, backup)
-        os.rename(staging, path)
-        import shutil
-
-        shutil.rmtree(backup, ignore_errors=True)
-        out[sink] = len(table_files(spark, path))
+        dst = os.path.join(gen_dir, sink)
+        if hi >= 0:
+            bkt_col = _SINK_BKT.get(sink)
+            df = spark.read.parquet(src).drop("batch_id")
+            if bkt_col is None:
+                total = max(
+                    1, sum(os.path.getsize(f) for f in table_files(spark, src))
+                )
+                n_out = max(1, -(-total // target_file_bytes))
+                df = df.repartition(int(n_out))
+            _write_epoch(df, dst, hi, bkt_col)
+        _seed_sink(spark, gen_dir, sink)
+        out[sink] = len(table_files(spark, dst))
+    G.publish(store.base, gen)
+    G.gc_generations(store.base, gen)
     return out
 
 

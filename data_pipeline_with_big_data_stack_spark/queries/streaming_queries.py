@@ -556,7 +556,12 @@ def q_stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overwrite partitions and every prior-state read filters
 # batch_id < eid — a foreachBatch retry republishes identical
 # partitions and never double-appends (crash-injection pinned in
-# tests/test_dedup_index.py).
+# tests/test_dedup_index.py). Since round 10 the accumulated sinks are
+# ALSO partitioned by a hash bucket of their lookup key, so every
+# prior-state read partition-prunes to the batch's touched buckets —
+# per-batch cost is O(touched fraction), never O(accumulated index) —
+# and the whole store lives behind a generation pointer
+# (operators/generations) so compaction never pauses readers.
 # --------------------------------------------------------------------------
 _STREAM_DEDUP_TAU = 0.8
 
@@ -601,9 +606,11 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_stream_dedup_ingest_compacted", oracle=_STREAM_DEDUP_ORACLE)
 def q_stream_dedup_ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the ingestion-dedup stream, then run the store compactor
-    (fold every committed epoch of all four sinks into one partition
-    under the single-writer lock — the small-file hygiene a
-    long-running 100 TB ingest needs) and serve the DECISIONS from the
+    (fold every committed epoch of all four sinks into one partition of
+    a NEW generation published behind the store's atomic ``_CURRENT``
+    pointer, under the single-writer lock — the small-file hygiene a
+    long-running 100 TB ingest needs, reader-safe: a concurrent serving
+    read keeps the grace predecessor) and serve the DECISIONS from the
     compacted store. Shares the full-corpus replay oracle with
     ``q_stream_dedup_ingest``: compaction must be invisible to every
     reader, so the driver value-checks the whole drain → compact →

@@ -177,14 +177,17 @@ def test_dedup_ingest_prior_counts_come_from_sidecar(spark):
     assert counts.count() > 0
     # poison: claim every bucket already holds 1000 prior members
     # (collect first — writing a plan that reads the dir it overwrites
-    # races its own source files)
-    rows = [
-        (r["band"], r["band_key"], 1000)
-        for r in counts.drop("batch_id").collect()
-    ]
-    spark.createDataFrame(
-        rows, "band int, band_key string, n long"
-    ).write.mode("overwrite").parquet(os.path.join(store.counts, "batch_id=0"))
+    # races its own source files; rows go back into their bkt subdirs
+    # because the sidecar is partitioned by the lookup-key bucket)
+    by_bkt: dict[int, list] = {}
+    for r in counts.drop("batch_id").collect():
+        by_bkt.setdefault(r["bkt"], []).append((r["band"], r["band_key"], 1000))
+    for bkt, rows in by_bkt.items():
+        spark.createDataFrame(
+            rows, "band int, band_key string, n long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(store.counts, "batch_id=0", f"bkt={bkt}")
+        )
     b2 = spark.createDataFrame(
         [(3, "alpha beta gamma delta epsilon zeta")],
         "doc_id long, text string",
@@ -217,8 +220,10 @@ def test_dedup_ingest_sidecar_consistent_with_index(spark):
 
 def test_compact_dedup_ingest_store_preserves_contents(spark):
     """Small-file hygiene: folding all committed epochs into the highest
-    batch_id partition must preserve every sink's rows (modulo the
-    batch_id column) and cut the file count to O(1)."""
+    batch_id partition of a NEW generation must preserve every sink's
+    rows (modulo the batch_id column) and cut the file count to the
+    layout floor — O(1) for the flat decisions sink, one file per
+    occupied lookup bucket (+1 seed) for the prunable bucketed sinks."""
     from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
 
     store = _drain(spark, _small_docs(spark))
@@ -235,6 +240,12 @@ def test_compact_dedup_ingest_store_preserves_contents(spark):
         sink: len(table_files(spark, getattr(store, sink)))
         for sink in before
     }
+    floor = {
+        "decisions": 2,
+        "bands_idx": store.n_bkt + 1,
+        "counts": store.n_bkt + 1,
+        "docstore": store.n_bkt + 1,
+    }
     new_counts = DI.compact_dedup_ingest_store(spark, store)
     for sink, rows in before.items():
         after = sorted(
@@ -244,5 +255,178 @@ def test_compact_dedup_ingest_store_preserves_contents(spark):
             .collect()
         )
         assert after == rows, f"{sink} contents changed by compaction"
-        assert new_counts[sink] <= 2, f"{sink} still has {new_counts[sink]} files"
+        assert new_counts[sink] <= floor[sink], (
+            f"{sink} still has {new_counts[sink]} files"
+        )
         assert new_counts[sink] < pre_files[sink]
+
+
+# ---------------------------------------------------------------------
+# Round 10: bucket-pruned prior reads (per-batch cost must not scan the
+# accumulated index — VERDICT r8 #2) and reader-safe generation-
+# versioned compaction (VERDICT r8 #3).
+# ---------------------------------------------------------------------
+import threading
+
+from data_pipeline_with_big_data_stack_spark.operators import generations as G
+
+
+def _num_files_read(df):
+    """Executed-plan scan metric: how many files the query actually
+    read (partition pruning happens at file listing, so a pruned scan
+    reads fewer files — a filtered-but-unpruned scan would read all)."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    n = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            n += m.apply("numFiles").value()
+    return n
+
+
+def _tiny_batch(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def test_prior_reads_prune_to_touched_buckets(spark, tmp_path):
+    """Physical pin: a bucket-pruned prior read carries PartitionFilters
+    on BOTH batch_id and the bucket column, and its numFiles scan metric
+    reads only the touched buckets' files — never the whole index."""
+    store = DI.init_dedup_ingest_store(spark, str(tmp_path / "st"))
+    batch = _tiny_batch(
+        spark, [(i, f"word{i} alpha beta gamma delta epsilon {i}") for i in range(40)]
+    )
+    DI.dedup_ingest_batch(batch, 0, store)
+    pruned = DI._prior(spark, store.bands_idx, 5, "bkt", [0, 1, 2])
+    full = DI._prior(spark, store.bands_idx, 5)
+    n_pruned, n_full = _num_files_read(pruned), _num_files_read(full)
+    assert n_pruned < n_full, f"prune read {n_pruned}/{n_full} files"
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "batch_id" in pf[0] and "bkt" in pf[0], plan
+
+
+def test_batch_passes_touched_buckets_to_every_prior_read(spark, tmp_path, monkeypatch):
+    """Contract pin: dedup_ingest_batch hands a bounded touched-bucket
+    list to EVERY prior-state read (counts, bands index, doc store) —
+    the O(touched)/never-O(accumulated) per-batch claim."""
+    calls = []
+    real = DI._prior
+
+    def spy(s, path, eid, bkt_col=None, touched=None):
+        calls.append(
+            (os.path.basename(os.path.normpath(path)), bkt_col,
+             None if touched is None else len(touched))
+        )
+        return real(s, path, eid, bkt_col, touched)
+
+    monkeypatch.setattr(DI, "_prior", spy)
+    store = DI.init_dedup_ingest_store(spark, str(tmp_path / "st"))
+    DI.dedup_ingest_batch(
+        _tiny_batch(spark, [(1, "alpha beta gamma delta epsilon zeta")]), 0, store
+    )
+    DI.dedup_ingest_batch(
+        _tiny_batch(spark, [(2, "alpha beta gamma delta epsilon zeta")]), 1, store
+    )
+    by_sink = {c[0]: c for c in calls}
+    assert by_sink["counts"][1] == "bkt"
+    assert by_sink["bands_idx"][1] == "bkt"
+    assert by_sink["docstore"][1] == "dbkt"
+    for sink in ("counts", "bands_idx", "docstore"):
+        n = by_sink[sink][2]
+        assert n is not None and 0 < n <= store.n_bkt, (sink, n)
+
+
+def test_misfiled_band_row_never_matches_because_bucketing_is_consistent(spark, tmp_path):
+    """The prune loses no candidate ONLY because write-side and
+    read-side compute the SAME bucket function of the join key — pin
+    that contract: a row physically relocated into a foreign bucket
+    directory stops matching (the lookup never consults that bucket),
+    while the same row in its home bucket produces the rejection."""
+    import shutil
+
+    text = "alpha beta gamma delta epsilon zeta"
+    for misfile in (False, True):
+        store = DI.init_dedup_ingest_store(spark, str(tmp_path / f"st{misfile}"))
+        DI.dedup_ingest_batch(_tiny_batch(spark, [(1, text)]), 0, store)
+        if misfile:
+            # shift every epoch-0 band row to (home_bkt + 1) % n_bkt
+            ep = os.path.join(store.bands_idx, "batch_id=0")
+            by_wrong: dict[int, list] = {}
+            for r in spark.read.parquet(ep).collect():
+                by_wrong.setdefault((r["bkt"] + 1) % store.n_bkt, []).append(
+                    (r["doc_id"], r["band"], r["band_key"], r["rk"])
+                )
+            shutil.rmtree(ep)
+            for wrong, rows in by_wrong.items():
+                spark.createDataFrame(
+                    rows, "doc_id long, band int, band_key string, rk long"
+                ).write.parquet(os.path.join(ep, f"bkt={wrong}"))
+        DI.dedup_ingest_batch(_tiny_batch(spark, [(2, text)]), 1, store)
+        dec = (
+            spark.read.parquet(store.decisions)
+            .filter(F.col("doc_id") == 2)
+            .collect()
+        )
+        if misfile:
+            assert dec == [], "foreign-bucket row must be invisible to the lookup"
+        else:
+            assert len(dec) == 1 and dec[0]["dup_of"] == 1
+
+
+def test_compaction_publishes_new_generation_with_grace_predecessor(spark):
+    store = _drain(spark, _small_docs(spark))
+    g1 = store.current_generation()
+    DI.compact_dedup_ingest_store(spark, store)
+    g2 = store.current_generation()
+    assert g2 > g1
+    gens = G.list_generations(store.base)
+    assert set(gens) == {g1, g2}, "GC must keep current + grace predecessor"
+    # the grace predecessor still serves the pre-compaction tree intact
+    old_dec = spark.read.parquet(os.path.join(store.base, g1, "decisions"))
+    new_dec = spark.read.parquet(store.decisions)
+    assert sorted(map(tuple, old_dec.drop("batch_id").collect())) == sorted(
+        map(tuple, new_dec.drop("batch_id").collect())
+    )
+
+
+def test_concurrent_decisions_read_during_compact_never_errors(spark):
+    """THE reader-safety pin (VERDICT r8 #3 done-criterion): a serving
+    loop reading decisions while the compactor publishes observes the
+    same rows every time — never an error, never a missing directory."""
+    store = _drain(spark, _small_docs(spark))
+
+    def rows():
+        return sorted(
+            map(tuple, spark.read.parquet(store.decisions).drop("batch_id").collect())
+        )
+
+    ref = rows()
+    results, errors, stop = [], [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                results.append(rows())
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        DI.compact_dedup_ingest_store(spark, store)
+        # let the reader observe the post-publish generation too
+        import time
+
+        deadline = time.time() + 10
+        while time.time() < deadline and len(results) < 3:
+            time.sleep(0.2)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, f"reader errored during compaction: {errors[0]!r}"
+    assert results and all(r == ref for r in results), (
+        "compaction must be invisible to concurrent readers"
+    )
