@@ -1316,26 +1316,49 @@ def q_ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=TOP_K)
 
 
-@query("q_ann_ivfpq_versioned_lifecycle", oracle=_IVFPQ_RETRAIN_ORACLE)
+# Full versioned-maintenance trajectory (round 10, VERDICT r8 #4): the
+# oracle is the retrain replay over the SURVIVING corpus — append codes
+# with frozen stale codebooks and compact is content-invisible, so after
+# expire + retrain the live generation IS a deterministic fresh build
+# over the survivors (vec_id % 17 != 3), probes included.
+_E_CTE = "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),"
+assert _IVFPQ_RETRAIN_ORACLE.lstrip().startswith(_E_CTE)
+_IVFPQ_VERSIONED_ORACLE = _IVFPQ_RETRAIN_ORACLE.replace(
+    _E_CTE,
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+    f" WHERE vec_id % {_EXPIRE_MOD} != {_EXPIRE_RES}),",
+)
+
+
+@query("q_ann_ivfpq_versioned_lifecycle", oracle=_IVFPQ_VERSIONED_ORACLE)
 def q_ann_ivfpq_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reader-safe generation-versioned lifecycle (round 8): the same
-    stale-build → retrain → search trajectory as
-    ``q_ann_ivfpq_index_retrain``, but through
-    ``operators/ann_index_versioned`` — every maintenance op publishes a
-    whole immutable generation behind an atomic ``_CURRENT`` pointer, so
-    a concurrent search never pauses and never sees a half-swapped
-    index (pinned in tests/test_ann_versioned.py). The retrain
-    generation IS a fresh deterministic build over the live ids, so the
-    full-replay DuckDB oracle is shared with the in-place twin."""
+    """Reader-safe generation-versioned lifecycle (round 8; extended to
+    the FULL maintenance surface round 10): build over half the corpus
+    with stale codebooks, append the other half (hardlink-clone + frozen
+    codebooks), expire the tombstone set, compact the cell files, then
+    retrain and search — every step through ``operators/
+    ann_index_versioned``, where each maintenance op publishes a whole
+    immutable generation behind an atomic ``_CURRENT`` pointer, so a
+    concurrent search never pauses and never sees a half-swapped index
+    (pinned in tests/test_ann_versioned.py). Append's frozen-codebook
+    codes and the content-invisible compaction are both replaced
+    wholesale by the retrain (a fresh deterministic build over the live
+    = surviving ids), so the DuckDB oracle is the in-place twin's
+    full-trajectory replay restricted to the survivors."""
     import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index_versioned import (
+        append_ivfpq_versioned,
         build_ivfpq_versioned,
+        compact_ivfpq_versioned,
+        expire_ivfpq_versioned,
         retrain_ivfpq_versioned,
         search_ivfpq_versioned,
     )
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
     cb0 = _km_demo_init(
         e.select("vec_id", F.slice("emb", 1, _PQ_SUB).alias("emb")), _PQ_K
     ).withColumnRenamed("cb", "cb0")
@@ -1345,12 +1368,20 @@ def q_ann_ivfpq_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
     ).withColumnRenamed("cb", "cb1")
     root = tempfile.mkdtemp(prefix="ivfpq_versioned_") + "/root"
     build_ivfpq_versioned(
-        e, root, _km_demo_init(e, _K_CELLS), [cb0, cb1], sub_dim=_PQ_SUB
+        half, root, _km_demo_init(e, _K_CELLS), [cb0, cb1], sub_dim=_PQ_SUB
     )
+    append_ivfpq_versioned(spark, root, rest)
+    expire_ivfpq_versioned(
+        spark, root, predicate=(F.col("vec_id") % _EXPIRE_MOD) == _EXPIRE_RES
+    )
+    # every cell holds build + append files — force a real fold so the
+    # compaction generation is exercised, not skipped as a no-op
+    compact_ivfpq_versioned(spark, root, max_files_per_cell=1)
     retrain_ivfpq_versioned(spark, root, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
-    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
-    )
+    probes = e.filter(
+        (F.col("vec_id") < N_QUERY_VECS)
+        & (F.col("vec_id") % _EXPIRE_MOD != _EXPIRE_RES)
+    ).select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
     return search_ivfpq_versioned(spark, root, probes, nprobe=_NPROBE, k=TOP_K)
 
 
