@@ -30,13 +30,14 @@ the root's single-writer lock:
    generation shares immutable code files with its predecessor);
 2. publish by atomically replacing the ``_CURRENT`` pointer
    (write-temp + ``os.replace``);
-3. GC every generation except the new one and its predecessor. Keeping
-   the predecessor gives in-flight readers that resolved the old
-   pointer a full grace generation: a reader would have to survive TWO
-   subsequent maintenance publishes mid-query before its files could
-   vanish. Orphan generations (a writer crashed after materializing
-   but before publishing) are never pointer-visible and are GC'd on
-   the next writer entry.
+3. GC every generation except the new one and the generation that was
+   PUBLISHED before it (passed explicitly — a directory listing cannot
+   tell the real predecessor from a crashed writer's unpublished
+   orphan). Keeping the published predecessor gives in-flight readers
+   that resolved the old pointer a full grace generation: a reader
+   would have to survive TWO subsequent maintenance publishes
+   mid-query before its files could vanish. Orphan generations are
+   never pointer-visible and always vanish at the next publish's GC.
 
 Scale notes: the pointer file and generation naming are O(1) metadata;
 hardlink cloning is metadata-only on any POSIX filesystem; every data
@@ -111,6 +112,7 @@ def build_ivfpq_versioned(
     os.makedirs(root, exist_ok=True)
     lease = _index_write_lock(vecs.sparkSession, root)
     try:
+        prev = G.read_current_or_none(root)
         gen = _next_gen(root)
         build_ivfpq_index(
             vecs,
@@ -121,7 +123,7 @@ def build_ivfpq_versioned(
             id_col=id_col,
         )
         _publish(root, gen)
-        _gc(root, gen)
+        _gc(root, gen, prev)
         return gen
     finally:
         lease.release()
@@ -166,7 +168,7 @@ def append_ivfpq_versioned(
         _clone_generation(os.path.join(root, cur), os.path.join(root, gen))
         append_to_ivfpq_index(spark, _gen_index(root, gen), vecs, id_col=id_col)
         _publish(root, gen)
-        _gc(root, gen)
+        _gc(root, gen, cur)
         return gen
     finally:
         lease.release()
@@ -197,7 +199,7 @@ def compact_ivfpq_versioned(
             shutil.rmtree(os.path.join(root, gen), ignore_errors=True)
             return None
         _publish(root, gen)
-        _gc(root, gen)
+        _gc(root, gen, cur)
         return gen
     finally:
         lease.release()
@@ -227,7 +229,7 @@ def expire_ivfpq_versioned(
             spark, _gen_index(root, gen), ids=ids, predicate=predicate, id_col=id_col
         )
         _publish(root, gen)
-        _gc(root, gen)
+        _gc(root, gen, cur)
         return gen
     finally:
         lease.release()
@@ -278,7 +280,7 @@ def retrain_ivfpq_versioned(
             id_col=id_col,
         )
         _publish(root, gen)
-        _gc(root, gen)
+        _gc(root, gen, cur)
         return gen
     finally:
         lease.release()

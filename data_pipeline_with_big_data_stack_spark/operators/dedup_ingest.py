@@ -95,7 +95,13 @@ class DedupIngestStore:
                 with open(os.path.join(self.base, _META)) as fh:
                     self._n_bkt = int(json.load(fh)["n_bkt"])
             except FileNotFoundError:
-                self._n_bkt = _DEFAULT_N_BKT
+                # NEVER guess: a wrong modulus silently misfiles every
+                # lookup (prior state appears empty, duplicates slip in)
+                raise RuntimeError(
+                    f"dedup-ingest store at {self.base!r} has no {_META} — "
+                    "not initialized (init_dedup_ingest_store) or moved "
+                    "without its root metadata; refusing to guess n_bkt"
+                ) from None
         return self._n_bkt
 
     def current_generation(self) -> str:
@@ -143,8 +149,18 @@ def _seed_sink(spark: SparkSession, gen_dir: str, sink: str) -> None:
 def init_dedup_ingest_store(
     spark: SparkSession, base: str, n_bkt: int = _DEFAULT_N_BKT
 ) -> DedupIngestStore:
-    """Create generation 1 with seeded sinks and publish it."""
+    """Create generation 1 with seeded sinks and publish it. Refuses an
+    already-initialized base: re-seeding would publish an EMPTY
+    generation over the accumulated store (orphaning every committed
+    epoch while the old checkpoint blocks re-ingestion) and could
+    silently rewrite n_bkt under data bucketed with the old value."""
     os.makedirs(base, exist_ok=True)
+    if G.read_current_or_none(base) is not None:
+        raise FileExistsError(
+            f"dedup-ingest store at {base!r} is already initialized — "
+            "open it with DedupIngestStore(base), or delete the base "
+            "directory to start over"
+        )
     meta = os.path.join(base, _META)
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
@@ -155,7 +171,7 @@ def init_dedup_ingest_store(
     for sink in _SINKS:
         _seed_sink(spark, gen_dir, sink)
     G.publish(base, gen)
-    G.gc_generations(base, gen)
+    G.gc_generations(base, gen, None)
     st = DedupIngestStore(base)
     st._n_bkt = int(n_bkt)
     return st
@@ -172,10 +188,20 @@ def _prior(
     ``batch_id < eid`` so a replayed epoch never sees its own
     half-written rows, AND (for the bucketed sinks) to the batch's
     touched lookup buckets — the scan reads O(touched buckets) of the
-    accumulated state, never all of it. Partition columns dropped."""
+    accumulated state, never all of it. Partition columns dropped.
+    ``touched`` is REQUIRED with ``bkt_col`` (an empty list means "the
+    batch touched nothing" and legitimately yields no rows): defaulting
+    a forgotten list to all-or-nothing would silently drop prior state
+    — the missed-duplicates failure mode this module exists to
+    prevent."""
     df = spark.read.parquet(path).filter(F.col("batch_id") < F.lit(int(eid)))
     drop = ["batch_id"]
     if bkt_col is not None:
+        if touched is None:
+            raise ValueError(
+                f"_prior(bkt_col={bkt_col!r}) needs the touched-bucket "
+                "list; pass [] if the batch touched no buckets"
+            )
         df = df.filter(
             F.col(bkt_col).isin([int(b) for b in touched])
             if touched
@@ -193,14 +219,18 @@ def _doc_bkt(col: str, n_bkt: int):
     return F.pmod(F.hash(F.col(col)), F.lit(int(n_bkt))).cast("int")
 
 
-def _write_epoch(df: DataFrame, path: str, eid: int, bkt_col: str | None) -> None:
+def _write_epoch(
+    df: DataFrame, path: str, eid: int, bkt_col: str | None, n_bkt: int = 0
+) -> None:
     """Publish one sink's epoch partition: static overwrite of the whole
     ``batch_id=<eid>`` directory (idempotent under retry). Bucketed
-    sinks repartition BY the bucket column first so each bucket lands
-    in one task — one file per touched bucket, not tasks × buckets."""
+    sinks repartition INTO n_bkt tasks BY the bucket column so each
+    bucket lands in one task — one file per touched bucket, and never
+    spark.sql.shuffle.partitions-worth of empty scheduler slots on the
+    per-batch hot path."""
     w = df
     if bkt_col is not None:
-        w = w.repartition(F.col(bkt_col))
+        w = w.repartition(int(n_bkt), F.col(bkt_col))
     writer = w.write.mode("overwrite").option("partitionOverwriteMode", "static")
     if bkt_col is not None:
         writer = writer.partitionBy(bkt_col)
@@ -319,7 +349,7 @@ def dedup_ingest_batch(
         _write_epoch(rejected, store.decisions, eid, None)
         if fail_after == "decisions":
             raise RuntimeError("injected crash after decisions write")
-        _write_epoch(capped, store.bands_idx, eid, "bkt")
+        _write_epoch(capped, store.bands_idx, eid, "bkt", n_bkt)
         if fail_after == "bands_idx":
             raise RuntimeError("injected crash after bands_idx write")
         # this epoch's sidecar rows: the new cumulative occupancy of
@@ -329,13 +359,13 @@ def dedup_ingest_batch(
             .agg(F.max("rk").alias("n"))
             .select("band", "band_key", "n", "bkt")
         )
-        _write_epoch(epoch_counts, store.counts, eid, "bkt")
+        _write_epoch(epoch_counts, store.counts, eid, "bkt", n_bkt)
         if fail_after == "counts":
             raise RuntimeError("injected crash after counts write")
         docs_out = batch.select("doc_id", "text").withColumn(
             "dbkt", _doc_bkt("doc_id", n_bkt)
         )
-        _write_epoch(docs_out, store.docstore, eid, "dbkt")
+        _write_epoch(docs_out, store.docstore, eid, "dbkt", n_bkt)
         if fail_after == "docstore":
             raise RuntimeError("injected crash after docstore write")
     finally:
@@ -406,10 +436,20 @@ def compact_dedup_ingest_store(
     of a NEW generation, then publish it with one atomic pointer flip
     (`operators/generations`) — concurrent readers that resolved the
     old pointer keep a fully intact grace generation, so compaction
-    never pauses serving. Monotonic epoch ids make the fold safe: Spark
-    never reuses a committed batch id after restart, so every future
-    epoch's ``batch_id < eid`` prior-filter still covers the folded
-    partition. Bucketed sinks keep their bucket partitioning (the fold
+    never pauses serving. "COMMITTED" comes from the streaming
+    CHECKPOINT's commit log, not the directory listing: a drain that
+    crashed between a sink write and the checkpoint commit leaves a
+    half-written epoch directory on disk, and folding it would both
+    bake uncommitted rows into the store and collide with the epoch id
+    Spark REUSES on replay (whose ``batch_id < eid`` prior-filter would
+    then exclude the whole folded partition — losing every prior
+    epoch). Uncommitted epoch dirs are simply not carried into the new
+    generation; the checkpoint replay rewrites them from scratch,
+    exactly as it rewrites a half-written partition after any crash.
+    Monotonic COMMITTED epoch ids make the fold safe: Spark never
+    reuses a committed batch id after restart, so every future epoch's
+    ``batch_id < eid`` prior-filter still covers the folded partition.
+    Bucketed sinks keep their bucket partitioning (the fold
     must stay prunable), so their compacted file floor is one file per
     occupied bucket. Holds the store's single-writer lock (shared with
     :func:`run_dedup_ingest_stream`'s drain) so a compaction can never
@@ -427,6 +467,19 @@ def compact_dedup_ingest_store(
         lease.release()
 
 
+def _committed_hi(store: DedupIngestStore) -> int | None:
+    """Highest epoch the streaming CHECKPOINT has committed — the only
+    authority on which on-disk epoch directories are final. None when
+    the store has no checkpoint (driven by direct ``dedup_ingest_batch``
+    calls, which have no retry machinery — there every directory is
+    committed by definition)."""
+    commits = os.path.join(store.base, "ckpt", "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids, default=-1)
+
+
 def _compact_into_new_generation(
     spark: SparkSession, store: DedupIngestStore, target_file_bytes: int
 ) -> dict[str, int]:
@@ -435,32 +488,38 @@ def _compact_into_new_generation(
     cur = store.current_generation()
     gen = G.next_gen(store.base)
     gen_dir = os.path.join(store.base, gen)
+    ckpt_hi = _committed_hi(store)
     out: dict[str, int] = {}
     for sink in _SINKS:
         src = os.path.join(store.base, cur, sink)
-        hi = max(
-            (
-                int(d.split("=", 1)[1])
-                for d in os.listdir(src)
-                if d.startswith("batch_id=")
-            ),
-            default=-1,
+        on_disk = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(src)
+            if d.startswith("batch_id=")
+        ]
+        committed = (
+            on_disk if ckpt_hi is None else [e for e in on_disk if e <= ckpt_hi]
         )
+        hi = max(committed, default=-1)
         dst = os.path.join(gen_dir, sink)
         if hi >= 0:
             bkt_col = _SINK_BKT.get(sink)
-            df = spark.read.parquet(src).drop("batch_id")
+            df = (
+                spark.read.parquet(src)
+                .filter(F.col("batch_id") <= F.lit(hi))
+                .drop("batch_id")
+            )
             if bkt_col is None:
                 total = max(
                     1, sum(os.path.getsize(f) for f in table_files(spark, src))
                 )
                 n_out = max(1, -(-total // target_file_bytes))
                 df = df.repartition(int(n_out))
-            _write_epoch(df, dst, hi, bkt_col)
+            _write_epoch(df, dst, hi, bkt_col, store.n_bkt)
         _seed_sink(spark, gen_dir, sink)
         out[sink] = len(table_files(spark, dst))
     G.publish(store.base, gen)
-    G.gc_generations(store.base, gen)
+    G.gc_generations(store.base, gen, cur)
     return out
 
 

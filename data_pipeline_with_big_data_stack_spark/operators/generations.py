@@ -44,6 +44,18 @@ def list_generations(root: str) -> list[str]:
     )
 
 
+def read_current_or_none(root: str) -> str | None:
+    """Like :func:`read_current` but None when the pointer does not
+    exist yet — for writers (initial build, re-init) that must pass the
+    previously-published generation to :func:`gc_generations`."""
+    try:
+        with open(os.path.join(root, POINTER)) as fh:
+            gen = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    return gen if gen and os.path.isdir(os.path.join(root, gen)) else None
+
+
 def read_current(root: str, init_hint: str = "the store's init/build op") -> str:
     """Resolve the live generation name. Readers call this ONCE per
     query and then touch only that generation's files."""
@@ -75,14 +87,18 @@ def publish(root: str, gen: str) -> None:
     os.replace(tmp, ptr)
 
 
-def gc_generations(root: str, new: str) -> None:
-    """Drop every generation except ``new`` and its immediate
-    predecessor (the reader grace generation); orphans from crashed
-    unpublished writers go too."""
-    gens = list_generations(root)
-    older = [g for g in gens if g < new]
-    keep = {new, older[-1]} if older else {new}
-    for g in gens:
+def gc_generations(root: str, new: str, prev: str | None) -> None:
+    """Drop every generation except ``new`` and ``prev`` — the
+    generation that was PUBLISHED before this publish (the reader grace
+    generation), passed explicitly by the writer that just resolved it.
+    Inferring the grace generation from the directory listing is wrong:
+    a crashed writer's unpublished orphan can sort between the real
+    predecessor and ``new``, and a listing-based GC would then keep the
+    half-written orphan while deleting the very tree an in-flight
+    reader resolved. With ``prev`` explicit, orphans (never equal to
+    either) always vanish here."""
+    keep = {new, prev} if prev else {new}
+    for g in list_generations(root):
         if g not in keep:
             shutil.rmtree(os.path.join(root, g), ignore_errors=True)
 

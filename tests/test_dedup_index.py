@@ -430,3 +430,74 @@ def test_concurrent_decisions_read_during_compact_never_errors(spark):
     assert results and all(r == ref for r in results), (
         "compaction must be invisible to concurrent readers"
     )
+
+
+def test_init_refuses_already_initialized_store(spark, tmp_path):
+    """Re-initializing a live store would publish an EMPTY generation
+    over the accumulated epochs (and could silently rewrite n_bkt) —
+    it must raise instead."""
+    base = str(tmp_path / "st")
+    DI.init_dedup_ingest_store(spark, base)
+    with pytest.raises(FileExistsError):
+        DI.init_dedup_ingest_store(spark, base)
+
+
+def test_gc_drops_small_numbered_orphan_and_keeps_published_predecessor(spark, tmp_path):
+    """A crashed writer's unpublished orphan can sort BETWEEN the real
+    predecessor and the new generation; GC must keep the generation
+    that was actually published (the reader grace tree), never the
+    orphan. (The ann-versioned test's gen-999999 orphan passed by
+    lexicographic accident — 'gen-1000000' < 'gen-999999' — so this
+    pins the dangerous small-numbered case.)"""
+    store = _drain(spark, _small_docs(spark))
+    g1 = store.current_generation()
+    assert g1 == "gen-000001"
+    os.makedirs(os.path.join(store.base, "gen-000002"))  # crashed writer
+    DI.compact_dedup_ingest_store(spark, store)  # publishes gen-000003
+    gens = G.list_generations(store.base)
+    assert store.current_generation() == "gen-000003"
+    assert set(gens) == {"gen-000001", "gen-000003"}, (
+        "GC kept the orphan and/or deleted the published predecessor"
+    )
+
+
+def test_compact_after_crashed_drain_preserves_committed_state_only(spark):
+    """The fold target must come from the CHECKPOINT's commit log: a
+    drain that crashed between a sink write and the checkpoint commit
+    leaves a half-written epoch dir on disk whose id Spark REUSES on
+    replay — folding it would make the replay's batch_id < eid filter
+    exclude all folded prior state. Compacting a crashed store and then
+    resuming must equal a crash-free drain."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs = _small_docs(spark)
+    ref_store = _drain(spark, docs)
+    ref_dec = sorted(
+        map(tuple, spark.read.parquet(ref_store.decisions).drop("batch_id").collect())
+    )
+
+    base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    store = DI.init_dedup_ingest_store(spark, base)
+    try:
+        DI.run_dedup_ingest_stream(
+            spark, src, store, fail_epoch=1, fail_after="bands_idx"
+        )
+        raise AssertionError("injected crash did not fire")
+    except StreamingQueryException:
+        pass
+    # epoch 1 is on disk but NOT in ckpt/commits — compaction must fold
+    # only epoch 0 and drop the half-written dir
+    DI.compact_dedup_ingest_store(spark, store)
+    import re
+
+    folded = [
+        d
+        for d in os.listdir(store.bands_idx)
+        if re.fullmatch(r"batch_id=\d+", d)
+    ]
+    assert folded == ["batch_id=0"], folded
+    DI.run_dedup_ingest_stream(spark, src, store)
+    got = sorted(
+        map(tuple, spark.read.parquet(store.decisions).drop("batch_id").collect())
+    )
+    assert got == ref_dec

@@ -118,7 +118,11 @@ def test_dedup_ingest_per_batch_cost_sublinear_in_accumulated_state(spark, tmp_p
         return spark.createDataFrame(rows, "doc_id long, text string")
 
     def build_store(n_docs, name):
-        store = DI.init_dedup_ingest_store(spark, str(tmp_path / name))
+        # n_bkt well above the incremental batch's key count, so the
+        # prune is actually exercised (touched ≪ n_bkt) instead of the
+        # batch touching every bucket and the test measuring only fixed
+        # per-job overhead
+        store = DI.init_dedup_ingest_store(spark, str(tmp_path / name), n_bkt=64)
         docs = corpus(n_docs)
         # accumulate in 4 epochs of ascending ids
         for e in range(4):
@@ -132,7 +136,8 @@ def test_dedup_ingest_per_batch_cost_sublinear_in_accumulated_state(spark, tmp_p
     n1 = 1_500
     s1 = build_store(n1, "x1")
     sN = build_store(n1 * FACTOR, f"x{FACTOR}")
-    batch = corpus(25, start=10_000_000)
+    # 4 docs → ≤12 band keys → ≤12 of 64 buckets touched
+    batch = corpus(4, start=10_000_000)
 
     def measure():
         def one(store):
