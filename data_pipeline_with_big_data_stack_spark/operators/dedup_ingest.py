@@ -155,13 +155,21 @@ def init_dedup_ingest_store(
     epoch while the old checkpoint blocks re-ingestion) and could
     silently rewrite n_bkt under data bucketed with the old value."""
     os.makedirs(base, exist_ok=True)
-    if G.read_current_or_none(base) is not None:
-        raise FileExistsError(
-            f"dedup-ingest store at {base!r} is already initialized — "
-            "open it with DedupIngestStore(base), or delete the base "
-            "directory to start over"
-        )
     meta = os.path.join(base, _META)
+    # any trace of a prior store refuses — checking only the pointer
+    # would let a truncated/lost _CURRENT file bypass the guard and GC
+    # every surviving generation of accumulated data
+    if (
+        G.read_current_or_none(base) is not None
+        or G.list_generations(base)
+        or os.path.exists(meta)
+    ):
+        raise FileExistsError(
+            f"dedup-ingest store at {base!r} is already initialized (or "
+            "holds a damaged store's remains) — open it with "
+            "DedupIngestStore(base), repair the _CURRENT pointer, or "
+            "delete the base directory to start over"
+        )
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"n_bkt": int(n_bkt)}, fh)
@@ -227,9 +235,11 @@ def _write_epoch(
     sinks repartition INTO n_bkt tasks BY the bucket column so each
     bucket lands in one task — one file per touched bucket, and never
     spark.sql.shuffle.partitions-worth of empty scheduler slots on the
-    per-batch hot path."""
+    per-batch hot path. ``n_bkt=0`` with a bucket column means the
+    caller already laid the rows out (the compaction fold's
+    range-partitioning) — write as-is."""
     w = df
-    if bkt_col is not None:
+    if bkt_col is not None and n_bkt > 0:
         w = w.repartition(int(n_bkt), F.col(bkt_col))
     writer = w.write.mode("overwrite").option("partitionOverwriteMode", "static")
     if bkt_col is not None:
@@ -250,6 +260,14 @@ def dedup_ingest_batch(
     given (batch contents, prior committed epochs); idempotent under
     retry — see module docstring.
 
+    The generation is resolved ONCE here, so all seven sink accesses of
+    the epoch (3 prior reads, 4 writes) land in the same tree even if a
+    pointer flip happens mid-batch. :func:`run_dedup_ingest_stream`
+    holds the store's single-writer lock around the whole drain; a
+    DIRECT caller that could race a compactor on another driver must
+    take the same lock itself (``ann_index._index_write_lock`` on
+    ``store.base``) — the bench's single-process use needs neither.
+
     ``fail_after`` is a crash-injection hook for tests: one of
     ``'decisions' | 'bands_idx' | 'counts' | 'docstore'`` raises
     RuntimeError immediately after that sink's write, simulating a crash
@@ -265,6 +283,8 @@ def dedup_ingest_batch(
         return
     eid = int(eid)
     n_bkt = store.n_bkt
+    gen_dir = os.path.join(store.base, store.current_generation())
+    sink = {name: os.path.join(gen_dir, name) for name in _SINKS}
 
     bands = minhash_signatures(batch).select(
         "doc_id",
@@ -288,7 +308,7 @@ def dedup_ingest_batch(
         # touched (bucket, epoch)) — the bands index itself is never
         # aggregated here, and the sidecar scan prunes to touched bkts
         prior_counts = (
-            _prior(s, store.counts, eid, "bkt", touched)
+            _prior(s, sink["counts"], eid, "bkt", touched)
             .groupBy("band", "band_key")
             .agg(F.max("n").alias("prior_n"))
         )
@@ -303,7 +323,7 @@ def dedup_ingest_batch(
         # prior bands scan prunes to the batch's buckets: any prior row
         # that can equi-join a batch row on (band, band_key) has the
         # same bkt by construction, so pruning loses no candidate
-        prior_bands = _prior(s, store.bands_idx, eid, "bkt", touched)
+        prior_bands = _prior(s, sink["bands_idx"], eid, "bkt", touched)
         all_bands = prior_bands.unionByName(capped.drop("bkt"))
         cand = (
             capped.drop("bkt")
@@ -332,7 +352,7 @@ def dedup_ingest_batch(
         # raw text, shingling runs AFTER them on candidate-scale rows
         # only — per-batch verify compute is O(candidates), and the
         # prior doc-store scan prunes to the partners' buckets
-        texts = _prior(s, store.docstore, eid, "dbkt", partner_bkts).unionByName(
+        texts = _prior(s, sink["docstore"], eid, "dbkt", partner_bkts).unionByName(
             batch.select("doc_id", "text")
         )
         ver = verify_jaccard(cand, texts, threshold=tau)
@@ -346,10 +366,10 @@ def dedup_ingest_batch(
                 "jaccard",
             )
         )
-        _write_epoch(rejected, store.decisions, eid, None)
+        _write_epoch(rejected, sink["decisions"], eid, None)
         if fail_after == "decisions":
             raise RuntimeError("injected crash after decisions write")
-        _write_epoch(capped, store.bands_idx, eid, "bkt", n_bkt)
+        _write_epoch(capped, sink["bands_idx"], eid, "bkt", n_bkt)
         if fail_after == "bands_idx":
             raise RuntimeError("injected crash after bands_idx write")
         # this epoch's sidecar rows: the new cumulative occupancy of
@@ -359,13 +379,13 @@ def dedup_ingest_batch(
             .agg(F.max("rk").alias("n"))
             .select("band", "band_key", "n", "bkt")
         )
-        _write_epoch(epoch_counts, store.counts, eid, "bkt", n_bkt)
+        _write_epoch(epoch_counts, sink["counts"], eid, "bkt", n_bkt)
         if fail_after == "counts":
             raise RuntimeError("injected crash after counts write")
         docs_out = batch.select("doc_id", "text").withColumn(
             "dbkt", _doc_bkt("doc_id", n_bkt)
         )
-        _write_epoch(docs_out, store.docstore, eid, "dbkt", n_bkt)
+        _write_epoch(docs_out, sink["docstore"], eid, "dbkt", n_bkt)
         if fail_after == "docstore":
             raise RuntimeError("injected crash after docstore write")
     finally:
@@ -443,15 +463,21 @@ def compact_dedup_ingest_store(
     bake uncommitted rows into the store and collide with the epoch id
     Spark REUSES on replay (whose ``batch_id < eid`` prior-filter would
     then exclude the whole folded partition — losing every prior
-    epoch). Uncommitted epoch dirs are simply not carried into the new
-    generation; the checkpoint replay rewrites them from scratch,
-    exactly as it rewrites a half-written partition after any crash.
+    epoch). Epoch dirs ABOVE the committed high-water are hardlink-
+    carried into the new generation unchanged rather than dropped: a
+    crashed stream epoch is overwritten wholesale by its replay exactly
+    as before compaction, while an epoch written by a DIRECT
+    ``dedup_ingest_batch`` call after the last drain (the bench's
+    pattern) has no replay to resurrect it and must survive the fold.
     Monotonic COMMITTED epoch ids make the fold safe: Spark never
     reuses a committed batch id after restart, so every future epoch's
     ``batch_id < eid`` prior-filter still covers the folded partition.
     Bucketed sinks keep their bucket partitioning (the fold
-    must stay prunable), so their compacted file floor is one file per
-    occupied bucket. Holds the store's single-writer lock (shared with
+    must stay prunable) and split each bucket into ~``target_file_bytes``
+    range-partitioned files, so the compacted floor is one file per
+    occupied bucket and no bucket ever folds through a single task
+    regardless of its accumulated size. Holds the store's
+    single-writer lock (shared with
     :func:`run_dedup_ingest_stream`'s drain) so a compaction can never
     supersede a generation a live micro-batch is writing into. A crash
     mid-compaction leaves an unpublished orphan generation, GC'd on the
@@ -478,6 +504,13 @@ def _committed_hi(store: DedupIngestStore) -> int | None:
         return None
     ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
     return max(ids, default=-1)
+
+
+# range-partition salt per bucketed sink: a second sort key lets one
+# oversized bucket spread across several size-bounded files while each
+# task still holds only 1-2 buckets (hash-salting would instead give
+# every task a slice of every bucket — tasks × buckets files)
+_SINK_FOLD_SALT = {"bands_idx": "doc_id", "counts": "band_key", "docstore": "doc_id"}
 
 
 def _compact_into_new_generation(
@@ -509,14 +542,30 @@ def _compact_into_new_generation(
                 .filter(F.col("batch_id") <= F.lit(hi))
                 .drop("batch_id")
             )
+            total = max(1, sum(os.path.getsize(f) for f in table_files(spark, src)))
+            n_out = max(1, -(-total // target_file_bytes))
             if bkt_col is None:
-                total = max(
-                    1, sum(os.path.getsize(f) for f in table_files(spark, src))
-                )
-                n_out = max(1, -(-total // target_file_bytes))
                 df = df.repartition(int(n_out))
-            _write_epoch(df, dst, hi, bkt_col, store.n_bkt)
+                _write_epoch(df, dst, hi, None)
+            else:
+                # honor target_file_bytes for bucketed sinks too: range-
+                # partition on (bucket, salt) so an oversized bucket
+                # spans several tasks/files while small buckets still
+                # fold to one file each
+                n_tasks = max(int(n_out), store.n_bkt)
+                df = df.repartitionByRange(
+                    n_tasks, F.col(bkt_col), F.col(_SINK_FOLD_SALT[sink])
+                )
+                _write_epoch(df, dst, hi, bkt_col, n_bkt=0)
         _seed_sink(spark, gen_dir, sink)
+        # epochs ABOVE the committed high-water survive verbatim: a
+        # crashed stream epoch gets overwritten by its replay; a direct
+        # dedup_ingest_batch epoch has no replay and must not be lost
+        for e in sorted(e for e in on_disk if e > hi):
+            G.clone_generation(
+                os.path.join(src, f"batch_id={e}"),
+                os.path.join(dst, f"batch_id={e}"),
+            )
         out[sink] = len(table_files(spark, dst))
     G.publish(store.base, gen)
     G.gc_generations(store.base, gen, cur)

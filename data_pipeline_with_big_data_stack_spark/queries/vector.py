@@ -1335,8 +1335,9 @@ def q_ann_ivfpq_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
     """Reader-safe generation-versioned lifecycle (round 8; extended to
     the FULL maintenance surface round 10): build over half the corpus
     with stale codebooks, append the other half (hardlink-clone + frozen
-    codebooks), expire the tombstone set, compact the cell files, then
-    retrain and search — every step through ``operators/
+    codebooks), compact the now-fragmented cells (asserted non-no-op),
+    expire the tombstone set, then retrain and search — every step
+    through ``operators/
     ann_index_versioned``, where each maintenance op publishes a whole
     immutable generation behind an atomic ``_CURRENT`` pointer, so a
     concurrent search never pauses and never sees a half-swapped index
@@ -1371,12 +1372,19 @@ def q_ann_ivfpq_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
         half, root, _km_demo_init(e, _K_CELLS), [cb0, cb1], sub_dim=_PQ_SUB
     )
     append_ivfpq_versioned(spark, root, rest)
+    # compact BEFORE expire: right after the append every cell holds
+    # build + append files (> 1), so the fold must actually run —
+    # expire's per-cell rewrite would leave 1 file per cell and turn
+    # max_files_per_cell=1 into a silent no-op. Raise if it skipped:
+    # a no-op here means the gate stopped exercising the compact path.
+    if compact_ivfpq_versioned(spark, root, max_files_per_cell=1) is None:
+        raise RuntimeError(
+            "versioned lifecycle gate: compaction skipped as a no-op — "
+            "the appended cells should have needed a fold"
+        )
     expire_ivfpq_versioned(
         spark, root, predicate=(F.col("vec_id") % _EXPIRE_MOD) == _EXPIRE_RES
     )
-    # every cell holds build + append files — force a real fold so the
-    # compaction generation is exercised, not skipped as a no-op
-    compact_ivfpq_versioned(spark, root, max_files_per_cell=1)
     retrain_ivfpq_versioned(spark, root, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
     probes = e.filter(
         (F.col("vec_id") < N_QUERY_VECS)

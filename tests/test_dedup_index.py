@@ -240,11 +240,15 @@ def test_compact_dedup_ingest_store_preserves_contents(spark):
         sink: len(table_files(spark, getattr(store, sink)))
         for sink in before
     }
+    # bucketed sinks fold via repartitionByRange(n_tasks, bkt, salt):
+    # every task writes one file per bucket it holds, and a range
+    # boundary can split a bucket across two tasks — ≤ n_bkt + n_tasks
+    # files (n_tasks == n_bkt at this size) + 1 seed
     floor = {
         "decisions": 2,
-        "bands_idx": store.n_bkt + 1,
-        "counts": store.n_bkt + 1,
-        "docstore": store.n_bkt + 1,
+        "bands_idx": 2 * store.n_bkt + 1,
+        "counts": 2 * store.n_bkt + 1,
+        "docstore": 2 * store.n_bkt + 1,
     }
     new_counts = DI.compact_dedup_ingest_store(spark, store)
     for sink, rows in before.items():
@@ -486,18 +490,56 @@ def test_compact_after_crashed_drain_preserves_committed_state_only(spark):
     except StreamingQueryException:
         pass
     # epoch 1 is on disk but NOT in ckpt/commits — compaction must fold
-    # only epoch 0 and drop the half-written dir
+    # only epoch 0; the half-written epoch-1 dir is carried VERBATIM
+    # (its replay overwrites it; dropping it would instead lose a
+    # direct-call epoch in mixed drive modes, tested below)
     DI.compact_dedup_ingest_store(spark, store)
     import re
 
-    folded = [
+    parts = sorted(
         d
         for d in os.listdir(store.bands_idx)
         if re.fullmatch(r"batch_id=\d+", d)
-    ]
-    assert folded == ["batch_id=0"], folded
+    )
+    assert parts == ["batch_id=0", "batch_id=1"], parts
     DI.run_dedup_ingest_stream(spark, src, store)
     got = sorted(
         map(tuple, spark.read.parquet(store.decisions).drop("batch_id").collect())
     )
     assert got == ref_dec
+
+
+def test_compact_preserves_direct_call_epochs_beyond_checkpoint(spark):
+    """Mixed drive modes: epochs appended via DIRECT dedup_ingest_batch
+    calls after the last drain never appear in ckpt/commits and have no
+    replay to resurrect them — the compactor must carry them into the
+    new generation, not silently drop everything above the checkpoint's
+    high-water mark."""
+    docs = _small_docs(spark)
+    store = _drain(spark, docs)  # stream-committed epochs 0..3
+    extra = spark.createDataFrame(
+        [(9_000_001, "alpha beta gamma delta epsilon zeta"),
+         (9_000_002, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    DI.dedup_ingest_batch(extra, 4, store)  # direct call, beyond ckpt
+    before_docs = sorted(
+        map(tuple, spark.read.parquet(store.docstore).drop("batch_id").collect())
+    )
+    dup_rows = (
+        spark.read.parquet(store.decisions)
+        .filter(F.col("doc_id") == 9_000_002)
+        .collect()
+    )
+    assert len(dup_rows) == 1 and dup_rows[0]["dup_of"] == 9_000_001
+    DI.compact_dedup_ingest_store(spark, store)
+    after_docs = sorted(
+        map(tuple, spark.read.parquet(store.docstore).drop("batch_id").collect())
+    )
+    assert after_docs == before_docs, "direct-call epoch lost by compaction"
+    still = (
+        spark.read.parquet(store.decisions)
+        .filter(F.col("doc_id") == 9_000_002)
+        .collect()
+    )
+    assert len(still) == 1 and still[0]["dup_of"] == 9_000_001
