@@ -179,7 +179,6 @@ def init_dedup_ingest_store(
     for sink in _SINKS:
         _seed_sink(spark, gen_dir, sink)
     G.publish(base, gen)
-    G.gc_generations(base, gen, None)
     st = DedupIngestStore(base)
     st._n_bkt = int(n_bkt)
     return st
@@ -255,10 +254,20 @@ def dedup_ingest_batch(
     tau: float = 0.8,
     max_bucket: int = 256,
     fail_after: str | None = None,
+    _stream_epoch: bool = False,
 ) -> None:
     """Process one micro-batch (the foreachBatch body). Deterministic
     given (batch contents, prior committed epochs); idempotent under
     retry — see module docstring.
+
+    A store has ONE writer sequence: either a streaming drain (whose
+    checkpoint owns the epoch numbering) or direct calls (the bench's
+    checkpoint-less pattern). A direct call against a stream-driven
+    store raises: its epoch id either collides with the stream's
+    numbering (the resumed drain reuses the id and its static overwrite
+    destroys the direct epoch) or sits above every future stream eid
+    (invisible to all ``batch_id < eid`` prior reads — the duplicates
+    it ingested are never consulted). Both are silent data loss.
 
     The generation is resolved ONCE here, so all seven sink accesses of
     the epoch (3 prior reads, 4 writes) land in the same tree even if a
@@ -279,6 +288,14 @@ def dedup_ingest_batch(
     )
 
     s = batch.sparkSession
+    if not _stream_epoch and _committed_hi(store) is not None:
+        raise RuntimeError(
+            f"dedup-ingest store at {store.base!r} is stream-driven (a "
+            "checkpoint exists) — direct dedup_ingest_batch epochs would "
+            "collide with or be invisible to the stream's epoch "
+            "numbering; feed new documents through the stream source "
+            "instead"
+        )
     if batch.isEmpty():
         return
     eid = int(eid)
@@ -417,6 +434,7 @@ def run_dedup_ingest_stream(
             tau=tau,
             max_bucket=max_bucket,
             fail_after=fail_after if eid == fail_epoch else None,
+            _stream_epoch=True,
         )
 
     # single-writer lock for the drain: the store compactor
@@ -463,12 +481,14 @@ def compact_dedup_ingest_store(
     bake uncommitted rows into the store and collide with the epoch id
     Spark REUSES on replay (whose ``batch_id < eid`` prior-filter would
     then exclude the whole folded partition — losing every prior
-    epoch). Epoch dirs ABOVE the committed high-water are hardlink-
-    carried into the new generation unchanged rather than dropped: a
-    crashed stream epoch is overwritten wholesale by its replay exactly
-    as before compaction, while an epoch written by a DIRECT
-    ``dedup_ingest_batch`` call after the last drain (the bench's
-    pattern) has no replay to resurrect it and must survive the fold.
+    epoch). Epoch dirs ABOVE the committed high-water — crashed
+    in-flight stream epochs (direct-call epochs cannot exist on a
+    stream-driven store; ``dedup_ingest_batch`` refuses them) — are
+    hardlink-carried into the new generation unchanged rather than
+    dropped, so compaction is a pure relayout: the replay overwrites
+    the carried dir exactly as it would have overwritten the original.
+    Checkpoint-less (direct-driven) stores treat every on-disk epoch as
+    committed and fold them all.
     Monotonic COMMITTED epoch ids make the fold safe: Spark never
     reuses a committed batch id after restart, so every future epoch's
     ``batch_id < eid`` prior-filter still covers the folded partition.
@@ -558,9 +578,9 @@ def _compact_into_new_generation(
                 )
                 _write_epoch(df, dst, hi, bkt_col, n_bkt=0)
         _seed_sink(spark, gen_dir, sink)
-        # epochs ABOVE the committed high-water survive verbatim: a
-        # crashed stream epoch gets overwritten by its replay; a direct
-        # dedup_ingest_batch epoch has no replay and must not be lost
+        # crashed in-flight epochs above the committed high-water
+        # survive verbatim; their checkpoint replay overwrites them
+        # exactly as it would have overwritten the originals
         for e in sorted(e for e in on_disk if e > hi):
             G.clone_generation(
                 os.path.join(src, f"batch_id={e}"),

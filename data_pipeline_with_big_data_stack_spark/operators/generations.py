@@ -104,8 +104,12 @@ def gc_generations(root: str, new: str, prev: str | None) -> None:
 
 
 def next_gen(root: str) -> str:
+    """Numerically after every existing generation — NOT the
+    lexicographically last one: at the 6-digit rollover
+    'gen-1000000' sorts BEFORE 'gen-999999', and deriving from the
+    sorted tail would hand a writer the name of the LIVE generation."""
     gens = list_generations(root)
-    n = int(gens[-1][len(GEN_PREFIX):]) + 1 if gens else 1
+    n = max((int(g[len(GEN_PREFIX):]) for g in gens), default=0) + 1
     return gen_name(n)
 
 

@@ -509,37 +509,27 @@ def test_compact_after_crashed_drain_preserves_committed_state_only(spark):
     assert got == ref_dec
 
 
-def test_compact_preserves_direct_call_epochs_beyond_checkpoint(spark):
-    """Mixed drive modes: epochs appended via DIRECT dedup_ingest_batch
-    calls after the last drain never appear in ckpt/commits and have no
-    replay to resurrect them — the compactor must carry them into the
-    new generation, not silently drop everything above the checkpoint's
-    high-water mark."""
-    docs = _small_docs(spark)
-    store = _drain(spark, docs)  # stream-committed epochs 0..3
+def test_direct_batch_refused_on_stream_driven_store(spark):
+    """One writer sequence per store: a direct dedup_ingest_batch call
+    against a store whose epochs are numbered by a streaming checkpoint
+    must raise — its epoch id would either be reused (and statically
+    overwritten) by a resumed drain, or sit above every future stream
+    eid and be invisible to all batch_id < eid prior reads. Both are
+    silent data loss; the refusal is loud."""
+    store = _drain(spark, _small_docs(spark))  # stream-committed 0..3
     extra = spark.createDataFrame(
-        [(9_000_001, "alpha beta gamma delta epsilon zeta"),
-         (9_000_002, "alpha beta gamma delta epsilon zeta")],
+        [(9_000_001, "alpha beta gamma delta epsilon zeta")],
         "doc_id long, text string",
     )
-    DI.dedup_ingest_batch(extra, 4, store)  # direct call, beyond ckpt
-    before_docs = sorted(
-        map(tuple, spark.read.parquet(store.docstore).drop("batch_id").collect())
-    )
-    dup_rows = (
-        spark.read.parquet(store.decisions)
-        .filter(F.col("doc_id") == 9_000_002)
-        .collect()
-    )
-    assert len(dup_rows) == 1 and dup_rows[0]["dup_of"] == 9_000_001
-    DI.compact_dedup_ingest_store(spark, store)
-    after_docs = sorted(
-        map(tuple, spark.read.parquet(store.docstore).drop("batch_id").collect())
-    )
-    assert after_docs == before_docs, "direct-call epoch lost by compaction"
-    still = (
-        spark.read.parquet(store.decisions)
-        .filter(F.col("doc_id") == 9_000_002)
-        .collect()
-    )
-    assert len(still) == 1 and still[0]["dup_of"] == 9_000_001
+    with pytest.raises(RuntimeError, match="stream-driven"):
+        DI.dedup_ingest_batch(extra, 4, store)
+
+
+def test_next_gen_survives_six_digit_rollover(tmp_path):
+    """gen-1000000 sorts lexicographically BEFORE gen-999999; next_gen
+    must derive numerically or the writer after the rollover is handed
+    the LIVE generation's name and corrupts it in place."""
+    root = str(tmp_path)
+    for g in ("gen-999999", "gen-1000000"):
+        os.makedirs(os.path.join(root, g))
+    assert G.next_gen(root) == "gen-1000001"
