@@ -424,7 +424,27 @@ def run_dedup_ingest_stream(
     """Drain ``src`` (a parquet file-source dir of (doc_id, text)
     chunks) through :func:`dedup_ingest_batch` with availableNow.
     ``fail_epoch``/``fail_after`` inject one crash for recovery tests;
-    restarting without them resumes from the checkpoint."""
+    restarting without them resumes from the checkpoint.
+
+    Refuses a DIRECT-driven store (epochs on disk but no checkpoint) —
+    the mirror of :func:`dedup_ingest_batch`'s refusal: a fresh
+    checkpoint numbers epochs from 0, so the drain's static overwrites
+    would wipe the direct epochs one id at a time while any above its
+    progress stay invisible to ``batch_id < eid`` prior reads."""
+    if _committed_hi(store) is None:
+        bands = store.bands_idx
+        stray = [
+            d
+            for d in os.listdir(bands)
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) >= 0
+        ]
+        if stray:
+            raise RuntimeError(
+                f"dedup-ingest store at {store.base!r} is direct-driven "
+                f"(epochs {sorted(stray)} exist with no checkpoint) — a "
+                "fresh drain would renumber from epoch 0 and overwrite "
+                "them; use a new store for streaming ingestion"
+            )
 
     def process(batch: DataFrame, eid: int) -> None:
         dedup_ingest_batch(

@@ -490,9 +490,9 @@ def test_compact_after_crashed_drain_preserves_committed_state_only(spark):
     except StreamingQueryException:
         pass
     # epoch 1 is on disk but NOT in ckpt/commits — compaction must fold
-    # only epoch 0; the half-written epoch-1 dir is carried VERBATIM
-    # (its replay overwrites it; dropping it would instead lose a
-    # direct-call epoch in mixed drive modes, tested below)
+    # only epoch 0; the half-written epoch-1 dir is carried VERBATIM so
+    # compaction stays a pure relayout (the checkpoint replay
+    # overwrites the carried dir exactly as it would the original)
     DI.compact_dedup_ingest_store(spark, store)
     import re
 
@@ -507,6 +507,65 @@ def test_compact_after_crashed_drain_preserves_committed_state_only(spark):
         map(tuple, spark.read.parquet(store.decisions).drop("batch_id").collect())
     )
     assert got == ref_dec
+
+
+def test_compact_folds_everything_on_direct_driven_store(spark, tmp_path):
+    """The checkpoint-less branch (ckpt_hi=None — the bench's store
+    shape): every on-disk epoch is committed by definition, so the
+    compactor must fold ALL of them into one partition and lose
+    nothing."""
+    store = DI.init_dedup_ingest_store(spark, str(tmp_path / "direct"))
+    docs = _small_docs(spark).collect()
+    quarters = [docs[i::4] for i in range(4)]
+    for e, rows in enumerate(quarters):
+        DI.dedup_ingest_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), e, store
+        )
+    before = {
+        s: sorted(
+            map(
+                tuple,
+                spark.read.parquet(getattr(store, s)).drop("batch_id").collect(),
+            )
+        )
+        for s in ("decisions", "bands_idx", "counts", "docstore")
+    }
+    DI.compact_dedup_ingest_store(spark, store)
+    import re
+
+    for s, rows in before.items():
+        after = sorted(
+            map(
+                tuple,
+                spark.read.parquet(getattr(store, s)).drop("batch_id").collect(),
+            )
+        )
+        assert after == rows, f"{s} changed by direct-store compaction"
+        parts = [
+            d
+            for d in os.listdir(getattr(store, s))
+            if re.fullmatch(r"batch_id=\d+", d)
+        ]
+        assert parts == ["batch_id=3"], (s, parts)
+
+
+def test_stream_refused_on_direct_driven_store(spark, tmp_path):
+    """Mirror of the direct-batch refusal: a fresh drain on a store
+    holding direct-call epochs would renumber from 0 and statically
+    overwrite them one id at a time — it must raise instead."""
+    store = DI.init_dedup_ingest_store(spark, str(tmp_path / "st"))
+    DI.dedup_ingest_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        0,
+        store,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with pytest.raises(RuntimeError, match="direct-driven"):
+        DI.run_dedup_ingest_stream(spark, src, store)
 
 
 def test_direct_batch_refused_on_stream_driven_store(spark):
