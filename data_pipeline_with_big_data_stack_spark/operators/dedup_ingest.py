@@ -73,6 +73,7 @@ _SINKS = ("decisions", "bands_idx", "counts", "docstore")
 _SINK_BKT = {"bands_idx": "bkt", "counts": "bkt", "docstore": "dbkt"}
 _DEFAULT_N_BKT = 16
 _META = "_meta.json"
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
 class DedupIngestStore:
@@ -420,11 +421,35 @@ def run_dedup_ingest_stream(
     fail_epoch: int | None = None,
     fail_after: str | None = None,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
+    target_file_bytes: int = _TARGET_FILE_BYTES,
 ) -> None:
     """Drain ``src`` (a parquet file-source dir of (doc_id, text)
     chunks) through :func:`dedup_ingest_batch` with availableNow.
     ``fail_epoch``/``fail_after`` inject one crash for recovery tests;
     restarting without them resumes from the checkpoint.
+
+    ``compact_every=N`` makes a long-running ingest SELF-MAINTAINING:
+    after every Nth epoch the drain folds the store in place (the
+    drain already holds the writer lock). The in-drain fold is
+    INCREMENTAL — only epochs past the previous fold marker are read
+    and rewritten, earlier fold partitions are hardlink-carried — so
+    each fold costs O(data since the last fold), and each byte is
+    rewritten once by the drain, not once per interval. Without
+    periodic folding the per-batch prior reads re-list every
+    accumulated epoch directory — O(epochs × buckets) metadata per
+    batch even when the data scan prunes — so the fold is what keeps
+    per-batch cost truly bounded over an unbounded stream. Safe under
+    retry: the fold only covers CHECKPOINT-committed epochs (the
+    in-flight epoch's fresh dirs are hardlink-carried and overwritten
+    by any replay), and a replayed epoch simply re-folds into one more
+    generation — a pure relayout each time. READER CADENCE: every fold
+    is a publish, and GC keeps exactly one grace generation, so a
+    serving read must complete within TWO fold intervals (2·N epochs)
+    of resolving the pointer — pick N accordingly (the same two-publish
+    contract as the versioned ANN root, with publishes now on a known
+    cadence). Run the manual :func:`compact_dedup_ingest_store`
+    occasionally to collapse the accumulated fold partitions to one.
 
     Refuses a DIRECT-driven store (epochs on disk but no checkpoint) —
     the mirror of :func:`dedup_ingest_batch`'s refusal: a fresh
@@ -432,16 +457,21 @@ def run_dedup_ingest_stream(
     would wipe the direct epochs one id at a time while any above its
     progress stay invisible to ``batch_id < eid`` prior reads."""
     if _committed_hi(store) is None:
-        bands = store.bands_idx
-        stray = [
-            d
-            for d in os.listdir(bands)
-            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) >= 0
-        ]
+        # check EVERY sink: decisions is written first, so a direct
+        # epoch that crashed mid-batch can exist there alone
+        gen_dir = os.path.join(store.base, store.current_generation())
+        stray = sorted(
+            {
+                int(d.split("=", 1)[1])
+                for s in _SINKS
+                for d in os.listdir(os.path.join(gen_dir, s))
+                if d.startswith("batch_id=") and int(d.split("=", 1)[1]) >= 0
+            }
+        )
         if stray:
             raise RuntimeError(
                 f"dedup-ingest store at {store.base!r} is direct-driven "
-                f"(epochs {sorted(stray)} exist with no checkpoint) — a "
+                f"(epochs {stray} exist with no checkpoint) — a "
                 "fresh drain would renumber from epoch 0 and overwrite "
                 "them; use a new store for streaming ingestion"
             )
@@ -456,6 +486,16 @@ def run_dedup_ingest_stream(
             fail_after=fail_after if eid == fail_epoch else None,
             _stream_epoch=True,
         )
+        if compact_every and eid > 0 and eid % compact_every == 0:
+            # drain holds the writer lock — INCREMENTAL fold in place
+            # (only epochs past the previous fold marker are rewritten;
+            # this epoch is not yet committed, so its dirs are carried
+            # verbatim and its replay overwrites them)
+            _compact_into_new_generation(
+                spark, store, target_file_bytes, full=False
+            )
+            if fail_after == "compact" and eid == fail_epoch:
+                raise RuntimeError("injected crash after in-drain fold")
 
     # single-writer lock for the drain: the store compactor
     # (compact_dedup_ingest_store) publishes new generations, so a
@@ -485,7 +525,7 @@ def run_dedup_ingest_stream(
 
 
 def compact_dedup_ingest_store(
-    spark: SparkSession, store: DedupIngestStore, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession, store: DedupIngestStore, target_file_bytes: int = _TARGET_FILE_BYTES
 ) -> dict[str, int]:
     """Small-file hygiene for a long-running ingest: every epoch appends
     ~1 file per sink per touched bucket, so thousands of micro-batches
@@ -551,17 +591,50 @@ def _committed_hi(store: DedupIngestStore) -> int | None:
 # task still holds only 1-2 buckets (hash-salting would instead give
 # every task a slice of every bucket — tasks × buckets files)
 _SINK_FOLD_SALT = {"bands_idx": "doc_id", "counts": "band_key", "docstore": "doc_id"}
+# generation-local marker (dot-prefixed — invisible to Spark's file
+# index) recording the epoch id incremental folds have folded through
+_FOLD_MARKER = ".folded_through"
+
+
+def _read_fold_marker(gen_dir: str) -> int:
+    try:
+        with open(os.path.join(gen_dir, _FOLD_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
 
 
 def _compact_into_new_generation(
-    spark: SparkSession, store: DedupIngestStore, target_file_bytes: int
+    spark: SparkSession,
+    store: DedupIngestStore,
+    target_file_bytes: int,
+    full: bool = True,
 ) -> dict[str, int]:
+    """``full=True`` folds every committed epoch into one partition —
+    the manual small-file collapse. ``full=False`` is the INCREMENTAL
+    fold the self-maintaining drain uses: only epochs past the previous
+    fold marker are read and rewritten; earlier fold partitions are
+    hardlink-carried (metadata-only). A long-running stream therefore
+    rewrites each byte once per full fold, not once per
+    ``compact_every`` interval — O(new data) per incremental fold, not
+    O(accumulated store)."""
     from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
 
     cur = store.current_generation()
+    cur_dir = os.path.join(store.base, cur)
     gen = G.next_gen(store.base)
     gen_dir = os.path.join(store.base, gen)
     ckpt_hi = _committed_hi(store)
+    lo = -1 if full else _read_fold_marker(cur_dir)
+    marker = lo
     out: dict[str, int] = {}
     for sink in _SINKS:
         src = os.path.join(store.base, cur, sink)
@@ -574,15 +647,25 @@ def _compact_into_new_generation(
             on_disk if ckpt_hi is None else [e for e in on_disk if e <= ckpt_hi]
         )
         hi = max(committed, default=-1)
+        fold_ids = [e for e in committed if lo < e <= hi]
         dst = os.path.join(gen_dir, sink)
-        if hi >= 0:
+        if fold_ids and hi >= 0:
             bkt_col = _SINK_BKT.get(sink)
             df = (
                 spark.read.parquet(src)
-                .filter(F.col("batch_id") <= F.lit(hi))
+                .filter(
+                    (F.col("batch_id") > F.lit(lo))
+                    & (F.col("batch_id") <= F.lit(hi))
+                )
                 .drop("batch_id")
             )
-            total = max(1, sum(os.path.getsize(f) for f in table_files(spark, src)))
+            total = max(
+                1,
+                sum(
+                    _dir_bytes(os.path.join(src, f"batch_id={e}"))
+                    for e in fold_ids
+                ),
+            )
             n_out = max(1, -(-total // target_file_bytes))
             if bkt_col is None:
                 df = df.repartition(int(n_out))
@@ -598,6 +681,14 @@ def _compact_into_new_generation(
                 )
                 _write_epoch(df, dst, hi, bkt_col, n_bkt=0)
         _seed_sink(spark, gen_dir, sink)
+        # prior incremental-fold partitions survive verbatim (their ids
+        # are all <= lo; the new fold covers only (lo, hi])
+        for e in sorted(e for e in on_disk if -1 < e <= lo):
+            G.clone_generation(
+                os.path.join(src, f"batch_id={e}"),
+                os.path.join(dst, f"batch_id={e}"),
+            )
+        marker = max(marker, hi)
         # crashed in-flight epochs above the committed high-water
         # survive verbatim; their checkpoint replay overwrites them
         # exactly as it would have overwritten the originals
@@ -607,6 +698,8 @@ def _compact_into_new_generation(
                 os.path.join(dst, f"batch_id={e}"),
             )
         out[sink] = len(table_files(spark, dst))
+    with open(os.path.join(gen_dir, _FOLD_MARKER), "w") as fh:
+        fh.write(f"{marker}\n")
     G.publish(store.base, gen)
     G.gc_generations(store.base, gen, cur)
     return out

@@ -592,3 +592,73 @@ def test_next_gen_survives_six_digit_rollover(tmp_path):
     for g in ("gen-999999", "gen-1000000"):
         os.makedirs(os.path.join(root, g))
     assert G.next_gen(root) == "gen-1000001"
+
+
+def test_self_maintaining_drain_equals_plain_drain(spark):
+    """compact_every folds the store from INSIDE the drain (under the
+    already-held writer lock) every N epochs — decisions must equal the
+    plain drain's, the store must end folded (bounded epoch-dir count),
+    and a crash straddling a fold boundary must still replay to the
+    same result."""
+    import re
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs = _small_docs(spark)
+    ref = sorted(
+        map(
+            tuple,
+            spark.read.parquet(_drain(spark, docs).decisions)
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+
+    store = _drain(spark, docs, compact_every=2)
+    got = sorted(
+        map(tuple, spark.read.parquet(store.decisions).drop("batch_id").collect())
+    )
+    assert got == ref
+    parts = sorted(
+        d for d in os.listdir(store.bands_idx) if re.fullmatch(r"batch_id=\d+", d)
+    )
+    # epochs 0..3 with folds after 2: fold@2 leaves {2, carried 3-less}…
+    # final state = folded partition + the post-fold epoch(s), never
+    # all four
+    assert len(parts) < 4, parts
+
+    # THE fold-boundary crash: epoch 2 writes all four sinks, the
+    # in-drain fold publishes a new generation (carrying uncommitted
+    # epoch 2 verbatim), and the driver dies BEFORE the checkpoint
+    # commit — the restart must replay epoch 2 against the folded
+    # generation (overwriting the carried dirs) to the same result
+    base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    store2 = DI.init_dedup_ingest_store(spark, base)
+    try:
+        DI.run_dedup_ingest_stream(
+            spark, src, store2, fail_epoch=2, fail_after="compact", compact_every=2
+        )
+        raise AssertionError("injected crash did not fire")
+    except StreamingQueryException:
+        pass
+    DI.run_dedup_ingest_stream(spark, src, store2, compact_every=2)
+    got2 = sorted(
+        map(tuple, spark.read.parquet(store2.decisions).drop("batch_id").collect())
+    )
+    assert got2 == ref
+    # a crash INSIDE the batch that would have triggered the fold
+    # (before the fold runs) must recover identically too
+    base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    store3 = DI.init_dedup_ingest_store(spark, base)
+    try:
+        DI.run_dedup_ingest_stream(
+            spark, src, store3, fail_epoch=2, fail_after="counts", compact_every=2
+        )
+        raise AssertionError("injected crash did not fire")
+    except StreamingQueryException:
+        pass
+    DI.run_dedup_ingest_stream(spark, src, store3, compact_every=2)
+    got3 = sorted(
+        map(tuple, spark.read.parquet(store3.decisions).drop("batch_id").collect())
+    )
+    assert got3 == ref
