@@ -445,11 +445,16 @@ def run_dedup_ingest_stream(
     by any replay), and a replayed epoch simply re-folds into one more
     generation — a pure relayout each time. READER CADENCE: every fold
     is a publish, and GC keeps exactly one grace generation, so a
-    serving read must complete within TWO fold intervals (2·N epochs)
-    of resolving the pointer — pick N accordingly (the same two-publish
-    contract as the versioned ANN root, with publishes now on a known
-    cadence). Run the manual :func:`compact_dedup_ingest_store`
-    occasionally to collapse the accumulated fold partitions to one.
+    serving read that resolved the pointer just before a publish
+    survives only until the NEXT publish — worst case ONE fold interval
+    (N epochs), and a crash-replay can put two publishes close
+    together. Size N well above the longest serving query, or serve
+    from a path snapshot taken outside fold windows (the same
+    two-publish contract as the versioned ANN root, with publishes now
+    on a known cadence). Incremental folds self-upgrade to a full
+    collapse on the LSM size-ratio trigger, so fold-partition count and
+    total rewrite work stay bounded without a manual
+    :func:`compact_dedup_ingest_store` cadence.
 
     Refuses a DIRECT-driven store (epochs on disk but no checkpoint) —
     the mirror of :func:`dedup_ingest_batch`'s refusal: a fresh
@@ -612,6 +617,13 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+# incremental folds upgrade to a FULL fold when the data since the last
+# full fold rivals the folded base (the LSM size-ratio policy — total
+# rewrite work stays O(data · log folds), not O(store² / interval)) or
+# when accumulated fold partitions would bloat per-batch dir listings
+_FULL_FOLD_MAX_PARTS = 16
+
+
 def _compact_into_new_generation(
     spark: SparkSession,
     store: DedupIngestStore,
@@ -622,10 +634,12 @@ def _compact_into_new_generation(
     the manual small-file collapse. ``full=False`` is the INCREMENTAL
     fold the self-maintaining drain uses: only epochs past the previous
     fold marker are read and rewritten; earlier fold partitions are
-    hardlink-carried (metadata-only). A long-running stream therefore
-    rewrites each byte once per full fold, not once per
-    ``compact_every`` interval — O(new data) per incremental fold, not
-    O(accumulated store)."""
+    hardlink-carried (metadata-only), and the fold self-upgrades to
+    full on the LSM size-ratio trigger (new data ≥ folded base) or
+    when fold partitions exceed ``_FULL_FOLD_MAX_PARTS``. Returns the
+    per-sink file counts for full folds; incremental folds skip that
+    recursive listing (it would itself be a per-fold O(store files)
+    cost on the streaming hot path) and return {}."""
     from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
 
     cur = store.current_generation()
@@ -634,6 +648,23 @@ def _compact_into_new_generation(
     gen_dir = os.path.join(store.base, gen)
     ckpt_hi = _committed_hi(store)
     lo = -1 if full else _read_fold_marker(cur_dir)
+    if not full and lo >= 0:
+        # upgrade decision on the representative bands sink
+        bands = os.path.join(cur_dir, "bands_idx")
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(bands)
+            if d.startswith("batch_id=")
+        ]
+        committed = [
+            e for e in ids if e >= 0 and (ckpt_hi is None or e <= ckpt_hi)
+        ]
+        base_ids = [e for e in committed if e <= lo]
+        new_ids = [e for e in committed if e > lo]
+        base_b = sum(_dir_bytes(os.path.join(bands, f"batch_id={e}")) for e in base_ids)
+        new_b = sum(_dir_bytes(os.path.join(bands, f"batch_id={e}")) for e in new_ids)
+        if new_b >= base_b or len(base_ids) >= _FULL_FOLD_MAX_PARTS:
+            full, lo = True, -1
     marker = lo
     out: dict[str, int] = {}
     for sink in _SINKS:
@@ -697,9 +728,14 @@ def _compact_into_new_generation(
                 os.path.join(src, f"batch_id={e}"),
                 os.path.join(dst, f"batch_id={e}"),
             )
-        out[sink] = len(table_files(spark, dst))
-    with open(os.path.join(gen_dir, _FOLD_MARKER), "w") as fh:
+        if full:
+            out[sink] = len(table_files(spark, dst))
+    mk_tmp = os.path.join(gen_dir, _FOLD_MARKER + ".tmp")
+    with open(mk_tmp, "w") as fh:
         fh.write(f"{marker}\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(mk_tmp, os.path.join(gen_dir, _FOLD_MARKER))
     G.publish(store.base, gen)
     G.gc_generations(store.base, gen, cur)
     return out
