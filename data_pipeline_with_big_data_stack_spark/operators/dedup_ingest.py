@@ -597,16 +597,22 @@ def _committed_hi(store: DedupIngestStore) -> int | None:
 # every task a slice of every bucket — tasks × buckets files)
 _SINK_FOLD_SALT = {"bands_idx": "doc_id", "counts": "band_key", "docstore": "doc_id"}
 # generation-local marker (dot-prefixed — invisible to Spark's file
-# index) recording the epoch id incremental folds have folded through
+# index): two frontiers, the epoch id incremental folds have folded
+# through and the id the last FULL fold collapsed through — the
+# size-ratio trigger compares what accumulated SINCE the full fold
+# against the full fold's base (comparing one interval's data against
+# the whole store would never fire in steady state)
 _FOLD_MARKER = ".folded_through"
 
 
-def _read_fold_marker(gen_dir: str) -> int:
+def _read_fold_marker(gen_dir: str) -> tuple[int, int]:
+    """(incremental_through, full_through); (-1, -1) when absent."""
     try:
         with open(os.path.join(gen_dir, _FOLD_MARKER)) as fh:
-            return int(fh.read().strip())
+            inc, full_ = (int(x) for x in fh.read().split())
+            return inc, full_
     except (FileNotFoundError, ValueError):
-        return -1
+        return -1, -1
 
 
 def _dir_bytes(path: str) -> int:
@@ -629,27 +635,38 @@ def _compact_into_new_generation(
     store: DedupIngestStore,
     target_file_bytes: int,
     full: bool = True,
+    report: bool | None = None,
 ) -> dict[str, int]:
     """``full=True`` folds every committed epoch into one partition —
     the manual small-file collapse. ``full=False`` is the INCREMENTAL
     fold the self-maintaining drain uses: only epochs past the previous
     fold marker are read and rewritten; earlier fold partitions are
     hardlink-carried (metadata-only), and the fold self-upgrades to
-    full on the LSM size-ratio trigger (new data ≥ folded base) or
-    when fold partitions exceed ``_FULL_FOLD_MAX_PARTS``. Returns the
-    per-sink file counts for full folds; incremental folds skip that
-    recursive listing (it would itself be a per-fold O(store files)
-    cost on the streaming hot path) and return {}."""
+    full on the LSM size-ratio trigger — everything accumulated SINCE
+    the last full fold has grown to rival that fold's base — or when
+    fold partitions exceed ``_FULL_FOLD_MAX_PARTS``. Base doubling
+    makes full folds exponentially spaced, so lifetime rewrite work is
+    O(data × log folds). ``report`` (default: follow the CALLER's
+    ``full``) controls the per-sink file-count listing — a recursive
+    walk the drain's hot path must not pay, even when a fold
+    self-upgrades."""
     from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
 
+    if report is None:
+        report = full
     cur = store.current_generation()
     cur_dir = os.path.join(store.base, cur)
     gen = G.next_gen(store.base)
     gen_dir = os.path.join(store.base, gen)
     ckpt_hi = _committed_hi(store)
-    lo = -1 if full else _read_fold_marker(cur_dir)
+    inc_mark, full_mark = (-1, -1) if full else _read_fold_marker(cur_dir)
+    lo = -1 if full else inc_mark
+    if lo < 0:
+        full = True  # a fold from the beginning IS a full fold
     if not full and lo >= 0:
-        # upgrade decision on the representative bands sink
+        # upgrade decision on the representative bands sink: compare
+        # what accumulated since the last FULL fold (prior incremental
+        # fold partitions + new epochs) against that fold's base
         bands = os.path.join(cur_dir, "bands_idx")
         ids = [
             int(d.split("=", 1)[1])
@@ -659,11 +676,18 @@ def _compact_into_new_generation(
         committed = [
             e for e in ids if e >= 0 and (ckpt_hi is None or e <= ckpt_hi)
         ]
-        base_ids = [e for e in committed if e <= lo]
-        new_ids = [e for e in committed if e > lo]
-        base_b = sum(_dir_bytes(os.path.join(bands, f"batch_id={e}")) for e in base_ids)
-        new_b = sum(_dir_bytes(os.path.join(bands, f"batch_id={e}")) for e in new_ids)
-        if new_b >= base_b or len(base_ids) >= _FULL_FOLD_MAX_PARTS:
+        base_b = sum(
+            _dir_bytes(os.path.join(bands, f"batch_id={e}"))
+            for e in committed
+            if e <= full_mark
+        )
+        since_full_b = sum(
+            _dir_bytes(os.path.join(bands, f"batch_id={e}"))
+            for e in committed
+            if e > full_mark
+        )
+        n_parts = len([e for e in committed if e <= lo])
+        if since_full_b >= base_b or n_parts >= _FULL_FOLD_MAX_PARTS:
             full, lo = True, -1
     marker = lo
     out: dict[str, int] = {}
@@ -728,14 +752,12 @@ def _compact_into_new_generation(
                 os.path.join(src, f"batch_id={e}"),
                 os.path.join(dst, f"batch_id={e}"),
             )
-        if full:
+        if report:
             out[sink] = len(table_files(spark, dst))
-    mk_tmp = os.path.join(gen_dir, _FOLD_MARKER + ".tmp")
-    with open(mk_tmp, "w") as fh:
-        fh.write(f"{marker}\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(mk_tmp, os.path.join(gen_dir, _FOLD_MARKER))
+    new_full_mark = marker if full else full_mark
+    G.atomic_write(
+        os.path.join(gen_dir, _FOLD_MARKER), f"{marker} {new_full_mark}\n"
+    )
     G.publish(store.base, gen)
     G.gc_generations(store.base, gen, cur)
     return out

@@ -76,15 +76,21 @@ def read_current(root: str, init_hint: str = "the store's init/build op") -> str
     return gen
 
 
-def publish(root: str, gen: str) -> None:
-    """Atomically flip the pointer to ``gen`` (write-temp + rename)."""
-    ptr = os.path.join(root, POINTER)
-    tmp = ptr + ".tmp"
+def atomic_write(path: str, text: str) -> None:
+    """Durably replace a small metadata file: write-temp + fsync +
+    rename, so a crash leaves either the old content or the new —
+    never a torn file."""
+    tmp = path + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(gen + "\n")
+        fh.write(text)
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(tmp, ptr)
+    os.replace(tmp, path)
+
+
+def publish(root: str, gen: str) -> None:
+    """Atomically flip the pointer to ``gen`` (write-temp + rename)."""
+    atomic_write(os.path.join(root, POINTER), gen + "\n")
 
 
 def gc_generations(root: str, new: str, prev: str | None) -> None:

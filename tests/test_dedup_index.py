@@ -662,3 +662,61 @@ def test_self_maintaining_drain_equals_plain_drain(spark):
         map(tuple, spark.read.parquet(store3.decisions).drop("batch_id").collect())
     )
     assert got3 == ref
+
+
+def test_incremental_fold_upgrades_to_full_on_size_ratio(spark, tmp_path):
+    """The LSM trigger: an incremental fold compares what accumulated
+    SINCE the last full fold against that fold's base and collapses
+    everything when they rival — pinned: (1) a small new epoch stays
+    incremental (two fold partitions, base untouched), (2) a new epoch
+    bigger than the base upgrades to a full fold (one partition), (3)
+    contents are preserved throughout."""
+    import re
+
+    def words(doc_id, n):
+        return (doc_id, " ".join(f"u{doc_id}w{i}" for i in range(n)))
+
+    def parts(store):
+        return sorted(
+            int(m.group(1))
+            for d in os.listdir(store.bands_idx)
+            if (m := re.fullmatch(r"batch_id=(\d+)", d))
+        )
+
+    store = DI.init_dedup_ingest_store(spark, str(tmp_path / "st"))
+    big0 = spark.createDataFrame(
+        [words(i, 120) for i in range(40)], "doc_id long, text string"
+    )
+    DI.dedup_ingest_batch(big0, 0, store)
+    # first in-drain fold: no marker yet -> folds from the beginning,
+    # records itself as the FULL fold base
+    DI._compact_into_new_generation(spark, store, 1 << 30, full=False)
+    assert parts(store) == [0]
+    assert DI._read_fold_marker(
+        os.path.join(store.base, store.current_generation())
+    ) == (0, 0)
+
+    small = spark.createDataFrame([words(100, 8)], "doc_id long, text string")
+    DI.dedup_ingest_batch(small, 1, store)
+    DI._compact_into_new_generation(spark, store, 1 << 30, full=False)
+    # small increment vs big base: stays incremental — base partition
+    # carried, new fold partition beside it
+    assert parts(store) == [0, 1]
+    assert DI._read_fold_marker(
+        os.path.join(store.base, store.current_generation())
+    ) == (1, 0)
+
+    # ~7x the base's band rows, so the byte comparison clears parquet
+    # per-file overhead noise at fixture scale with a wide margin
+    big2 = spark.createDataFrame(
+        [words(200 + i, 120) for i in range(300)], "doc_id long, text string"
+    )
+    DI.dedup_ingest_batch(big2, 2, store)
+    DI._compact_into_new_generation(spark, store, 1 << 30, full=False)
+    # since-full data now rivals the base: upgrade collapses everything
+    assert parts(store) == [2]
+    assert DI._read_fold_marker(
+        os.path.join(store.base, store.current_generation())
+    ) == (2, 2)
+    docs = spark.read.parquet(store.docstore).drop("batch_id")
+    assert docs.count() == 40 + 1 + 300
