@@ -31,6 +31,25 @@ def duck():
     con.close()
 
 
+def reset_managed_table(spark, *names: str) -> None:
+    """Self-healing setup for tests that ``saveAsTable`` a MANAGED
+    table: ``DROP TABLE IF EXISTS`` alone cannot clear a warehouse
+    directory leaked by an ABORTED prior run — the table was never
+    registered in this session's in-memory metastore, so the stale dir
+    survives the drop and the next ``saveAsTable`` dies with
+    LOCATION_ALREADY_EXISTS (VERDICT r10 #1). Drop the table AND remove
+    its warehouse location, so every build starts from a clean slate
+    regardless of how the previous run ended."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_dir = urlparse(wh).path if "://" in wh or wh.startswith("file:") else wh
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh_dir, name.lower()), ignore_errors=True)
+
+
 def register_duck_views(con, sf_dir: str) -> None:
     """Mirror the driver's oracle environment: each table pre-registered
     as a DuckDB view over the parquet file."""

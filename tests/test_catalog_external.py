@@ -8,6 +8,7 @@ import os
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark import catalog
+from tests.conftest import reset_managed_table
 from data_pipeline_with_big_data_stack_spark.sources import external
 
 
@@ -35,7 +36,7 @@ class TestCatalog:
         assert "__consumer_offsets" not in got
 
     def test_lineage_roundtrip(self, spark):
-        spark.sql("DROP TABLE IF EXISTS engine_lineage")
+        reset_managed_table(spark, "engine_lineage")
         catalog.record_lineage(
             spark,
             [
@@ -97,10 +98,10 @@ def test_rollup_store_registered_with_lineage(spark, tmp_path):
     from data_pipeline_with_big_data_stack_spark.tables import load_table
     from tests.conftest import SF_SMOKE
 
-    # engine_lineage is a MANAGED table: drop before AND after, or the
-    # warehouse directory outlives the in-memory metastore and breaks
-    # saveAsTable in every later session (LOCATION_ALREADY_EXISTS)
-    spark.sql("DROP TABLE IF EXISTS engine_lineage")
+    # engine_lineage is a MANAGED table: self-healing reset before,
+    # drop after — a bare DROP can't clear a warehouse dir leaked by an
+    # aborted run (LOCATION_ALREADY_EXISTS on the next saveAsTable)
+    reset_managed_table(spark, "engine_lineage")
     try:
         e = load_table(spark, SF_SMOKE, "events")
         path = str(tmp_path / "rollup")
@@ -130,7 +131,7 @@ def test_expire_then_repair_keeps_registered_table_servable(spark, tmp_path):
     from data_pipeline_with_big_data_stack_spark.tables import load_table
     from tests.conftest import SF_SMOKE
 
-    spark.sql("DROP TABLE IF EXISTS engine_lineage")
+    reset_managed_table(spark, "engine_lineage")
     try:
         e = load_table(spark, SF_SMOKE, "events")
         path = str(tmp_path / "rollup")

@@ -9,12 +9,13 @@ from pyspark.sql import functions as F
 from data_pipeline_with_big_data_stack_spark.operators import dedup_index
 from data_pipeline_with_big_data_stack_spark.queries.textops import q_dedup_minhash_lsh, q_dedup_ngram_jaccard
 from data_pipeline_with_big_data_stack_spark.tables import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, reset_managed_table
 
 
 @pytest.fixture(scope="module")
 def index_table(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
+    reset_managed_table(spark, "mh_index_test")
     dedup_index.build_minhash_index(docs, "mh_index_test", n_buckets=8)
     yield "mh_index_test"
     spark.sql("DROP TABLE IF EXISTS mh_index_test")
@@ -51,6 +52,7 @@ def test_incremental_append_unions_signatures(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents")
     first = docs.filter(F.col("doc_id") < 100)
     second = docs.filter(F.col("doc_id") >= 100)
+    reset_managed_table(spark, "mh_index_incr")
     dedup_index.build_minhash_index(first, "mh_index_incr", n_buckets=4)
     dedup_index.build_minhash_index(
         second, "mh_index_incr", n_buckets=4, mode="append"

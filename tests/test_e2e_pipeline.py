@@ -70,6 +70,9 @@ def pipeline_tables(spark, tmp_path_factory):
     ingest.ingest_batch(SPARK_ANALYTICS, sess_raw, sess_path)
     catalog.register_parquet_table(spark, "spark_analytics_datasource", sess_path)
 
+    from tests.conftest import reset_managed_table
+
+    reset_managed_table(spark, "e2e_lineage")  # managed table — self-heal
     catalog.record_lineage(
         spark,
         [

@@ -8,13 +8,14 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators import layout
 from data_pipeline_with_big_data_stack_spark.tables import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, reset_managed_table
 
 
 @pytest.fixture()
 def bucketed_pair(spark):
     o = load_table(spark, SF_SMOKE, "orders")
     c = load_table(spark, SF_SMOKE, "customer")
+    reset_managed_table(spark, "b_orders", "b_customer")
     layout.write_bucketed(o, "b_orders", ["o_custkey"], n_buckets=8)
     layout.write_bucketed(c, "b_customer", ["c_custkey"], n_buckets=8)
     yield "b_orders", "b_customer"
