@@ -21,10 +21,13 @@ collected and never re-assigned.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators import fsio
 from data_pipeline_with_big_data_stack_spark.operators.kmeans import _assign, _sqdist
 
 # Single-writer guard for the mutating index operations (append /
@@ -46,28 +49,6 @@ def _index_write_lock(spark: SparkSession, path: str):
 
     break_stale_lock(spark, path, suffix=_INDEX_LOCK_SUFFIX)
     return _acquire_lock(spark, path, suffix=_INDEX_LOCK_SUFFIX)
-
-
-def _require_local(path: str, op: str) -> str:
-    """The compaction/expire directory swaps use os.rename — atomic on a
-    local filesystem only. Raise early with a clear message on s3a:/
-    hdfs:/… instead of corrupting a remote index half-way through
-    (ADVICE r5); the build/append/search paths are scheme-agnostic.
-    Returns the path with any ``file:`` scheme stripped, since the
-    os-level swap calls need a plain filesystem path."""
-    if path.startswith("file:"):
-        from urllib.parse import urlparse
-
-        local = urlparse(path).path
-        if local:
-            return local
-    if "://" in path:
-        raise NotImplementedError(
-            f"{op} swaps directories via local rename and supports "
-            f"local paths only (got {path!r}); copy the index locally "
-            "or rebuild instead"
-        )
-    return path
 
 
 def _dot(a, b):
@@ -185,12 +166,9 @@ def build_ivfpq_index(
         # roll-forward recovery would publish a stale staged retrain
         # OVER this rebuild (retrain is re-runnable, so dropping a
         # crashed retrain's staging loses nothing)
-        if "://" not in path or path.startswith("file:"):
-            import shutil
-
-            local = _require_local(path, "build_ivfpq_index")
-            shutil.rmtree(local.rstrip("/") + "__retraining", ignore_errors=True)
-            shutil.rmtree(local.rstrip("/") + "__preretrain", ignore_errors=True)
+        fs = fsio.Fs(vecs.sparkSession, path)
+        fs.delete(path.rstrip("/") + "__retraining")
+        fs.delete(path.rstrip("/") + "__preretrain")
         coded = _coded_projection(
             vecs, coarse_codebook, pq_codebooks, sub_dim, id_col
         )
@@ -292,7 +270,7 @@ def _retrain_components(path: str) -> list[tuple[str, str]]:
     ]
 
 
-def _recover_retrain(path: str) -> bool:
+def _recover_retrain(path: str, fs: fsio.Fs) -> bool:
     """Heal a crashed :func:`retrain_ivfpq_index` so the index is always
     fully-old or fully-new, never mixed codes-vs-codebooks. Protocol
     invariants this decodes: the ``_ALL_STAGED`` marker is written only
@@ -304,28 +282,25 @@ def _recover_retrain(path: str) -> bool:
     order (park live, then publish staged): live+staged ⇒ live is the
     not-yet-parked original; live only ⇒ already published; staged only
     ⇒ parked but unpublished. Returns True if anything changed."""
-    import os
-    import shutil
-
     staging = path.rstrip("/") + "__retraining"
     park = path.rstrip("/") + "__preretrain"
     marker = os.path.join(staging, "_ALL_STAGED")
     changed = False
-    if os.path.exists(park):
-        if os.path.exists(marker):
+    if fs.exists(park):
+        if fs.exists(marker):
             for live, name in _retrain_components(path):
                 staged = os.path.join(staging, name)
                 parked = os.path.join(park, name)
-                if not os.path.exists(live):
-                    if os.path.exists(staged):
-                        os.rename(staged, live)
-                    elif os.path.exists(parked):
+                if not fs.exists(live):
+                    if fs.exists(staged):
+                        fs.rename(staged, live)
+                    elif fs.exists(parked):
                         # staged dir gone despite the _ALL_STAGED
                         # invariant (external cleanup/tampering): fall
                         # back to the parked pre-retrain copy so the
                         # index stays serveable instead of failing
                         # every writer entry with a bare rename error
-                        os.rename(parked, live)
+                        fs.rename(parked, live)
                     else:
                         raise RuntimeError(
                             "retrain recovery: index component "
@@ -337,18 +312,18 @@ def _recover_retrain(path: str) -> bool:
                             "build_ivfpq_index"
                         )
                     changed = True
-                elif os.path.exists(staged):
-                    os.rename(live, os.path.join(park, name))
-                    os.rename(staged, live)
+                elif fs.exists(staged):
+                    fs.rename(live, os.path.join(park, name))
+                    fs.rename(staged, live)
                     changed = True
         else:  # defensive: commit dir without a complete stage — roll back
             for live, name in _retrain_components(path):
                 parked = os.path.join(park, name)
-                if os.path.exists(parked) and not os.path.exists(live):
-                    os.rename(parked, live)
+                if fs.exists(parked) and not fs.exists(live):
+                    fs.rename(parked, live)
                     changed = True
-        shutil.rmtree(park, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+        fs.delete(park)
+    fs.delete(staging)
     return changed
 
 
@@ -388,20 +363,17 @@ def retrain_ivfpq_index(
     O(corpus) by design — retraining re-reads every source vector; run
     it at reindex cadence (recall-floor alerts, distribution-shift
     monitors), not per append. Readers must pause during the swap, same
-    contract as compact/expire. Local paths only."""
-    import os
-    import shutil
-
-    path = _require_local(path, "retrain_ivfpq_index")
+    contract as compact/expire."""
+    fs = fsio.Fs(spark, path)
     lease = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import (
             recover_compaction,
         )
 
-        recover_compaction(path)
-        _recover_expire(path)
-        _recover_retrain(path)
+        recover_compaction(path, fs=fs)
+        _recover_expire(path, fs)
+        _recover_retrain(path, fs)
         pq_tbl = spark.read.parquet(path + "_pq_codebook")
         n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
         sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
@@ -417,8 +389,8 @@ def retrain_ivfpq_index(
             vecs, k_coarse, k_pq, sub_dim, n_sub, iters=iters, id_col=id_col
         )
         staging = path.rstrip("/") + "__retraining"
-        shutil.rmtree(staging, ignore_errors=True)
-        os.makedirs(staging)
+        fs.delete(staging)
+        fs.mkdirs(staging)
         build_ivfpq_index(
             vecs,
             os.path.join(staging, "index"),
@@ -427,17 +399,16 @@ def retrain_ivfpq_index(
             sub_dim=sub_dim,
             id_col=id_col,
         )
-        with open(os.path.join(staging, "_ALL_STAGED"), "w") as fh:
-            fh.write("staged\n")
+        fs.write_text_atomic(os.path.join(staging, "_ALL_STAGED"), "staged\n")
         park = path.rstrip("/") + "__preretrain"
-        os.makedirs(park)
+        fs.mkdirs(park)
         comps = _retrain_components(path)
         for live, name in comps:
-            os.rename(live, os.path.join(park, name))
+            fs.rename(live, os.path.join(park, name))
         for live, name in comps:
-            os.rename(os.path.join(staging, name), live)
-        shutil.rmtree(park, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+            fs.rename(os.path.join(staging, name), live)
+        fs.delete(park)
+        fs.delete(staging)
     finally:
         lease.release()
 
@@ -479,26 +450,21 @@ def append_to_ivfpq_index(
     files untouched. Callers own id uniqueness across appends, same as
     any append-mode sink. Holds the index's single-writer lock so an
     append can never race a compaction/expire swap (whose backup-dir
-    teardown would silently discard the freshly appended files) — local
-    ``file:`` URIs normalize to the same plain path compact/expire lock
-    on, so all three writers exclude each other. Local appends also
-    heal crashed swap states BEFORE writing: recreating a live cell dir
-    on top of a crashed expire/compaction swap would poison the
+    teardown would silently discard the freshly appended files). Appends
+    also heal crashed swap states BEFORE writing: recreating a live cell
+    dir on top of a crashed expire/compaction swap would poison the
     "live exists ⇒ swap completed" inference those recoveries rely on,
     and the next maintenance entry would discard the parked originals."""
-    remote = "://" in path and not path.startswith("file:")
-    if not remote:
-        path = _require_local(path, "append_to_ivfpq_index")
+    fs = fsio.Fs(spark, path)
     lease = _index_write_lock(spark, path)
     try:
-        if not remote:
-            from data_pipeline_with_big_data_stack_spark.operators.layout import (
-                recover_compaction,
-            )
+        from data_pipeline_with_big_data_stack_spark.operators.layout import (
+            recover_compaction,
+        )
 
-            recover_compaction(path)
-            _recover_expire(path)
-            _recover_retrain(path)
+        recover_compaction(path, fs=fs)
+        _recover_expire(path, fs)
+        _recover_retrain(path, fs)
         # sidecars are read AFTER the lock + recovery: retrain rewrites
         # them, so a pre-lock read could code this batch against stale
         # (or crash-mixed) codebooks and poison the index silently
@@ -520,18 +486,17 @@ def compact_ivfpq_index(
     a plain repartition(n) would spray every task across every cell
     dir) and swap directories; the codebook sidecars are untouched and
     search results are byte-identical. Returns the new file count, or
-    0 if no cell was over threshold (no-op). Same local-rename swap
-    contract as ``operators/layout.compact_table``, including crash
-    recovery on entry (``layout.recover_compaction``); local paths
-    only, and holds the index's single-writer lock for the whole
-    read→rewrite→swap cycle so concurrent appends can't be lost.
+    0 if no cell was over threshold (no-op). Same rename-swap contract
+    as ``operators/layout.compact_table``, including crash recovery on
+    entry (``layout.recover_compaction``); holds the index's
+    single-writer lock for the whole read→rewrite→swap cycle so
+    concurrent appends can't be lost.
 
     Reader contract: the lock serializes WRITERS only. A concurrent
     ``search_ivfpq_index`` that lists the directory inside the
     live→``__precompact``→live rename window can hit FileNotFound —
     serving must pause (or search a snapshot copy) while a compaction
     runs on a shared index (ADVICE r6)."""
-    import os
     from collections import Counter
 
     from data_pipeline_with_big_data_stack_spark.operators.layout import (
@@ -539,15 +504,15 @@ def compact_ivfpq_index(
         table_files,
     )
 
-    path = _require_local(path, "compact_ivfpq_index")
+    fs = fsio.Fs(spark, path)
     lease = _index_write_lock(spark, path)
     try:
         # heal ALL writers' crash states before reading: a compaction
         # over an index with a cell still parked in __preexpire would
         # rewrite without it and the swap would orphan the parked copy
-        recover_compaction(path)
-        _recover_expire(path)
-        _recover_retrain(path)
+        recover_compaction(path, fs=fs)
+        _recover_expire(path, fs)
+        _recover_retrain(path, fs)
         per_cell = Counter(os.path.dirname(f) for f in table_files(spark, path))
         if not per_cell or max(per_cell.values()) <= max_files_per_cell:
             return 0
@@ -560,17 +525,15 @@ def compact_ivfpq_index(
             .parquet(staging)
         )
         backup = path.rstrip("/") + "__precompact"
-        os.rename(path, backup)
-        os.rename(staging, path)
-        import shutil
-
-        shutil.rmtree(backup, ignore_errors=True)
+        fs.rename(path, backup)
+        fs.rename(staging, path)
+        fs.delete(backup)
         return len(table_files(spark, path))
     finally:
         lease.release()
 
 
-def _recover_expire(path: str) -> bool:
+def _recover_expire(path: str, fs: fsio.Fs) -> bool:
     """Heal a crashed :func:`expire_vectors` swap. For every cell dir
     parked in ``__preexpire``: if the live cell is MISSING the crash hit
     between the two renames — restore the original (a retry of the
@@ -578,25 +541,22 @@ def _recover_expire(path: str) -> bool:
     if the live cell exists the swap completed — the parked copy is the
     superseded original, drop it. Stale staging is removed either way.
     Returns True if anything was restored."""
-    import os
-    import shutil
-
     trash = path.rstrip("/") + "__preexpire"
     staging = path.rstrip("/") + "__expiring"
     restored = False
-    if os.path.exists(trash):
-        for name in os.listdir(trash):
+    if fs.exists(trash):
+        for name in fs.list_names(trash):
             if not name.startswith("cell_id="):
                 continue
             live = os.path.join(path, name)
             parked = os.path.join(trash, name)
-            if os.path.exists(live):
-                shutil.rmtree(parked, ignore_errors=True)
+            if fs.exists(live):
+                fs.delete(parked)
             else:
-                os.rename(parked, live)
+                fs.rename(parked, live)
                 restored = True
-        shutil.rmtree(trash, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+        fs.delete(trash)
+    fs.delete(staging)
     return restored
 
 
@@ -618,7 +578,7 @@ def expire_vectors(
     Scale shape: the tombstone scan finds the affected CELLS (metadata-
     scale collect, like the nprobe pruning), survivors of only those
     cells are rewritten hash-partitioned by cell, and each affected cell
-    directory is swapped by atomic local rename (live → ``__preexpire``,
+    directory is swapped by rename (live → ``__preexpire``,
     staged → live). Untouched cells are never read or rewritten —
     O(affected cells), not O(index). Crash-safe: :func:`_recover_expire`
     runs on entry, restoring any half-swapped cell before the retry
@@ -632,12 +592,9 @@ def expire_vectors(
     or silently miss that cell's candidates — serving must pause (or
     search a snapshot copy) while an expiry runs on a shared index;
     unaffected cells are never disturbed (ADVICE r6)."""
-    import os
-    import shutil
-
     if (ids is None) == (predicate is None):
         raise ValueError("pass exactly one of ids / predicate")
-    path = _require_local(path, "expire_vectors")
+    fs = fsio.Fs(spark, path)
     lease = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import recover_compaction
@@ -645,9 +602,9 @@ def expire_vectors(
         # compaction recovery FIRST: a crashed compaction swap leaves
         # the index dir itself missing, and restoring parked expire
         # cells needs the dir back in place
-        recover_compaction(path)
-        _recover_expire(path)
-        _recover_retrain(path)
+        recover_compaction(path, fs=fs)
+        _recover_expire(path, fs)
+        _recover_retrain(path, fs)
         index = spark.read.parquet(path)
         if predicate is not None:
             # three-valued logic guard: a predicate that evaluates NULL
@@ -690,15 +647,15 @@ def expire_vectors(
             .partitionBy("cell_id")
             .parquet(staging)
         )
-        os.makedirs(trash, exist_ok=True)
+        fs.mkdirs(trash)
         for c in cells:
             part = f"cell_id={c}"
-            os.rename(os.path.join(path, part), os.path.join(trash, part))
+            fs.rename(os.path.join(path, part), os.path.join(trash, part))
             staged = os.path.join(staging, part)
-            if os.path.exists(staged):  # absent ⇒ the cell expired empty
-                os.rename(staged, os.path.join(path, part))
+            if fs.exists(staged):  # absent ⇒ the cell expired empty
+                fs.rename(staged, os.path.join(path, part))
         if not any(
-            n.startswith("cell_id=") for n in os.listdir(path)
+            n.startswith("cell_id=") for n in fs.list_names(path)
         ):
             # an expiry that emptied EVERY cell (full purge / total
             # opt-out) must not leave a directory Spark can't infer a
@@ -711,8 +668,8 @@ def expire_vectors(
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, "cell_id=-1"))
             )
-        shutil.rmtree(trash, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.delete(trash)
+        fs.delete(staging)
         return n_removed
     finally:
         lease.release()

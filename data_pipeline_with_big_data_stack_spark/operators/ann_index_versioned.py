@@ -29,7 +29,7 @@ the root's single-writer lock:
    the delta (append: O(#files) link cost, zero byte copies — the new
    generation shares immutable code files with its predecessor);
 2. publish by atomically replacing the ``_CURRENT`` pointer
-   (write-temp + ``os.replace``);
+   (write-temp + atomic rename, `operators/fsio`);
 3. GC every generation except the new one and the generation that was
    PUBLISHED before it (passed explicitly — a directory listing cannot
    tell the real predecessor from a crashed writer's unpublished
@@ -40,25 +40,25 @@ the root's single-writer lock:
    never pointer-visible and always vanish at the next publish's GC.
 
 Scale notes: the pointer file and generation naming are O(1) metadata;
-hardlink cloning is metadata-only on any POSIX filesystem; every data
-job inside is the corresponding ``ann_index`` op unchanged (broadcast
-codebooks, partition-pruned code scans, zero corpus shuffles). Local
-filesystems only — object stores would version via a manifest/pointer
-object instead of hardlinks (same protocol, different clone primitive).
+hardlink cloning is metadata-only on any POSIX filesystem (remote
+roots clone by copy — ``fsio.Fs.clone_tree``); every data job inside
+is the corresponding ``ann_index`` op unchanged (broadcast codebooks,
+partition-pruned code scans, zero corpus shuffles). All protocol
+filesystem access goes through the Hadoop FS API (`operators/fsio`),
+so the root may live on any supported scheme.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_with_big_data_stack_spark.operators import fsio
 from data_pipeline_with_big_data_stack_spark.operators import generations as G
 from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
     _index_write_lock,
-    _require_local,
     build_ivfpq_index,
     search_ivfpq_index,
     train_ivfpq_codebooks,
@@ -108,12 +108,12 @@ def build_ivfpq_versioned(
     """Initialize (or wholesale-replace) a versioned index root: build
     generation N+1 from scratch, publish, GC. Returns the generation
     name."""
-    root = _require_local(root, "build_ivfpq_versioned")
-    os.makedirs(root, exist_ok=True)
+    fs = fsio.Fs(vecs.sparkSession, root)
+    fs.mkdirs(root)
     lease = _index_write_lock(vecs.sparkSession, root)
     try:
-        prev = G.read_current_or_none(root)
-        gen = _next_gen(root)
+        prev = G.read_current_or_none(root, fs=fs)
+        gen = _next_gen(root, fs=fs)
         build_ivfpq_index(
             vecs,
             _gen_index(root, gen),
@@ -122,8 +122,8 @@ def build_ivfpq_versioned(
             sub_dim=sub_dim,
             id_col=id_col,
         )
-        _publish(root, gen)
-        _gc(root, gen, prev)
+        _publish(root, gen, fs=fs)
+        _gc(root, gen, prev, fs=fs)
         return gen
     finally:
         lease.release()
@@ -142,7 +142,6 @@ def search_ivfpq_versioned(
     concurrent maintenance — a publish during the query flips the
     pointer for FUTURE resolutions; this query keeps reading the
     generation it resolved (retained as the grace predecessor)."""
-    root = _require_local(root, "search_ivfpq_versioned")
     return search_ivfpq_index(
         spark, current_index_path(root), probes, nprobe=nprobe, k=k, id_col=id_col
     )
@@ -156,19 +155,19 @@ def append_ivfpq_versioned(
     codebooks via ``append_to_ivfpq_index``, publish the clone. The
     predecessor's files are untouched — appended files exist only in
     the new generation."""
-    root = _require_local(root, "append_ivfpq_versioned")
+    fs = fsio.Fs(spark, root)
     lease = _index_write_lock(spark, root)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
             append_to_ivfpq_index,
         )
 
-        cur = read_current(root)
-        gen = _next_gen(root)
-        _clone_generation(os.path.join(root, cur), os.path.join(root, gen))
+        cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
+        gen = _next_gen(root, fs=fs)
+        _clone_generation(os.path.join(root, cur), os.path.join(root, gen), fs=fs)
         append_to_ivfpq_index(spark, _gen_index(root, gen), vecs, id_col=id_col)
-        _publish(root, gen)
-        _gc(root, gen, cur)
+        _publish(root, gen, fs=fs)
+        _gc(root, gen, cur, fs=fs)
         return gen
     finally:
         lease.release()
@@ -182,24 +181,24 @@ def compact_ivfpq_versioned(
     files — the predecessor keeps the originals), publish. Returns the
     new generation, or None if no cell was over threshold (no new
     generation is published for a no-op)."""
-    root = _require_local(root, "compact_ivfpq_versioned")
+    fs = fsio.Fs(spark, root)
     lease = _index_write_lock(spark, root)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
             compact_ivfpq_index,
         )
 
-        cur = read_current(root)
-        gen = _next_gen(root)
-        _clone_generation(os.path.join(root, cur), os.path.join(root, gen))
+        cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
+        gen = _next_gen(root, fs=fs)
+        _clone_generation(os.path.join(root, cur), os.path.join(root, gen), fs=fs)
         changed = compact_ivfpq_index(
             spark, _gen_index(root, gen), max_files_per_cell=max_files_per_cell
         )
         if not changed:
-            shutil.rmtree(os.path.join(root, gen), ignore_errors=True)
+            fs.delete(os.path.join(root, gen))
             return None
-        _publish(root, gen)
-        _gc(root, gen, cur)
+        _publish(root, gen, fs=fs)
+        _gc(root, gen, cur, fs=fs)
         return gen
     finally:
         lease.release()
@@ -215,21 +214,21 @@ def expire_ivfpq_versioned(
     """Retention as a new generation: clone, drop the expired vectors
     from the clone via ``expire_vectors`` (same ids-or-predicate
     surface), publish."""
-    root = _require_local(root, "expire_ivfpq_versioned")
+    fs = fsio.Fs(spark, root)
     lease = _index_write_lock(spark, root)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
             expire_vectors,
         )
 
-        cur = read_current(root)
-        gen = _next_gen(root)
-        _clone_generation(os.path.join(root, cur), os.path.join(root, gen))
+        cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
+        gen = _next_gen(root, fs=fs)
+        _clone_generation(os.path.join(root, cur), os.path.join(root, gen), fs=fs)
         expire_vectors(
             spark, _gen_index(root, gen), ids=ids, predicate=predicate, id_col=id_col
         )
-        _publish(root, gen)
-        _gc(root, gen, cur)
+        _publish(root, gen, fs=fs)
+        _gc(root, gen, cur, fs=fs)
         return gen
     finally:
         lease.release()
@@ -251,10 +250,10 @@ def retrain_ivfpq_versioned(
     inherited because the new generation IS a fresh build). Readers of
     the old generation are undisturbed; the publish is one pointer
     rename."""
-    root = _require_local(root, "retrain_ivfpq_versioned")
+    fs = fsio.Fs(spark, root)
     lease = _index_write_lock(spark, root)
     try:
-        cur = read_current(root)
+        cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
         cur_index = _gen_index(root, cur)
         pq_tbl = spark.read.parquet(cur_index + "_pq_codebook")
         n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
@@ -270,7 +269,7 @@ def retrain_ivfpq_versioned(
         coarse_cb, pq_cbs = train_ivfpq_codebooks(
             vecs, k_coarse, k_pq, sub_dim, n_sub, iters=iters, id_col=id_col
         )
-        gen = _next_gen(root)
+        gen = _next_gen(root, fs=fs)
         build_ivfpq_index(
             vecs,
             _gen_index(root, gen),
@@ -279,8 +278,8 @@ def retrain_ivfpq_versioned(
             sub_dim=sub_dim,
             id_col=id_col,
         )
-        _publish(root, gen)
-        _gc(root, gen, cur)
+        _publish(root, gen, fs=fs)
+        _gc(root, gen, cur, fs=fs)
         return gen
     finally:
         lease.release()

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from data_pipeline_with_big_data_stack_spark.operators import fsio
 from data_pipeline_with_big_data_stack_spark.operators import generations as G
 
 _SINKS = ("decisions", "bands_idx", "counts", "docstore")
@@ -85,16 +86,28 @@ class DedupIngestStore:
     monotonic across compactions, so a folded store keeps satisfying
     every future ``batch_id < eid`` prior-read)."""
 
-    def __init__(self, base: str):
+    def __init__(self, base: str, fs: fsio.Fs | None = None):
         self.base = base
         self._n_bkt: int | None = None
+        self._fs = fs
+
+    @property
+    def fs(self) -> fsio.Fs:
+        """Cached Hadoop-FS handle for the store root (resolved once —
+        per-batch protocol reads must not re-resolve a FileSystem)."""
+        if self._fs is None:
+            self._fs = fsio.default_fs(self.base)
+        return self._fs
 
     @property
     def n_bkt(self) -> int:
         if self._n_bkt is None:
             try:
-                with open(os.path.join(self.base, _META)) as fh:
-                    self._n_bkt = int(json.load(fh)["n_bkt"])
+                self._n_bkt = int(
+                    json.loads(self.fs.read_text(os.path.join(self.base, _META)))[
+                        "n_bkt"
+                    ]
+                )
             except FileNotFoundError:
                 # NEVER guess: a wrong modulus silently misfiles every
                 # lookup (prior state appears empty, duplicates slip in)
@@ -106,7 +119,9 @@ class DedupIngestStore:
         return self._n_bkt
 
     def current_generation(self) -> str:
-        return G.read_current(self.base, init_hint="init_dedup_ingest_store")
+        return G.read_current(
+            self.base, init_hint="init_dedup_ingest_store", fs=self.fs
+        )
 
     def _sink(self, name: str) -> str:
         return os.path.join(self.base, self.current_generation(), name)
@@ -155,15 +170,16 @@ def init_dedup_ingest_store(
     generation over the accumulated store (orphaning every committed
     epoch while the old checkpoint blocks re-ingestion) and could
     silently rewrite n_bkt under data bucketed with the old value."""
-    os.makedirs(base, exist_ok=True)
+    fs = fsio.Fs(spark, base)
+    fs.mkdirs(base)
     meta = os.path.join(base, _META)
     # any trace of a prior store refuses — checking only the pointer
     # would let a truncated/lost _CURRENT file bypass the guard and GC
     # every surviving generation of accumulated data
     if (
-        G.read_current_or_none(base) is not None
-        or G.list_generations(base)
-        or os.path.exists(meta)
+        G.read_current_or_none(base, fs=fs) is not None
+        or G.list_generations(base, fs=fs)
+        or fs.exists(meta)
     ):
         raise FileExistsError(
             f"dedup-ingest store at {base!r} is already initialized (or "
@@ -171,16 +187,13 @@ def init_dedup_ingest_store(
             "DedupIngestStore(base), repair the _CURRENT pointer, or "
             "delete the base directory to start over"
         )
-    tmp = meta + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"n_bkt": int(n_bkt)}, fh)
-    os.replace(tmp, meta)
-    gen = G.next_gen(base)
+    fs.write_text_atomic(meta, json.dumps({"n_bkt": int(n_bkt)}))
+    gen = G.next_gen(base, fs=fs)
     gen_dir = os.path.join(base, gen)
     for sink in _SINKS:
         _seed_sink(spark, gen_dir, sink)
-    G.publish(base, gen)
-    st = DedupIngestStore(base)
+    G.publish(base, gen, fs=fs)
+    st = DedupIngestStore(base, fs=fs)
     st._n_bkt = int(n_bkt)
     return st
 
@@ -255,6 +268,7 @@ def dedup_ingest_batch(
     tau: float = 0.8,
     max_bucket: int = 256,
     fail_after: str | None = None,
+    allow_refolded_replay: bool = False,
     _stream_epoch: bool = False,
 ) -> None:
     """Process one micro-batch (the foreachBatch body). Deterministic
@@ -270,36 +284,103 @@ def dedup_ingest_batch(
     (invisible to all ``batch_id < eid`` prior reads — the duplicates
     it ingested are never consulted). Both are silent data loss.
 
+    A direct epoch id at or below the store's FOLD frontier also
+    raises: after a compaction folds epochs 0..hi into the single
+    ``batch_id=hi`` partition, replaying eid == hi statically
+    overwrites that partition (destroying every folded epoch) and
+    replaying eid < hi re-materializes rows the fold already carries
+    (every later batch would read them twice). Same-id replay is only
+    idempotent ABOVE the fold frontier, where the original partition
+    still exists to be overwritten. ``allow_refolded_replay=True`` is
+    the explicit opt-out for deliberate rebuild-from-source replays.
+
     The generation is resolved ONCE here, so all seven sink accesses of
     the epoch (3 prior reads, 4 writes) land in the same tree even if a
     pointer flip happens mid-batch. :func:`run_dedup_ingest_stream`
     holds the store's single-writer lock around the whole drain; a
-    DIRECT caller that could race a compactor on another driver must
-    take the same lock itself (``ann_index._index_write_lock`` on
-    ``store.base``) — the bench's single-process use needs neither.
+    DIRECT call takes the same lock itself for the whole
+    check-and-write cycle, so its refusal checks can never race a
+    compactor on another driver publishing/GC'ing the generation
+    being inspected (ADVICE r10).
 
     ``fail_after`` is a crash-injection hook for tests: one of
     ``'decisions' | 'bands_idx' | 'counts' | 'docstore'`` raises
     RuntimeError immediately after that sink's write, simulating a crash
     between the write and the checkpoint commit.
     """
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _index_write_lock,
+    )
     from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
         minhash_signatures,
         verify_jaccard,
     )
 
     s = batch.sparkSession
-    if not _stream_epoch and _committed_hi(store) is not None:
-        raise RuntimeError(
-            f"dedup-ingest store at {store.base!r} is stream-driven (a "
-            "checkpoint exists) — direct dedup_ingest_batch epochs would "
-            "collide with or be invisible to the stream's epoch "
-            "numbering; feed new documents through the stream source "
-            "instead"
+    lease = _index_write_lock(s, store.base) if not _stream_epoch else None
+    try:
+        _dedup_ingest_batch_locked(
+            batch,
+            eid,
+            store,
+            tau=tau,
+            max_bucket=max_bucket,
+            fail_after=fail_after,
+            allow_refolded_replay=allow_refolded_replay,
+            _stream_epoch=_stream_epoch,
+            _minhash_signatures=minhash_signatures,
+            _verify_jaccard=verify_jaccard,
         )
+    finally:
+        if lease is not None:
+            lease.release()
+
+
+def _dedup_ingest_batch_locked(
+    batch: DataFrame,
+    eid: int,
+    store: DedupIngestStore,
+    *,
+    tau: float,
+    max_bucket: int,
+    fail_after: str | None,
+    allow_refolded_replay: bool,
+    _stream_epoch: bool,
+    _minhash_signatures,
+    _verify_jaccard,
+) -> None:
+    minhash_signatures, verify_jaccard = _minhash_signatures, _verify_jaccard
+    s = batch.sparkSession
+    eid = int(eid)
+    if not _stream_epoch:
+        # refusal checks run UNDER the writer lock (taken by the
+        # caller), with the generation resolved after acquisition —
+        # a concurrent compactor can no longer publish/GC the tree
+        # between the check and the writes (ADVICE r10 TOCTOU)
+        if _committed_hi(store) is not None:
+            raise RuntimeError(
+                f"dedup-ingest store at {store.base!r} is stream-driven (a "
+                "checkpoint exists) — direct dedup_ingest_batch epochs would "
+                "collide with or be invisible to the stream's epoch "
+                "numbering; feed new documents through the stream source "
+                "instead"
+            )
+        folded_hi, _full = _read_fold_marker(
+            os.path.join(store.base, store.current_generation()), store.fs
+        )
+        if eid <= folded_hi and not allow_refolded_replay:
+            raise RuntimeError(
+                f"dedup-ingest store at {store.base!r} has folded epochs "
+                f"through batch_id={folded_hi}; a direct epoch {eid} at or "
+                "below that frontier would overwrite the folded partition "
+                "(eid == frontier: every folded epoch is destroyed) or "
+                "duplicate rows the fold already carries (eid < frontier). "
+                "Use a fresh epoch id above the frontier, or pass "
+                "allow_refolded_replay=True for a deliberate "
+                "rebuild-from-source replay"
+            )
     if batch.isEmpty():
         return
-    eid = int(eid)
     n_bkt = store.n_bkt
     gen_dir = os.path.join(store.base, store.current_generation())
     sink = {name: os.path.join(gen_dir, name) for name in _SINKS}
@@ -423,6 +504,7 @@ def run_dedup_ingest_stream(
     max_files_per_trigger: int = 1,
     compact_every: int | None = None,
     target_file_bytes: int = _TARGET_FILE_BYTES,
+    reader_grace_seconds: float = 0.0,
 ) -> None:
     """Drain ``src`` (a parquet file-source dir of (doc_id, text)
     chunks) through :func:`dedup_ingest_batch` with availableNow.
@@ -446,12 +528,13 @@ def run_dedup_ingest_stream(
     generation — a pure relayout each time. READER CADENCE: every fold
     is a publish, and GC keeps exactly one grace generation, so a
     serving read that resolved the pointer just before a publish
-    survives only until the NEXT publish — worst case ONE fold interval
-    (N epochs), and a crash-replay can put two publishes close
-    together. Size N well above the longest serving query, or serve
-    from a path snapshot taken outside fold windows (the same
-    two-publish contract as the versioned ANN root, with publishes now
-    on a known cadence). Incremental folds self-upgrade to a full
+    survives, by default, only until the NEXT publish — worst case ONE
+    fold interval (N epochs), and a crash-replay can put two publishes
+    close together. ``reader_grace_seconds`` > 0 removes that coupling:
+    every publish's GC also retains generations published within the
+    window, so the serving contract is wall-clock time regardless of N
+    (see :func:`generations.gc_generations`); size the window above the
+    longest serving query. Incremental folds self-upgrade to a full
     collapse on the LSM size-ratio trigger, so fold-partition count and
     total rewrite work stay bounded without a manual
     :func:`compact_dedup_ingest_store` cadence.
@@ -460,26 +543,11 @@ def run_dedup_ingest_stream(
     the mirror of :func:`dedup_ingest_batch`'s refusal: a fresh
     checkpoint numbers epochs from 0, so the drain's static overwrites
     would wipe the direct epochs one id at a time while any above its
-    progress stay invisible to ``batch_id < eid`` prior reads."""
-    if _committed_hi(store) is None:
-        # check EVERY sink: decisions is written first, so a direct
-        # epoch that crashed mid-batch can exist there alone
-        gen_dir = os.path.join(store.base, store.current_generation())
-        stray = sorted(
-            {
-                int(d.split("=", 1)[1])
-                for s in _SINKS
-                for d in os.listdir(os.path.join(gen_dir, s))
-                if d.startswith("batch_id=") and int(d.split("=", 1)[1]) >= 0
-            }
-        )
-        if stray:
-            raise RuntimeError(
-                f"dedup-ingest store at {store.base!r} is direct-driven "
-                f"(epochs {stray} exist with no checkpoint) — a "
-                "fresh drain would renumber from epoch 0 and overwrite "
-                "them; use a new store for streaming ingestion"
-            )
+    progress stay invisible to ``batch_id < eid`` prior reads. The
+    refusal scan runs INSIDE the single-writer lock, with the
+    generation resolved after acquisition, so it can never race another
+    driver's compactor publishing/GC'ing the tree mid-scan (ADVICE
+    r10)."""
 
     def process(batch: DataFrame, eid: int) -> None:
         dedup_ingest_batch(
@@ -497,7 +565,11 @@ def run_dedup_ingest_stream(
             # this epoch is not yet committed, so its dirs are carried
             # verbatim and its replay overwrites them)
             _compact_into_new_generation(
-                spark, store, target_file_bytes, full=False
+                spark,
+                store,
+                target_file_bytes,
+                full=False,
+                grace_seconds=reader_grace_seconds,
             )
             if fail_after == "compact" and eid == fail_epoch:
                 raise RuntimeError("injected crash after in-drain fold")
@@ -513,6 +585,28 @@ def run_dedup_ingest_stream(
 
     lease = _index_write_lock(spark, store.base)
     try:
+        if _committed_hi(store) is None:
+            # check EVERY sink: decisions is written first, so a direct
+            # epoch that crashed mid-batch can exist there alone
+            fs = store.fs
+            gen_dir = os.path.join(store.base, store.current_generation())
+            stray = sorted(
+                {
+                    int(d.split("=", 1)[1])
+                    for s in _SINKS
+                    for d in fs.list_names(os.path.join(gen_dir, s))
+                    if d.startswith("batch_id=")
+                    and int(d.split("=", 1)[1]) >= 0
+                }
+            )
+            if stray:
+                raise RuntimeError(
+                    f"dedup-ingest store at {store.base!r} is "
+                    f"direct-driven (epochs {stray} exist with no "
+                    "checkpoint) — a fresh drain would renumber from "
+                    "epoch 0 and overwrite them; use a new store for "
+                    "streaming ingestion"
+                )
         st = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -530,7 +624,10 @@ def run_dedup_ingest_stream(
 
 
 def compact_dedup_ingest_store(
-    spark: SparkSession, store: DedupIngestStore, target_file_bytes: int = _TARGET_FILE_BYTES
+    spark: SparkSession,
+    store: DedupIngestStore,
+    target_file_bytes: int = _TARGET_FILE_BYTES,
+    reader_grace_seconds: float = 0.0,
 ) -> dict[str, int]:
     """Small-file hygiene for a long-running ingest: every epoch appends
     ~1 file per sink per touched bucket, so thousands of micro-batches
@@ -573,7 +670,9 @@ def compact_dedup_ingest_store(
 
     lease = _index_write_lock(spark, store.base)
     try:
-        return _compact_into_new_generation(spark, store, target_file_bytes)
+        return _compact_into_new_generation(
+            spark, store, target_file_bytes, grace_seconds=reader_grace_seconds
+        )
     finally:
         lease.release()
 
@@ -585,9 +684,9 @@ def _committed_hi(store: DedupIngestStore) -> int | None:
     calls, which have no retry machinery — there every directory is
     committed by definition)."""
     commits = os.path.join(store.base, "ckpt", "commits")
-    if not os.path.isdir(commits):
+    if not store.fs.is_dir(commits):
         return None
-    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    ids = [int(f) for f in store.fs.list_names(commits) if f.isdigit()]
     return max(ids, default=-1)
 
 
@@ -605,22 +704,15 @@ _SINK_FOLD_SALT = {"bands_idx": "doc_id", "counts": "band_key", "docstore": "doc
 _FOLD_MARKER = ".folded_through"
 
 
-def _read_fold_marker(gen_dir: str) -> tuple[int, int]:
+def _read_fold_marker(gen_dir: str, fs: fsio.Fs) -> tuple[int, int]:
     """(incremental_through, full_through); (-1, -1) when absent."""
     try:
-        with open(os.path.join(gen_dir, _FOLD_MARKER)) as fh:
-            inc, full_ = (int(x) for x in fh.read().split())
-            return inc, full_
+        inc, full_ = (
+            int(x) for x in fs.read_text(os.path.join(gen_dir, _FOLD_MARKER)).split()
+        )
+        return inc, full_
     except (FileNotFoundError, ValueError):
         return -1, -1
-
-
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for dirpath, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(dirpath, f))
-    return total
 
 
 # incremental folds upgrade to a FULL fold when the data since the last
@@ -636,6 +728,7 @@ def _compact_into_new_generation(
     target_file_bytes: int,
     full: bool = True,
     report: bool | None = None,
+    grace_seconds: float = 0.0,
 ) -> dict[str, int]:
     """``full=True`` folds every committed epoch into one partition —
     the manual small-file collapse. ``full=False`` is the INCREMENTAL
@@ -654,12 +747,13 @@ def _compact_into_new_generation(
 
     if report is None:
         report = full
+    fs = store.fs
     cur = store.current_generation()
     cur_dir = os.path.join(store.base, cur)
-    gen = G.next_gen(store.base)
+    gen = G.next_gen(store.base, fs=fs)
     gen_dir = os.path.join(store.base, gen)
     ckpt_hi = _committed_hi(store)
-    inc_mark, full_mark = (-1, -1) if full else _read_fold_marker(cur_dir)
+    inc_mark, full_mark = (-1, -1) if full else _read_fold_marker(cur_dir, fs)
     lo = -1 if full else inc_mark
     if lo < 0:
         full = True  # a fold from the beginning IS a full fold
@@ -670,19 +764,19 @@ def _compact_into_new_generation(
         bands = os.path.join(cur_dir, "bands_idx")
         ids = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(bands)
+            for d in fs.list_names(bands)
             if d.startswith("batch_id=")
         ]
         committed = [
             e for e in ids if e >= 0 and (ckpt_hi is None or e <= ckpt_hi)
         ]
         base_b = sum(
-            _dir_bytes(os.path.join(bands, f"batch_id={e}"))
+            fs.dir_bytes(os.path.join(bands, f"batch_id={e}"))
             for e in committed
             if e <= full_mark
         )
         since_full_b = sum(
-            _dir_bytes(os.path.join(bands, f"batch_id={e}"))
+            fs.dir_bytes(os.path.join(bands, f"batch_id={e}"))
             for e in committed
             if e > full_mark
         )
@@ -695,7 +789,7 @@ def _compact_into_new_generation(
         src = os.path.join(store.base, cur, sink)
         on_disk = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(src)
+            for d in fs.list_names(src)
             if d.startswith("batch_id=")
         ]
         committed = (
@@ -714,10 +808,22 @@ def _compact_into_new_generation(
                 )
                 .drop("batch_id")
             )
+            if sink == "counts":
+                # the sidecar keeps one CUMULATIVE row per (band,
+                # band_key) per epoch; every reader only ever takes
+                # max(n) per key (``_prior`` → ``prior_counts``), so a
+                # fold may collapse its covered range to that max —
+                # read-equivalent (max of per-range maxes == max over
+                # the range), and without it even a fully compacted
+                # store's per-batch counts read grows O(epochs) per
+                # touched bucket on a long-running trickle (ADVICE r10)
+                df = df.groupBy("band", "band_key", "bkt").agg(
+                    F.max("n").alias("n")
+                )
             total = max(
                 1,
                 sum(
-                    _dir_bytes(os.path.join(src, f"batch_id={e}"))
+                    fs.dir_bytes(os.path.join(src, f"batch_id={e}"))
                     for e in fold_ids
                 ),
             )
@@ -742,6 +848,7 @@ def _compact_into_new_generation(
             G.clone_generation(
                 os.path.join(src, f"batch_id={e}"),
                 os.path.join(dst, f"batch_id={e}"),
+                fs=fs,
             )
         marker = max(marker, hi)
         # crashed in-flight epochs above the committed high-water
@@ -751,15 +858,16 @@ def _compact_into_new_generation(
             G.clone_generation(
                 os.path.join(src, f"batch_id={e}"),
                 os.path.join(dst, f"batch_id={e}"),
+                fs=fs,
             )
         if report:
             out[sink] = len(table_files(spark, dst))
     new_full_mark = marker if full else full_mark
     G.atomic_write(
-        os.path.join(gen_dir, _FOLD_MARKER), f"{marker} {new_full_mark}\n"
+        os.path.join(gen_dir, _FOLD_MARKER), f"{marker} {new_full_mark}\n", fs=fs
     )
-    G.publish(store.base, gen)
-    G.gc_generations(store.base, gen, cur)
+    G.publish(store.base, gen, fs=fs)
+    G.gc_generations(store.base, gen, cur, grace_seconds=grace_seconds, fs=fs)
     return out
 
 

@@ -8,67 +8,89 @@ any materialized store in the engine can adopt it:
 
 * writers materialize a whole new ``gen-NNNNNN/`` directory,
 * publish it by atomically replacing a ``_CURRENT`` pointer file
-  (write-temp + ``os.replace``),
-* GC every generation except the new one and its immediate predecessor
-  — the predecessor is the READER GRACE generation: a reader that
+  (write-temp + atomic rename) and stamping the generation with its
+  publish time,
+* GC every generation except the new one, its immediate predecessor —
+  the predecessor is the READER GRACE generation: a reader that
   resolved the old pointer keeps a fully intact tree until two further
-  publishes happen, so maintenance never pauses serving,
+  publishes happen, so maintenance never pauses serving — and (when the
+  store opts in) any generation published within the last
+  ``grace_seconds``, so the serving contract is a wall-clock promise
+  independent of how often the writer publishes,
 * orphan generations (a writer crashed after materializing, before
   publishing) are never pointer-visible and vanish at the next GC.
 
 Users: ``operators/ann_index_versioned`` (the IVF-PQ index root) and
 ``operators/dedup_ingest`` (the streaming-dedup store's compactor).
-Local filesystems only — an object store would implement ``publish``
-as a manifest/pointer object and ``clone_generation`` as a manifest
-copy; the protocol is unchanged.
+
+Every filesystem touch goes through ``operators/fsio`` — the JVM's
+Hadoop ``FileSystem`` API resolved from the root's scheme — so the
+protocol runs unchanged on ``file:``, ``hdfs:`` or object-store roots
+(the clone primitive adapts: hardlinks locally, copy remotely; see
+``fsio.Fs.clone_tree``). Call sites that hold a store handle pass its
+cached ``fs``; the ``fs=None`` default resolves one from the live
+SparkSession for the pre-port public signatures.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import time
+
+from data_pipeline_with_big_data_stack_spark.operators import fsio
 
 POINTER = "_CURRENT"
 GEN_PREFIX = "gen-"
+# publish-time stamp inside each generation (dot-prefixed — invisible
+# to Spark's file index, like the dedup store's fold marker)
+PUBLISHED_AT = ".published_at"
+
+
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
 
 
 def gen_name(n: int) -> str:
     return f"{GEN_PREFIX}{n:06d}"
 
 
-def list_generations(root: str) -> list[str]:
+def list_generations(root: str, fs: fsio.Fs | None = None) -> list[str]:
+    fs = fs or fsio.default_fs(root)
     return sorted(
         d
-        for d in os.listdir(root)
-        if d.startswith(GEN_PREFIX) and os.path.isdir(os.path.join(root, d))
+        for d in fs.list_dir_names(root, missing_ok=True)
+        if d.startswith(GEN_PREFIX)
     )
 
 
-def read_current_or_none(root: str) -> str | None:
+def read_current_or_none(root: str, fs: fsio.Fs | None = None) -> str | None:
     """Like :func:`read_current` but None when the pointer does not
     exist yet — for writers (initial build, re-init) that must pass the
     previously-published generation to :func:`gc_generations`."""
+    fs = fs or fsio.default_fs(root)
     try:
-        with open(os.path.join(root, POINTER)) as fh:
-            gen = fh.read().strip()
+        gen = fs.read_text(_join(root, POINTER)).strip()
     except FileNotFoundError:
         return None
-    return gen if gen and os.path.isdir(os.path.join(root, gen)) else None
+    return gen if gen and fs.is_dir(_join(root, gen)) else None
 
 
-def read_current(root: str, init_hint: str = "the store's init/build op") -> str:
+def read_current(
+    root: str,
+    init_hint: str = "the store's init/build op",
+    fs: fsio.Fs | None = None,
+) -> str:
     """Resolve the live generation name. Readers call this ONCE per
     query and then touch only that generation's files."""
-    ptr = os.path.join(root, POINTER)
+    fs = fs or fsio.default_fs(root)
+    ptr = _join(root, POINTER)
     try:
-        with open(ptr) as fh:
-            gen = fh.read().strip()
+        gen = fs.read_text(ptr).strip()
     except FileNotFoundError:
         raise FileNotFoundError(
             f"versioned store at {root!r} has no {POINTER} pointer — "
             f"not initialized ({init_hint}) or externally damaged"
         ) from None
-    if not gen or not os.path.isdir(os.path.join(root, gen)):
+    if not gen or not fs.is_dir(_join(root, gen)):
         raise RuntimeError(
             f"versioned store pointer {ptr!r} names {gen!r} which does "
             f"not exist — externally damaged; rebuild with {init_hint}"
@@ -76,57 +98,88 @@ def read_current(root: str, init_hint: str = "the store's init/build op") -> str
     return gen
 
 
-def atomic_write(path: str, text: str) -> None:
-    """Durably replace a small metadata file: write-temp + fsync +
-    rename, so a crash leaves either the old content or the new —
-    never a torn file."""
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(text)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
+def atomic_write(path: str, text: str, fs: fsio.Fs | None = None) -> None:
+    """Durably replace a small metadata file — crash leaves either the
+    old content or the new, never a torn file (``fsio.Fs.
+    write_text_atomic``: locally rename + parent-directory fsync,
+    remotely Hadoop's atomic rename-overwrite)."""
+    fs = fs or fsio.default_fs(path)
+    fs.write_text_atomic(path, text)
 
 
-def publish(root: str, gen: str) -> None:
-    """Atomically flip the pointer to ``gen`` (write-temp + rename)."""
-    atomic_write(os.path.join(root, POINTER), gen + "\n")
+def publish(root: str, gen: str, fs: fsio.Fs | None = None) -> None:
+    """Atomically flip the pointer to ``gen``, then stamp the
+    generation with its publish time (the age signal
+    :func:`gc_generations`'s ``grace_seconds`` reads). Stamp AFTER the
+    flip: an unpublished orphan must never carry a stamp — the age rule
+    would otherwise keep a crashed writer's half-written tree for a
+    full grace window. A crash between flip and stamp only costs that
+    one generation its age protection (it still gets the one-
+    predecessor grace), never keeps garbage."""
+    fs = fs or fsio.default_fs(root)
+    fs.write_text_atomic(_join(root, POINTER), gen + "\n")
+    fs.write_text_atomic(_join(root, gen, PUBLISHED_AT), f"{time.time():.3f}\n")
 
 
-def gc_generations(root: str, new: str, prev: str | None) -> None:
-    """Drop every generation except ``new`` and ``prev`` — the
-    generation that was PUBLISHED before this publish (the reader grace
-    generation), passed explicitly by the writer that just resolved it.
-    Inferring the grace generation from the directory listing is wrong:
-    a crashed writer's unpublished orphan can sort between the real
-    predecessor and ``new``, and a listing-based GC would then keep the
+def published_at(root: str, gen: str, fs: fsio.Fs | None = None) -> float | None:
+    """Publish time of ``gen`` (None: never published, or stamped by a
+    pre-port writer)."""
+    fs = fs or fsio.default_fs(root)
+    try:
+        return float(fs.read_text(_join(root, gen, PUBLISHED_AT)).strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def gc_generations(
+    root: str,
+    new: str,
+    prev: str | None,
+    grace_seconds: float = 0.0,
+    fs: fsio.Fs | None = None,
+) -> None:
+    """Drop every generation except ``new``, ``prev`` — the generation
+    that was PUBLISHED before this publish (the reader grace
+    generation), passed explicitly by the writer that just resolved it
+    — and, with ``grace_seconds`` > 0, any generation PUBLISHED within
+    that window (so a slow reader's contract is wall-clock time, not
+    "fewer than two publishes" — a self-maintaining drain can publish
+    on every fold without shrinking the serving window). Inferring the
+    grace generation from the directory listing is wrong: a crashed
+    writer's unpublished orphan can sort between the real predecessor
+    and ``new``, and a listing-based GC would then keep the
     half-written orphan while deleting the very tree an in-flight
     reader resolved. With ``prev`` explicit, orphans (never equal to
-    either) always vanish here."""
+    either, and never carrying a publish stamp) always vanish here."""
+    fs = fs or fsio.default_fs(root)
     keep = {new, prev} if prev else {new}
-    for g in list_generations(root):
-        if g not in keep:
-            shutil.rmtree(os.path.join(root, g), ignore_errors=True)
+    now = time.time()
+    for g in list_generations(root, fs):
+        if g in keep:
+            continue
+        if grace_seconds > 0:
+            ts = published_at(root, g, fs)
+            if ts is not None and (now - ts) < grace_seconds:
+                continue
+        fs.delete(_join(root, g))
 
 
-def next_gen(root: str) -> str:
+def next_gen(root: str, fs: fsio.Fs | None = None) -> str:
     """Numerically after every existing generation — NOT the
     lexicographically last one: at the 6-digit rollover
     'gen-1000000' sorts BEFORE 'gen-999999', and deriving from the
     sorted tail would hand a writer the name of the LIVE generation."""
-    gens = list_generations(root)
+    fs = fs or fsio.default_fs(root)
+    gens = list_generations(root, fs)
     n = max((int(g[len(GEN_PREFIX):]) for g in gens), default=0) + 1
     return gen_name(n)
 
 
-def clone_generation(src: str, dst: str) -> None:
-    """Hardlink-copy a generation tree: directories recreated, files
-    linked — O(#files) metadata ops, zero bytes moved. Parquet files
-    are immutable once written, so sharing them between generations is
-    safe; deleting either generation only unlinks its names."""
-    for dirpath, _dirnames, filenames in os.walk(src):
-        rel = os.path.relpath(dirpath, src)
-        tgt = os.path.join(dst, rel) if rel != "." else dst
-        os.makedirs(tgt, exist_ok=True)
-        for f in filenames:
-            os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+def clone_generation(src: str, dst: str, fs: fsio.Fs | None = None) -> None:
+    """Clone a generation tree — hardlinks on a local filesystem
+    (O(#files) metadata ops, zero bytes moved; EXDEV falls back to
+    copy), a real copy on remote stores. Parquet files are immutable
+    once written, so sharing them between generations is safe; deleting
+    either generation only unlinks its names."""
+    fs = fs or fsio.default_fs(src)
+    fs.clone_tree(src, dst)

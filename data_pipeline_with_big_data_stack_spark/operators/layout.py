@@ -40,32 +40,36 @@ def write_bucketed(
 
 
 def table_files(spark: SparkSession, path: str) -> list[str]:
-    out = []
-    for root, _dirs, files in os.walk(path):
-        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
-    return out
+    """Parquet data files under ``path`` (recursive), via the Hadoop
+    FileSystem API so the listing works on any scheme; paths come back
+    in the filesystem's URI form."""
+    from data_pipeline_with_big_data_stack_spark.operators import fsio
+
+    fs = fsio.Fs(spark, path)
+    return [f for f in fs.list_files_recursive(path) if f.endswith(".parquet")]
 
 
-def recover_compaction(path: str) -> bool:
+def recover_compaction(path: str, fs=None) -> bool:
     """Heal a crashed compaction swap: if the table dir is MISSING but
     its ``__precompact`` backup exists, the crash hit between the two
     renames — restore the original (the staged rewrite is discarded;
     re-running the compaction redoes it). Returns True if a restore
     happened. Called on entry by both compactors, so a retry is always
     safe; stale staging dirs are removed either way."""
-    import shutil
+    from data_pipeline_with_big_data_stack_spark.operators import fsio
 
+    fs = fs or fsio.default_fs(path)
     backup = path.rstrip("/") + "__precompact"
     staging = path.rstrip("/") + "__compacting"
     restored = False
-    if os.path.exists(backup):
-        if not os.path.exists(path):
-            os.rename(backup, path)
+    if fs.exists(backup):
+        if not fs.exists(path):
+            fs.rename(backup, path)
             restored = True
         else:
             # swap completed; backup is the superseded original
-            shutil.rmtree(backup, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+            fs.delete(backup)
+    fs.delete(staging)
     return restored
 
 
@@ -82,9 +86,13 @@ def compact_table(
     disturbed mid-rewrite; the swap is a directory rename). A crash
     between the two swap renames leaves the table at ``__precompact``;
     :func:`recover_compaction` (run here on entry) restores it."""
-    recover_compaction(path)
-    files = table_files(spark, path)
-    total = sum(os.path.getsize(f) for f in files)
+    from data_pipeline_with_big_data_stack_spark.operators import fsio
+
+    fs = fsio.Fs(spark, path)
+    recover_compaction(path, fs=fs)
+    total = sum(
+        n for f, n in fs.file_sizes_recursive(path) if f.endswith(".parquet")
+    )
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__compacting"
@@ -92,13 +100,12 @@ def compact_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
-    # atomic-ish swap (same filesystem)
+    # two-rename swap (single filesystem; recover_compaction heals a
+    # crash between the renames on the next writer entry)
     backup = path.rstrip("/") + "__precompact"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    import shutil
-
-    shutil.rmtree(backup, ignore_errors=True)
+    fs.rename(path, backup)
+    fs.rename(staging, path)
+    fs.delete(backup)
     return len(table_files(spark, path))
 
 

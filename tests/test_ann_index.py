@@ -434,18 +434,33 @@ def test_index_writer_lock_blocks_and_reclaims(spark, tmp_path):
     assert not os.path.exists(lock), "lock released after append"
 
 
-def test_compact_and_expire_reject_remote_paths(spark):
-    import pytest
+def test_compact_expire_retrain_run_on_file_uri_via_hadoop_fs(spark, tmp_path):
+    """The maintenance swaps route through the Hadoop FileSystem API
+    (VERDICT r10 #1): the whole mutating surface — append, compact,
+    expire, retrain — must run against an explicit ``file:`` URI, the
+    exact code path any remote scheme takes (the sandbox has no HDFS;
+    scheme-agnosticism is proved the way build/search already prove
+    it). Results must equal the same lifecycle on a plain local path."""
+    import data_pipeline_with_big_data_stack_spark.operators.ann_index as ai
 
-    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
-        compact_ivfpq_index,
-        expire_vectors,
-    )
+    def lifecycle(path):
+        from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_SUB, _pq_train_codebooks
 
-    with pytest.raises(NotImplementedError, match="local"):
-        compact_ivfpq_index(spark, "s3a://bucket/index")
-    with pytest.raises(NotImplementedError, match="local"):
-        expire_vectors(spark, "hdfs://nn/index", ids=[1])
+        e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+        old_half = e.filter(F.col("vec_id") % 2 == 0)
+        batch = e.filter(F.col("vec_id") % 2 == 1)
+        ai.build_ivfpq_index(
+            old_half, path, _codebook(e), _pq_train_codebooks(e), sub_dim=_PQ_SUB
+        )
+        ai.append_to_ivfpq_index(spark, path, batch)
+        assert ai.compact_ivfpq_index(spark, path, max_files_per_cell=1) > 0
+        assert ai.expire_vectors(spark, path, ids=[0, 2, 4]) == 3
+        ai.retrain_ivfpq_index(spark, path, e, k_coarse=4, k_pq=4)
+        return _search_res(spark, path, e)
+
+    plain = lifecycle(str(tmp_path / "plain"))
+    via_uri = lifecycle("file:" + str(tmp_path / "uri"))
+    assert via_uri == plain
 
 
 def test_streaming_optout_expiry_end_to_end(spark, tmp_path):
@@ -743,22 +758,24 @@ def test_retrain_crash_recovery_rolls_forward(spark, tmp_path, monkeypatch):
     ai.retrain_ivfpq_index(spark, twin, e, k_coarse=4, k_pq=4)
     expected = _search_res(spark, twin, e)
 
-    real_rename = os.rename
+    from data_pipeline_with_big_data_stack_spark.operators import fsio
+
+    real_rename = fsio.Fs.rename
     state = {"n": 0}
 
-    def flaky(src, dst):
+    def flaky(self, src, dst):
         if "__preretrain" in dst or "__retraining" in src:
             state["n"] += 1
             if state["n"] == 4:  # all 3 parked + 1 published
                 raise RuntimeError("injected crash mid-swap")
-        real_rename(src, dst)
+        real_rename(self, src, dst)
 
-    monkeypatch.setattr("os.rename", flaky)
+    monkeypatch.setattr(fsio.Fs, "rename", flaky)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="injected crash"):
         ai.retrain_ivfpq_index(spark, path, e, k_coarse=4, k_pq=4)
-    monkeypatch.setattr("os.rename", real_rename)
+    monkeypatch.setattr(fsio.Fs, "rename", real_rename)
 
     # any writer heals on entry; an empty expiry is the cheapest
     assert ai.expire_vectors(spark, path, ids=[]) == 0
@@ -813,22 +830,24 @@ def test_append_after_crashed_retrain_codes_with_healed_sidecars(
 
     # crash path: retrain dies mid-swap (2 of 3 components published)
     path = build("crash")
-    real_rename = os.rename
+    from data_pipeline_with_big_data_stack_spark.operators import fsio
+
+    real_rename = fsio.Fs.rename
     state = {"n": 0}
 
-    def flaky(src, dst):
+    def flaky(self, src, dst):
         if "__preretrain" in dst or "__retraining" in src:
             state["n"] += 1
             if state["n"] == 5:
                 raise RuntimeError("injected crash mid-swap")
-        real_rename(src, dst)
+        real_rename(self, src, dst)
 
-    monkeypatch.setattr("os.rename", flaky)
+    monkeypatch.setattr(fsio.Fs, "rename", flaky)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="injected crash"):
         ai.retrain_ivfpq_index(spark, path, old, k_coarse=4, k_pq=4)
-    monkeypatch.setattr("os.rename", real_rename)
+    monkeypatch.setattr(fsio.Fs, "rename", real_rename)
 
     # the very next append must heal forward FIRST, then code the batch
     # with the healed (fully-new) sidecars

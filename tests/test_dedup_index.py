@@ -229,13 +229,20 @@ def test_compact_dedup_ingest_store_preserves_contents(spark):
     from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
 
     store = _drain(spark, _small_docs(spark))
+
+    def rows(sink):
+        df = spark.read.parquet(getattr(store, sink)).drop("batch_id")
+        if sink == "counts":
+            # folds collapse the cumulative sidecar to max(n) per key —
+            # the only view any reader ever takes (prior_counts is a
+            # max() aggregation), so identity is compared on that view
+            df = df.groupBy("band", "band_key", "bkt").agg(
+                _F.max("n").alias("n")
+            )
+        return sorted(tuple(r) for r in df.collect())
+
     before = {
-        sink: sorted(
-            tuple(r)
-            for r in spark.read.parquet(getattr(store, sink))
-            .drop("batch_id")
-            .collect()
-        )
+        sink: rows(sink)
         for sink in ("decisions", "bands_idx", "counts", "docstore")
     }
     pre_files = {
@@ -253,14 +260,8 @@ def test_compact_dedup_ingest_store_preserves_contents(spark):
         "docstore": 2 * store.n_bkt + 1,
     }
     new_counts = DI.compact_dedup_ingest_store(spark, store)
-    for sink, rows in before.items():
-        after = sorted(
-            tuple(r)
-            for r in spark.read.parquet(getattr(store, sink))
-            .drop("batch_id")
-            .collect()
-        )
-        assert after == rows, f"{sink} contents changed by compaction"
+    for sink, want in before.items():
+        assert rows(sink) == want, f"{sink} contents changed by compaction"
         assert new_counts[sink] <= floor[sink], (
             f"{sink} still has {new_counts[sink]} files"
         )
@@ -523,26 +524,22 @@ def test_compact_folds_everything_on_direct_driven_store(spark, tmp_path):
         DI.dedup_ingest_batch(
             spark.createDataFrame(rows, "doc_id long, text string"), e, store
         )
-    before = {
-        s: sorted(
-            map(
-                tuple,
-                spark.read.parquet(getattr(store, s)).drop("batch_id").collect(),
+    def rows(s):
+        df = spark.read.parquet(getattr(store, s)).drop("batch_id")
+        if s == "counts":  # fold collapses the sidecar to its max view
+            df = df.groupBy("band", "band_key", "bkt").agg(
+                _F.max("n").alias("n")
             )
-        )
-        for s in ("decisions", "bands_idx", "counts", "docstore")
+        return sorted(map(tuple, df.collect()))
+
+    before = {
+        s: rows(s) for s in ("decisions", "bands_idx", "counts", "docstore")
     }
     DI.compact_dedup_ingest_store(spark, store)
     import re
 
-    for s, rows in before.items():
-        after = sorted(
-            map(
-                tuple,
-                spark.read.parquet(getattr(store, s)).drop("batch_id").collect(),
-            )
-        )
-        assert after == rows, f"{s} changed by direct-store compaction"
+    for s, want in before.items():
+        assert rows(s) == want, f"{s} changed by direct-store compaction"
         parts = [
             d
             for d in os.listdir(getattr(store, s))
@@ -586,7 +583,7 @@ def test_direct_batch_refused_on_stream_driven_store(spark):
         DI.dedup_ingest_batch(extra, 4, store)
 
 
-def test_next_gen_survives_six_digit_rollover(tmp_path):
+def test_next_gen_survives_six_digit_rollover(spark, tmp_path):
     """gen-1000000 sorts lexicographically BEFORE gen-999999; next_gen
     must derive numerically or the writer after the rollover is handed
     the LIVE generation's name and corrupts it in place."""
@@ -695,7 +692,7 @@ def test_incremental_fold_upgrades_to_full_on_size_ratio(spark, tmp_path):
     DI._compact_into_new_generation(spark, store, 1 << 30, full=False)
     assert parts(store) == [0]
     assert DI._read_fold_marker(
-        os.path.join(store.base, store.current_generation())
+        os.path.join(store.base, store.current_generation()), store.fs
     ) == (0, 0)
 
     small = spark.createDataFrame([words(100, 8)], "doc_id long, text string")
@@ -705,7 +702,7 @@ def test_incremental_fold_upgrades_to_full_on_size_ratio(spark, tmp_path):
     # carried, new fold partition beside it
     assert parts(store) == [0, 1]
     assert DI._read_fold_marker(
-        os.path.join(store.base, store.current_generation())
+        os.path.join(store.base, store.current_generation()), store.fs
     ) == (1, 0)
 
     # ~7x the base's band rows, so the byte comparison clears parquet
@@ -718,7 +715,7 @@ def test_incremental_fold_upgrades_to_full_on_size_ratio(spark, tmp_path):
     # since-full data now rivals the base: upgrade collapses everything
     assert parts(store) == [2]
     assert DI._read_fold_marker(
-        os.path.join(store.base, store.current_generation())
+        os.path.join(store.base, store.current_generation()), store.fs
     ) == (2, 2)
     docs = spark.read.parquet(store.docstore).drop("batch_id")
     assert docs.count() == 40 + 1 + 300

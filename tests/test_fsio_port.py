@@ -1,0 +1,201 @@
+"""Round-11 store-portability pins (VERDICT r10 #1/#4 + ADVICE r10).
+
+The generation-store protocol (pointer, GC, clone, fold bookkeeping)
+runs through the Hadoop FileSystem API (`operators/fsio`), so the
+stores work when the base path is an explicit ``file:`` URI — the same
+code path a remote scheme takes (the sandbox has no HDFS; this is how
+the ann_index build/search paths have always proved scheme-agnosticism).
+Also pinned here: the fold-frontier refusal on direct epochs (ADVICE
+r10 medium), the age-based reader grace (VERDICT r10 #4), and the
+EXDEV copy fallback of the hardlink clone (VERDICT r10 #8).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_big_data_stack_spark.operators import dedup_ingest as DI
+from data_pipeline_with_big_data_stack_spark.operators import fsio
+from data_pipeline_with_big_data_stack_spark.operators import generations as G
+
+
+def _docs(spark, n=60, start=0):
+    rows = [
+        (start + i, f"document {i} body w{i % 7} w{i % 5} w{i % 3} alpha beta gamma")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ingest_three_epochs(spark, base, docs):
+    store = DI.init_dedup_ingest_store(spark, base, n_bkt=4)
+    for e in range(3):
+        chunk = docs.filter(
+            (F.col("doc_id") % 3 == e)
+        )
+        DI.dedup_ingest_batch(chunk, e, store)
+    return store
+
+
+def test_dedup_store_lifecycle_on_file_uri_equals_plain_path(spark, tmp_path):
+    """init → direct epochs → compact on a ``file:`` URI base must
+    produce exactly the plain-path store's decisions and generation
+    layout — every protocol touch (pointer, meta, listing, fold marker,
+    GC) goes through the Hadoop FS handle, no raw-POSIX assumption."""
+    docs = _docs(spark)
+    plain = _ingest_three_epochs(spark, str(tmp_path / "plain"), docs)
+    uri = _ingest_three_epochs(spark, "file:" + str(tmp_path / "uri"), docs)
+    assert uri.fs.scheme == "file" and uri.base.startswith("file:")
+
+    def dec(store):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(store.decisions).drop("batch_id").collect(),
+            )
+        )
+
+    assert dec(uri) == dec(plain)
+    DI.compact_dedup_ingest_store(spark, plain)
+    DI.compact_dedup_ingest_store(spark, uri)
+    assert dec(uri) == dec(plain)
+    assert G.list_generations(uri.base, fs=uri.fs) == G.list_generations(
+        plain.base, fs=plain.fs
+    )
+    assert uri.current_generation() == plain.current_generation()
+
+
+def test_direct_epoch_at_or_below_fold_frontier_refused(spark, tmp_path):
+    """ADVICE r10 (medium): after a fold collapses epochs 0..hi into the
+    ``batch_id=hi`` partition, a direct epoch with eid == hi would
+    statically OVERWRITE that partition (destroying every folded epoch)
+    and eid < hi would duplicate rows the fold already carries — both
+    must raise; ids above the frontier (including the blessed same-id
+    replay of a still-standing epoch) keep working, and
+    ``allow_refolded_replay=True`` is the explicit opt-out."""
+    docs = _docs(spark)
+    store = _ingest_three_epochs(spark, str(tmp_path / "st"), docs)
+    # pre-fold: same-id replay of a standing epoch is the blessed
+    # idempotent pattern (the bench re-times eid with overwrite)
+    DI.dedup_ingest_batch(docs.filter(F.col("doc_id") % 3 == 2), 2, store)
+    DI.compact_dedup_ingest_store(spark, store)  # folds 0..2 into batch_id=2
+    before = sorted(
+        map(tuple, spark.read.parquet(store.docstore).drop("batch_id").collect())
+    )
+    for eid in (0, 2):
+        with pytest.raises(RuntimeError, match="folded epochs through"):
+            DI.dedup_ingest_batch(_docs(spark, n=2, start=900), eid, store)
+    # the refused call must not have touched the store
+    after = sorted(
+        map(tuple, spark.read.parquet(store.docstore).drop("batch_id").collect())
+    )
+    assert after == before
+    # above the frontier: normal operation
+    DI.dedup_ingest_batch(_docs(spark, n=2, start=900), 3, store)
+    # explicit opt-out for a deliberate pre-fold replay
+    DI.dedup_ingest_batch(
+        docs.filter(F.col("doc_id") % 3 == 2), 2, store, allow_refolded_replay=True
+    )
+
+
+def test_gc_age_grace_keeps_recently_published_generations(spark, tmp_path):
+    """VERDICT r10 #4: with ``grace_seconds`` > 0 GC keeps every
+    generation PUBLISHED inside the window — not just the immediate
+    predecessor — while unpublished orphans (no publish stamp) still
+    vanish immediately."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    fs.mkdirs(root)
+
+    def make_and_publish(n):
+        gen = G.gen_name(n)
+        fs.mkdirs(os.path.join(root, gen))
+        prev = G.read_current_or_none(root, fs=fs)
+        G.publish(root, gen, fs=fs)
+        return gen, prev
+
+    g1, _ = make_and_publish(1)
+    g2, p2 = make_and_publish(2)
+    fs.mkdirs(os.path.join(root, "gen-000009"))  # crashed writer's orphan
+    g3, p3 = make_and_publish(3)
+    # grace window open: g1 was published moments ago and survives a GC
+    # that would otherwise keep only {g3, g2}; the orphan has no stamp
+    # and dies regardless
+    G.gc_generations(root, g3, p3, grace_seconds=3600.0, fs=fs)
+    assert G.list_generations(root, fs=fs) == [g1, g2, g3]
+    # grace disabled: classic keep-two
+    G.gc_generations(root, g3, p3, grace_seconds=0.0, fs=fs)
+    assert G.list_generations(root, fs=fs) == [g2, g3]
+
+
+def test_slow_reader_survives_multiple_fold_publishes_with_grace(spark, tmp_path):
+    """The self-maintaining drain publishes on every Nth epoch; a
+    serving query that outlives N epochs previously raced GC (VERDICT
+    r10 'What's wrong #3'). With ``reader_grace_seconds`` the resolved
+    generation must survive EVERY publish inside the window — pinned by
+    resolving the pointer before a drain whose compact_every=1 publishes
+    three more times, then reading the old tree."""
+    docs = _docs(spark, n=120)
+    base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    store = DI.init_dedup_ingest_store(spark, base)
+    g0 = store.current_generation()
+    snapshot = os.path.join(store.base, g0, "docstore")  # slow reader resolves now
+    DI.run_dedup_ingest_stream(
+        spark, src, store, compact_every=1, reader_grace_seconds=3600.0
+    )
+    gens = G.list_generations(store.base, fs=store.fs)
+    assert store.current_generation() != g0
+    assert len(gens) > 2, "grace must keep more than {new, prev}"
+    assert g0 in gens, "the generation a slow reader resolved was GC'd"
+    # the resolved tree is still fully readable mid-lifecycle (epochs
+    # written into g0 before the first fold stay intact under grace)
+    old_tree = spark.read.parquet(snapshot)
+    assert {"doc_id", "text"}.issubset(set(old_tree.columns))
+    assert old_tree.count() >= 0  # full scan must not hit deleted files
+
+    # control: without grace the drain's publishes erase g0
+    base2, src2 = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    store2 = DI.init_dedup_ingest_store(spark, base2)
+    g0b = store2.current_generation()
+    DI.run_dedup_ingest_stream(spark, src2, store2, compact_every=1)
+    assert g0b not in G.list_generations(store2.base, fs=store2.fs)
+
+
+def test_clone_tree_falls_back_to_copy_on_exdev(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #8: a hardlink across mount points fails with EXDEV
+    on real multi-volume hosts — the clone must fall back to a byte
+    copy, not die mid-generation."""
+    import errno
+
+    src = tmp_path / "src" / "inner"
+    src.mkdir(parents=True)
+    (src / "a.parquet").write_bytes(b"AAAA")
+    (src / "b.txt").write_text("bee")
+    fs = fsio.Fs(spark, str(tmp_path))
+
+    def no_link(s, d):
+        raise OSError(errno.EXDEV, "Invalid cross-device link")
+
+    monkeypatch.setattr(os, "link", no_link)
+    dst = tmp_path / "dst"
+    fs.clone_tree(str(tmp_path / "src"), str(dst))
+    assert (dst / "inner" / "a.parquet").read_bytes() == b"AAAA"
+    assert (dst / "inner" / "b.txt").read_text() == "bee"
+    # fell back to a real copy: no shared inode
+    assert os.stat(dst / "inner" / "a.parquet").st_nlink == 1
+
+
+def test_write_text_atomic_roundtrip_and_overwrite_on_file_uri(spark, tmp_path):
+    """The pointer-flip primitive through the Hadoop handle: create,
+    overwrite, read back — on a ``file:`` URI (the local branch) the
+    temp file must not survive."""
+    fs = fsio.Fs(spark, "file:" + str(tmp_path))
+    p = "file:" + str(tmp_path / "ptr")
+    fs.write_text_atomic(p, "gen-000001\n")
+    assert fs.read_text(p) == "gen-000001\n"
+    fs.write_text_atomic(p, "gen-000002\n")
+    assert fs.read_text(p) == "gen-000002\n"
+    assert not (tmp_path / "ptr.tmp").exists()
