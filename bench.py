@@ -263,6 +263,42 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
             dedup_ingest_batch(chunks[3], 3, dstore, max_bucket=_LSH_MAX_BUCKET)
             best = min(best, time.perf_counter() - t0)
         out["dedup_ingest_batch_sec"] = round(best, 3)
+
+        # --- TRICKLE-regime dedup ingest (VERDICT r10 #3): a SMALL
+        # batch (touched buckets ≪ n_bkt=64) against the accumulated
+        # corpus — the steady-state regime the bucket pruning exists
+        # for (the gate metric above touches every bucket and PAYS for
+        # prunability). Mirrors tests/test_scale_ratios.py's 1×-vs-4×
+        # shape: the same 4-doc batch is timed against a quarter-corpus
+        # store and the full-corpus store; `dedup_trickle_batch_sec` is
+        # the full-store latency and `dedup_trickle_state_ratio` =
+        # full/quarter — pruned prior reads keep it near 1, an unpruned
+        # rescan of the accumulated state trends toward 4. Same blessed
+        # idempotent same-eid replay for best-of-3. ---
+        # materialize the 4-row batch (bounded collect): a lazy
+        # orderBy().limit() plan would re-sort the corpus on every one
+        # of the batch's several evaluations and time the sort, not the
+        # ingest
+        tr_rows = [
+            (int(hi) + 1 + j, r["text"])
+            for j, r in enumerate(docs.orderBy("doc_id").limit(4).collect())
+        ]
+        trickle = spark.createDataFrame(tr_rows, "doc_id long, text string")
+
+        def trickle_sec(accumulated, name):
+            st = init_dedup_ingest_store(spark, base + "/" + name, n_bkt=64)
+            dedup_ingest_batch(accumulated, 0, st, max_bucket=_LSH_MAX_BUCKET)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dedup_ingest_batch(trickle, 1, st, max_bucket=_LSH_MAX_BUCKET)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_quarter = trickle_sec(chunks[0], "dedup_trk1")
+        t_full = trickle_sec(docs, "dedup_trk4")
+        out["dedup_trickle_batch_sec"] = round(t_full, 3)
+        out["dedup_trickle_state_ratio"] = round(t_full / t_quarter, 2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

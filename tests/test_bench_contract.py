@@ -34,6 +34,8 @@ def _worst_case_payload() -> dict:
         "rollup_serve_sec": 9999.999,
         "nb_serve_sec": 9999.999,
         "dedup_ingest_batch_sec": 9999.999,
+        "dedup_trickle_batch_sec": 9999.999,
+        "dedup_trickle_state_ratio": 99.99,
         "queries_count": len(bench.HEADLINE),
         "detail_file": "BENCH_DETAIL.json",
     }
