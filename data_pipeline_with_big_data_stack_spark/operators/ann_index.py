@@ -51,6 +51,26 @@ def _index_write_lock(spark: SparkSession, path: str):
     return _acquire_lock(spark, path, suffix=_INDEX_LOCK_SUFFIX)
 
 
+def _require_atomic_rename(fs: fsio.Fs, path: str, op: str) -> None:
+    """The in-place maintenance swaps infer crash state from which
+    directories exist — sound only where a rename cannot be
+    half-applied. Object-store renames are copy+delete, so a crash
+    mid-swap would leave a PARTIAL live tree that the recovery's
+    "live exists ⇒ swap completed" inference would then treat as
+    final, deleting the parked originals (the ADVICE r5 hazard the old
+    local-only guard existed for, re-stated as the actual capability).
+    The generation-versioned ops (`operators/ann_index_versioned`)
+    are the object-store path: they swap nothing in place — writers
+    materialize a new generation and flip the pointer object."""
+    if not fs.rename_is_atomic:
+        raise NotImplementedError(
+            f"{op} swaps directories in place and requires an "
+            f"atomic-rename filesystem; {path!r} ({fs.scheme}) renames "
+            "by copy+delete. Use the generation-versioned index ops "
+            "(operators/ann_index_versioned) on object stores"
+        )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -363,8 +383,11 @@ def retrain_ivfpq_index(
     O(corpus) by design — retraining re-reads every source vector; run
     it at reindex cadence (recall-floor alerts, distribution-shift
     monitors), not per append. Readers must pause during the swap, same
-    contract as compact/expire."""
+    contract as compact/expire; on object stores use
+    ``retrain_ivfpq_versioned`` (a fresh build + pointer flip — no
+    in-place swap at all)."""
     fs = fsio.Fs(spark, path)
+    _require_atomic_rename(fs, path, "retrain_ivfpq_index")
     lease = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import (
@@ -476,7 +499,10 @@ def append_to_ivfpq_index(
 
 
 def compact_ivfpq_index(
-    spark: SparkSession, path: str, max_files_per_cell: int = 4
+    spark: SparkSession,
+    path: str,
+    max_files_per_cell: int = 4,
+    _unpublished_tree: bool = False,
 ) -> int:
     """Druid-style auto-compaction for the append path: every
     ``append_to_ivfpq_index`` leaves ≥1 new file per touched cell, and
@@ -505,6 +531,13 @@ def compact_ivfpq_index(
     )
 
     fs = fsio.Fs(spark, path)
+    # ``_unpublished_tree``: the versioned ops compact a CLONE no
+    # reader can resolve — a half-applied swap there is an orphan
+    # generation GC'd at the next publish, so the atomic-rename
+    # capability is not required (object stores stay supported via
+    # that path)
+    if not _unpublished_tree:
+        _require_atomic_rename(fs, path, "compact_ivfpq_index")
     lease = _index_write_lock(spark, path)
     try:
         # heal ALL writers' crash states before reading: a compaction
@@ -566,6 +599,7 @@ def expire_vectors(
     ids=None,
     predicate=None,
     id_col: str = "vec_id",
+    _unpublished_tree: bool = False,
 ) -> int:
     """Remove vectors from a materialized IVF-PQ index — the retention/
     delete half of the lifecycle (a training corpus also LOSES documents:
@@ -595,6 +629,8 @@ def expire_vectors(
     if (ids is None) == (predicate is None):
         raise ValueError("pass exactly one of ids / predicate")
     fs = fsio.Fs(spark, path)
+    if not _unpublished_tree:  # see compact_ivfpq_index
+        _require_atomic_rename(fs, path, "expire_vectors")
     lease = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import recover_compaction

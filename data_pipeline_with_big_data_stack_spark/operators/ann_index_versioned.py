@@ -191,8 +191,14 @@ def compact_ivfpq_versioned(
         cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
         gen = _next_gen(root, fs=fs)
         _clone_generation(os.path.join(root, cur), os.path.join(root, gen), fs=fs)
+        # the clone is reader-invisible until the publish below, so a
+        # half-applied in-place swap is just an orphan generation —
+        # the compact may run on non-atomic-rename schemes too
         changed = compact_ivfpq_index(
-            spark, _gen_index(root, gen), max_files_per_cell=max_files_per_cell
+            spark,
+            _gen_index(root, gen),
+            max_files_per_cell=max_files_per_cell,
+            _unpublished_tree=True,
         )
         if not changed:
             fs.delete(os.path.join(root, gen))
@@ -225,7 +231,12 @@ def expire_ivfpq_versioned(
         gen = _next_gen(root, fs=fs)
         _clone_generation(os.path.join(root, cur), os.path.join(root, gen), fs=fs)
         expire_vectors(
-            spark, _gen_index(root, gen), ids=ids, predicate=predicate, id_col=id_col
+            spark,
+            _gen_index(root, gen),
+            ids=ids,
+            predicate=predicate,
+            id_col=id_col,
+            _unpublished_tree=True,  # reader-invisible until the publish
         )
         _publish(root, gen, fs=fs)
         _gc(root, gen, cur, fs=fs)

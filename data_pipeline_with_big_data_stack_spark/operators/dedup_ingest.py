@@ -311,13 +311,12 @@ def dedup_ingest_batch(
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         _index_write_lock,
     )
-    from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
-        minhash_signatures,
-        verify_jaccard,
-    )
 
-    s = batch.sparkSession
-    lease = _index_write_lock(s, store.base) if not _stream_epoch else None
+    lease = (
+        _index_write_lock(batch.sparkSession, store.base)
+        if not _stream_epoch
+        else None
+    )
     try:
         _dedup_ingest_batch_locked(
             batch,
@@ -328,8 +327,6 @@ def dedup_ingest_batch(
             fail_after=fail_after,
             allow_refolded_replay=allow_refolded_replay,
             _stream_epoch=_stream_epoch,
-            _minhash_signatures=minhash_signatures,
-            _verify_jaccard=verify_jaccard,
         )
     finally:
         if lease is not None:
@@ -346,10 +343,12 @@ def _dedup_ingest_batch_locked(
     fail_after: str | None,
     allow_refolded_replay: bool,
     _stream_epoch: bool,
-    _minhash_signatures,
-    _verify_jaccard,
 ) -> None:
-    minhash_signatures, verify_jaccard = _minhash_signatures, _verify_jaccard
+    from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
+        minhash_signatures,
+        verify_jaccard,
+    )
+
     s = batch.sparkSession
     eid = int(eid)
     if not _stream_epoch:

@@ -22,10 +22,13 @@ with a remote-safe branch:
   ``os.replace`` + **fsync of the parent directory** (without the
   directory fsync the rename itself is not crash-durable — power loss
   can roll the pointer back to a generation a later GC already
-  deleted). Remotely: write-temp + ``FileContext.rename(OVERWRITE)``,
-  the Hadoop atomic-replace primitive (atomic on HDFS; on object
-  stores a pointer-object overwrite, serialized by the stores'
-  single-writer locks).
+  deleted). On atomic-rename filesystems (HDFS & co.): write-temp +
+  ``FileContext.rename(OVERWRITE)``. On object stores (no atomic
+  rename — S3A's rename is copy+delete, so a temp+rename flip could
+  crash into a WINDOW WITH NO POINTER AT ALL): a direct single-object
+  overwrite PUT, which the store makes atomic at object granularity —
+  readers see the old pointer or the new, never a torn or missing
+  one.
 * :meth:`Fs.clone_tree` — locally: hardlinks (O(#files) metadata, zero
   bytes; falls back to a real copy on ``EXDEV`` when source and
   destination sit on different mounts). Remotely: ``FileUtil.copy``
@@ -35,6 +38,14 @@ with a remote-safe branch:
 
 Everything else — exists/list/delete/rename/du — is the Hadoop API
 with no local branch at all.
+
+:attr:`Fs.rename_is_atomic` classifies the scheme: the rename-SWAP
+maintenance protocols (``layout.compact_table``, the in-place IVF-PQ
+compact/expire/retrain) infer crash state from which directories
+exist, which is only sound when a rename cannot be half-applied —
+those ops gate on this capability and direct object-store users to
+the generation-versioned ops, whose only publish primitive is the
+pointer write above (safe on every scheme).
 """
 
 from __future__ import annotations
@@ -44,6 +55,21 @@ import os
 from pyspark.sql import SparkSession
 
 __all__ = ["Fs", "default_fs"]
+
+# schemes whose FileSystem.rename is atomic (a real filesystem
+# namespace operation). Object stores (s3a, gs, wasb, oss, cos...)
+# implement rename as copy+delete — NOT in this set. abfs (ADLS gen2)
+# and ofs/o3fs (Ozone) provide atomic rename; s3a does not.
+_ATOMIC_RENAME_SCHEMES = {
+    "file",
+    "hdfs",
+    "viewfs",
+    "webhdfs",
+    "abfs",
+    "abfss",
+    "ofs",
+    "o3fs",
+}
 
 
 def _is_missing(exc: Exception) -> bool:
@@ -67,6 +93,7 @@ class Fs:
         self._fs = self._Path(base).getFileSystem(self._conf)
         self.scheme = self._fs.getScheme()
         self.is_local = self.scheme == "file"
+        self.rename_is_atomic = self.scheme in _ATOMIC_RENAME_SCHEMES
 
     # -- path plumbing -------------------------------------------------
     def _p(self, path: str):
@@ -86,8 +113,12 @@ class Fs:
         return bool(self._fs.exists(self._p(path)))
 
     def is_dir(self, path: str) -> bool:
-        p = self._p(path)
-        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+        try:
+            return bool(self._fs.getFileStatus(self._p(path)).isDirectory())
+        except Exception as exc:  # noqa: BLE001 - one RPC, missing -> False
+            if _is_missing(exc):
+                return False
+            raise
 
     def list_names(self, path: str, missing_ok: bool = False) -> list[str]:
         """Child basenames of ``path`` (the ``os.listdir`` analogue)."""
@@ -116,16 +147,7 @@ class Fs:
     def list_files_recursive(self, path: str) -> list[str]:
         """Full paths of every file under ``path`` (the ``os.walk``
         analogue), rendered in the filesystem's own URI form."""
-        out: list[str] = []
-        try:
-            it = self._fs.listFiles(self._p(path), True)
-        except Exception as exc:  # noqa: BLE001
-            if _is_missing(exc):
-                return []
-            raise
-        while it.hasNext():
-            out.append(it.next().getPath().toString())
-        return out
+        return [p for p, _n in self.file_sizes_recursive(path)]
 
     def file_sizes_recursive(self, path: str) -> list[tuple[str, int]]:
         """(full path, byte length) of every file under ``path``."""
@@ -188,14 +210,28 @@ class Fs:
             finally:
                 os.close(dfd)
             return
-        tmp = path + ".tmp"
-        out = self._fs.create(self._p(tmp), True)
+        if self.rename_is_atomic:
+            tmp = path + ".tmp"
+            out = self._fs.create(self._p(tmp), True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+                out.hflush()
+            finally:
+                out.close()
+            self._rename_overwrite(tmp, path)
+            return
+        # object store: rename is copy+delete, so temp+rename could
+        # crash AFTER deleting the old pointer and BEFORE the copy —
+        # a window with NO pointer. The store's own atomic primitive
+        # is the single-object PUT (visible only at close): write the
+        # destination directly; a crash before close leaves the old
+        # object fully intact. Concurrent writers are serialized by
+        # the stores' single-writer locks.
+        out = self._fs.create(self._p(path), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
-            out.hflush()
         finally:
             out.close()
-        self._rename_overwrite(tmp, path)
 
     def _rename_overwrite(self, src: str, dst: str) -> None:
         """Hadoop's atomic-replace: ``FileContext.rename(...OVERWRITE)``
@@ -227,7 +263,9 @@ class Fs:
         """Move ``src`` to a NON-EXISTING ``dst`` (the swap primitive).
         Hadoop's ``rename`` reports failure by returning false — turn
         that into an exception so a failed swap can never be silently
-        treated as done."""
+        treated as done. Only ATOMIC on :attr:`rename_is_atomic`
+        schemes; protocols that infer crash state from rename outcomes
+        must gate on that capability (see module docstring)."""
         if not self._fs.rename(self._p(src), self._p(dst)):
             raise OSError(f"rename failed: {src!r} -> {dst!r}")
 

@@ -101,8 +101,9 @@ def read_current(
 def atomic_write(path: str, text: str, fs: fsio.Fs | None = None) -> None:
     """Durably replace a small metadata file — crash leaves either the
     old content or the new, never a torn file (``fsio.Fs.
-    write_text_atomic``: locally rename + parent-directory fsync,
-    remotely Hadoop's atomic rename-overwrite)."""
+    write_text_atomic``: locally rename + parent-directory fsync; on
+    HDFS-likes Hadoop's atomic rename-overwrite; on object stores a
+    single-object overwrite PUT)."""
     fs = fs or fsio.default_fs(path)
     fs.write_text_atomic(path, text)
 
@@ -180,6 +181,10 @@ def clone_generation(src: str, dst: str, fs: fsio.Fs | None = None) -> None:
     (O(#files) metadata ops, zero bytes moved; EXDEV falls back to
     copy), a real copy on remote stores. Parquet files are immutable
     once written, so sharing them between generations is safe; deleting
-    either generation only unlinks its names."""
+    either generation only unlinks its names. The source's publish
+    stamp is NOT carried: the clone is a new, unpublished tree, and a
+    copied stamp would let a crashed writer's orphan masquerade as
+    recently published to :func:`gc_generations`'s age rule."""
     fs = fs or fsio.default_fs(src)
     fs.clone_tree(src, dst)
+    fs.delete(_join(dst, PUBLISHED_AT))

@@ -87,8 +87,12 @@ def compact_table(
     between the two swap renames leaves the table at ``__precompact``;
     :func:`recover_compaction` (run here on entry) restores it."""
     from data_pipeline_with_big_data_stack_spark.operators import fsio
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _require_atomic_rename,
+    )
 
     fs = fsio.Fs(spark, path)
+    _require_atomic_rename(fs, path, "compact_table")
     recover_compaction(path, fs=fs)
     total = sum(
         n for f, n in fs.file_sizes_recursive(path) if f.endswith(".parquet")

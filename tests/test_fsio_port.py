@@ -199,3 +199,61 @@ def test_write_text_atomic_roundtrip_and_overwrite_on_file_uri(spark, tmp_path):
     fs.write_text_atomic(p, "gen-000002\n")
     assert fs.read_text(p) == "gen-000002\n"
     assert not (tmp_path / "ptr.tmp").exists()
+
+
+def test_clone_generation_strips_publish_stamp(spark, tmp_path):
+    """A clone is a new, UNPUBLISHED tree: carrying the source's
+    .published_at would let a crashed writer's orphan masquerade as
+    recently published and survive an age-grace GC for the full
+    window."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    fs.mkdirs(os.path.join(root, "gen-000001", "index"))
+    G.publish(root, "gen-000001", fs=fs)
+    assert G.published_at(root, "gen-000001", fs=fs) is not None
+    G.clone_generation(
+        os.path.join(root, "gen-000001"), os.path.join(root, "gen-000002"), fs=fs
+    )
+    assert G.published_at(root, "gen-000002", fs=fs) is None
+    # the orphan clone dies even under a wide-open grace window
+    G.gc_generations(root, "gen-000001", None, grace_seconds=3600.0, fs=fs)
+    assert G.list_generations(root, fs=fs) == ["gen-000001"]
+
+
+def test_write_text_atomic_object_store_branch_is_direct_put(spark, tmp_path):
+    """Schemes without atomic rename must NOT flip via temp+rename (a
+    copy+delete rename can crash into a window with NO pointer): the
+    object-store branch writes the destination object directly. Pinned
+    by forcing the branch flags on a local handle."""
+    fs = fsio.Fs(spark, "file:" + str(tmp_path))
+    fs.is_local = False
+    fs.rename_is_atomic = False
+    p = "file:" + str(tmp_path / "ptr")
+    fs.write_text_atomic(p, "gen-000007\n")
+    assert fs.read_text(p) == "gen-000007\n"
+    fs.write_text_atomic(p, "gen-000008\n")
+    assert fs.read_text(p) == "gen-000008\n"
+    assert not (tmp_path / "ptr.tmp").exists(), "PUT branch must not stage a temp"
+
+
+def test_inplace_swap_ops_refuse_non_atomic_rename_schemes(spark, tmp_path, monkeypatch):
+    """The in-place maintenance swaps infer crash state from directory
+    existence — unsound where rename is copy+delete. On such schemes
+    they must refuse with a pointer to the generation-versioned ops;
+    the versioned compact/expire still run (their clone is
+    reader-invisible, so a half-applied swap is just an orphan)."""
+    import pytest as _pytest
+
+    from data_pipeline_with_big_data_stack_spark.operators import ann_index as ai
+    from data_pipeline_with_big_data_stack_spark.operators import layout
+
+    monkeypatch.setattr(fsio, "_ATOMIC_RENAME_SCHEMES", frozenset())
+    path = str(tmp_path / "idx")
+    with _pytest.raises(NotImplementedError, match="generation-versioned"):
+        ai.compact_ivfpq_index(spark, path)
+    with _pytest.raises(NotImplementedError, match="generation-versioned"):
+        ai.expire_vectors(spark, path, ids=[1])
+    with _pytest.raises(NotImplementedError, match="generation-versioned"):
+        ai.retrain_ivfpq_index(spark, path, None)
+    with _pytest.raises(NotImplementedError, match="generation-versioned"):
+        layout.compact_table(spark, path)
