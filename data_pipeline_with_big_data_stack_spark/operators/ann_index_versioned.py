@@ -25,9 +25,12 @@ Writer protocol (build / append / compact / expire / retrain), all under
 the root's single-writer lock:
 
 1. materialize a NEW generation dir — a fresh build (build/retrain/
-   compact/expire) or a HARDLINK clone of the current generation plus
-   the delta (append: O(#files) link cost, zero byte copies — the new
-   generation shares immutable code files with its predecessor);
+   compact/expire) or a clone of the current generation plus the delta
+   (append). On local/linking filesystems the clone is hardlinks —
+   O(#files) metadata, zero byte copies, code files shared with the
+   predecessor; on linkless object stores it is a byte copy
+   (O(index bytes) per append — batch appends accordingly, or adopt a
+   manifest-reference layout; see ``fsio.Fs.clone_tree``);
 2. publish by atomically replacing the ``_CURRENT`` pointer
    (write-temp + atomic rename, `operators/fsio`);
 3. GC every generation except the new one and the generation that was

@@ -514,9 +514,12 @@ def run_dedup_ingest_stream(
     after every Nth epoch the drain folds the store in place (the
     drain already holds the writer lock). The in-drain fold is
     INCREMENTAL — only epochs past the previous fold marker are read
-    and rewritten, earlier fold partitions are hardlink-carried — so
-    each fold costs O(data since the last fold), and each byte is
-    rewritten once by the drain, not once per interval. Without
+    and rewritten, earlier fold partitions are carried (hardlinks on a
+    local/linking filesystem: metadata-only, each byte rewritten once
+    by the drain; on a linkless object store the carry is a byte copy,
+    so size compact_every for O(store/N) copy cost per fold there or
+    adopt a manifest-reference layout — ``fsio.Fs.clone_tree``) — so
+    each fold costs O(data since the last fold) where links exist. Without
     periodic folding the per-batch prior reads re-list every
     accumulated epoch directory — O(epochs × buckets) metadata per
     batch even when the data scan prunes — so the fold is what keeps

@@ -46,6 +46,24 @@ exist, which is only sound when a rename cannot be half-applied —
 those ops gate on this capability and direct object-store users to
 the generation-versioned ops, whose only publish primitive is the
 pointer write above (safe on every scheme).
+
+Two documented object-store caveats (the same ones every
+lakehouse-on-S3 design carries):
+
+* **Writer exclusion.** The stores' single-writer lock claims with
+  ``create(overwrite=False)``, atomic on filesystems but a
+  HEAD-then-PUT on plain S3A — two drivers inside the consistency
+  window can both claim it. On such stores, single-writer-ness must
+  come from the orchestrator (one maintenance job per store — the
+  reference runs exactly one Druid coordinator), or from an external
+  lock service, exactly as Delta Lake requires a DynamoDB LogStore
+  there. Filesystems (file/HDFS/ABFS/Ozone) get real exclusion.
+* **Clone cost.** ``clone_tree`` on a linkless store is a byte copy,
+  so generation carries/clones are O(cloned bytes), not the local
+  hardlink's O(#files) metadata. The versioned ops stay correct but
+  their append/carry cost model degrades; a manifest-reference layout
+  (files shared by name across generation manifests) is the zero-copy
+  upgrade and the protocol is already shaped for it.
 """
 
 from __future__ import annotations
@@ -73,10 +91,27 @@ _ATOMIC_RENAME_SCHEMES = {
 
 
 def _is_missing(exc: Exception) -> bool:
-    """py4j wraps java.io.FileNotFoundException; detect it by class name
-    in the rendered trace (the portable py4j idiom — the exception
-    object itself is gateway-specific)."""
-    return "FileNotFoundException" in str(exc)
+    """True iff the Java exception (or anything in its cause chain) IS
+    a java.io.FileNotFoundException. Walking the typed cause chain —
+    not substring-matching the rendered trace — keeps unrelated
+    failures whose stack merely MENTIONS an FNFE from being
+    misclassified as "path missing" and silently returned as empty
+    results."""
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:
+        try:
+            if je.getClass().getName().endswith("FileNotFoundException"):
+                return True
+            je = je.getCause()
+        except Exception:  # noqa: BLE001 - gateway hiccup: fall through
+            break
+        seen += 1
+    if getattr(exc, "java_exception", None) is not None:
+        return False
+    # non-py4j path (e.g. re-raised during connection teardown): accept
+    # only a message that LEADS with the exception class
+    return str(exc).lstrip().startswith("java.io.FileNotFoundException")
 
 
 class Fs:
@@ -162,6 +197,19 @@ class Fs:
             st = it.next()
             out.append((st.getPath().toString(), int(st.getLen())))
         return out
+
+    def mtime(self, path: str) -> float | None:
+        """Modification time in SECONDS by the STORAGE SYSTEM's clock
+        (namenode / object-store service / local host) — the clock the
+        age-grace GC compares publish stamps against, so cross-driver
+        wall-clock skew cannot shrink a reader's promised window. None
+        when missing."""
+        try:
+            return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+        except Exception as exc:  # noqa: BLE001
+            if _is_missing(exc):
+                return None
+            raise
 
     def dir_bytes(self, path: str) -> int:
         """Total bytes under ``path`` — one ``getContentSummary`` call
@@ -251,21 +299,36 @@ class Fs:
         self._fs.mkdirs(self._p(path))
 
     def delete(self, path: str) -> None:
-        """Recursive delete, missing-ok (the ``shutil.rmtree(...,
-        ignore_errors=True)`` analogue)."""
+        """Recursive delete, missing-ok — but NOT failure-ok: Hadoop's
+        ``delete`` returns false for both "was not there" and "could
+        not delete", and the protocols built on this (GC, swap
+        recovery, staging teardown) require the target to actually be
+        gone — a silently surviving park/backup dir later corrupts a
+        rename-swap. Disambiguate with an exists probe and raise on a
+        real failure."""
         try:
-            self._fs.delete(self._p(path), True)
+            ok = self._fs.delete(self._p(path), True)
         except Exception as exc:  # noqa: BLE001
             if not _is_missing(exc):
                 raise
+            return
+        if not ok and self.exists(path):
+            raise OSError(f"delete failed but path persists: {path!r}")
 
     def rename(self, src: str, dst: str) -> None:
         """Move ``src`` to a NON-EXISTING ``dst`` (the swap primitive).
-        Hadoop's ``rename`` reports failure by returning false — turn
-        that into an exception so a failed swap can never be silently
-        treated as done. Only ATOMIC on :attr:`rename_is_atomic`
-        schemes; protocols that infer crash state from rename outcomes
-        must gate on that capability (see module docstring)."""
+        Unlike ``os.rename`` (which raises ENOTEMPTY), Hadoop's
+        ``rename`` onto an existing DIRECTORY quietly moves ``src``
+        INTO it and reports success — which would nest a live index
+        component inside a leftover park dir and serve garbage later —
+        so an existing destination is refused up front (one RPC; safe
+        under the callers' single-writer locks). A false return is an
+        error, never silently treated as done. Only ATOMIC on
+        :attr:`rename_is_atomic` schemes; protocols that infer crash
+        state from rename outcomes must gate on that capability (see
+        module docstring)."""
+        if self.exists(dst):
+            raise FileExistsError(f"rename destination exists: {dst!r}")
         if not self._fs.rename(self._p(src), self._p(dst)):
             raise OSError(f"rename failed: {src!r} -> {dst!r}")
 

@@ -123,13 +123,14 @@ def publish(root: str, gen: str, fs: fsio.Fs | None = None) -> None:
 
 
 def published_at(root: str, gen: str, fs: fsio.Fs | None = None) -> float | None:
-    """Publish time of ``gen`` (None: never published, or stamped by a
-    pre-port writer)."""
+    """Publish time of ``gen`` by the STORAGE system's clock — the
+    stamp file's mtime, not its content: the GC's age comparison must
+    use one clock for both sides, and two drivers' wall clocks can
+    disagree by more than a grace window. The content carries the
+    publisher's wall time for humans. None: never published (or
+    stamped by a pre-port writer with no stamp at all)."""
     fs = fs or fsio.default_fs(root)
-    try:
-        return float(fs.read_text(_join(root, gen, PUBLISHED_AT)).strip())
-    except (FileNotFoundError, ValueError):
-        return None
+    return fs.mtime(_join(root, gen, PUBLISHED_AT))
 
 
 def gc_generations(
@@ -151,14 +152,24 @@ def gc_generations(
     and ``new``, and a listing-based GC would then keep the
     half-written orphan while deleting the very tree an in-flight
     reader resolved. With ``prev`` explicit, orphans (never equal to
-    either, and never carrying a publish stamp) always vanish here."""
+    either, and never carrying a publish stamp) always vanish here.
+
+    Ages are measured entirely on the STORAGE system's clock: each
+    stamp's mtime against the mtime of a probe file written now —
+    never against this driver's ``time.time()``, which another
+    publisher's clock may lead or trail by more than the whole
+    window."""
     fs = fs or fsio.default_fs(root)
     keep = {new, prev} if prev else {new}
-    now = time.time()
+    now = None
+    if grace_seconds > 0:
+        probe = _join(root, ".gc_clock_probe")
+        fs.write_text_atomic(probe, "storage-clock probe\n")
+        now = fs.mtime(probe)
     for g in list_generations(root, fs):
         if g in keep:
             continue
-        if grace_seconds > 0:
+        if grace_seconds > 0 and now is not None:
             ts = published_at(root, g, fs)
             if ts is not None and (now - ts) < grace_seconds:
                 continue

@@ -257,3 +257,20 @@ def test_inplace_swap_ops_refuse_non_atomic_rename_schemes(spark, tmp_path, monk
         ai.retrain_ivfpq_index(spark, path, None)
     with _pytest.raises(NotImplementedError, match="generation-versioned"):
         layout.compact_table(spark, path)
+
+
+def test_rename_refuses_existing_destination(spark, tmp_path):
+    """os.rename raises ENOTEMPTY onto an existing dir; Hadoop's rename
+    instead quietly moves src INTO it and reports success — which would
+    nest a live index component inside a leftover park dir. The facade
+    must restore the raising contract."""
+    fs = fsio.Fs(spark, str(tmp_path))
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "f.txt").write_text("x")
+    (tmp_path / "b").mkdir()
+    with pytest.raises(FileExistsError, match="destination exists"):
+        fs.rename(str(tmp_path / "a"), str(tmp_path / "b"))
+    # src untouched by the refusal
+    assert (tmp_path / "a" / "f.txt").exists()
+    fs.rename(str(tmp_path / "a"), str(tmp_path / "c"))
+    assert (tmp_path / "c" / "f.txt").exists()
