@@ -272,9 +272,15 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
         # shape: the same 4-doc batch is timed against a quarter-corpus
         # store and the full-corpus store; `dedup_trickle_batch_sec` is
         # the full-store latency and `dedup_trickle_state_ratio` =
-        # full/quarter — pruned prior reads keep it near 1, an unpruned
-        # rescan of the accumulated state trends toward 4. Same blessed
-        # idempotent same-eid replay for best-of-3. ---
+        # full/quarter. Honest reading: pruning bounds the scanned
+        # FRACTION of the store (touched/n_bkt), not its growth — even
+        # pruned, touched-bucket bytes grow with the corpus, and at
+        # this fixture scale the per-batch fixed floor dominates both
+        # sides — so the prune evidence is the PAIR: a ratio far below
+        # the 4× data ratio plus a flat dedup_trickle_batch_sec across
+        # rounds. A regression to store-wide rescans (r8's bug class)
+        # shows as both numbers climbing. Same blessed idempotent
+        # same-eid replay for best-of-3. ---
         # materialize the 4-row batch (bounded collect): a lazy
         # orderBy().limit() plan would re-sort the corpus on every one
         # of the batch's several evaluations and time the sort, not the

@@ -557,10 +557,18 @@ def compact_ivfpq_index(
             .partitionBy("cell_id")
             .parquet(staging)
         )
-        backup = path.rstrip("/") + "__precompact"
-        fs.rename(path, backup)
-        fs.rename(staging, path)
-        fs.delete(backup)
+        if _unpublished_tree:
+            # no reader can resolve this tree and a crash just orphans
+            # the clone — skip the backup swap: on a linkless object
+            # store the live→backup rename is a full byte copy that
+            # protects nothing here
+            fs.delete(path)
+            fs.rename(staging, path)
+        else:
+            backup = path.rstrip("/") + "__precompact"
+            fs.rename(path, backup)
+            fs.rename(staging, path)
+            fs.delete(backup)
         return len(table_files(spark, path))
     finally:
         lease.release()

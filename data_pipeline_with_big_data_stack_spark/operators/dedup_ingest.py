@@ -351,11 +351,12 @@ def _dedup_ingest_batch_locked(
 
     s = batch.sparkSession
     eid = int(eid)
+    # resolved ONCE, under the writer lock the caller holds, so the
+    # refusal checks and all seven sink accesses of the epoch land in
+    # the same tree — a concurrent compactor can no longer publish/GC
+    # the generation between check and writes (ADVICE r10 TOCTOU)
+    gen_dir = os.path.join(store.base, store.current_generation())
     if not _stream_epoch:
-        # refusal checks run UNDER the writer lock (taken by the
-        # caller), with the generation resolved after acquisition —
-        # a concurrent compactor can no longer publish/GC the tree
-        # between the check and the writes (ADVICE r10 TOCTOU)
         if _committed_hi(store) is not None:
             raise RuntimeError(
                 f"dedup-ingest store at {store.base!r} is stream-driven (a "
@@ -364,9 +365,7 @@ def _dedup_ingest_batch_locked(
                 "numbering; feed new documents through the stream source "
                 "instead"
             )
-        folded_hi, _full = _read_fold_marker(
-            os.path.join(store.base, store.current_generation()), store.fs
-        )
+        folded_hi, _full = _read_fold_marker(gen_dir, store.fs)
         if eid <= folded_hi and not allow_refolded_replay:
             raise RuntimeError(
                 f"dedup-ingest store at {store.base!r} has folded epochs "
@@ -381,7 +380,6 @@ def _dedup_ingest_batch_locked(
     if batch.isEmpty():
         return
     n_bkt = store.n_bkt
-    gen_dir = os.path.join(store.base, store.current_generation())
     sink = {name: os.path.join(gen_dir, name) for name in _SINKS}
 
     bands = minhash_signatures(batch).select(

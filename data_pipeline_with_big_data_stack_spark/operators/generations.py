@@ -173,7 +173,14 @@ def gc_generations(
             ts = published_at(root, g, fs)
             if ts is not None and (now - ts) < grace_seconds:
                 continue
-        fs.delete(_join(root, g))
+        # best-effort: GC runs AFTER a successful publish, so a delete
+        # blocked by e.g. a reader's open handle on an NFS mount must
+        # not fail the writer operation (or abort a whole drain) over
+        # an already-consistent store — the next publish's GC retries
+        try:
+            fs.delete(_join(root, g))
+        except OSError:
+            pass
 
 
 def next_gen(root: str, fs: fsio.Fs | None = None) -> str:
