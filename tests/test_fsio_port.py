@@ -274,3 +274,43 @@ def test_rename_refuses_existing_destination(spark, tmp_path):
     assert (tmp_path / "a" / "f.txt").exists()
     fs.rename(str(tmp_path / "a"), str(tmp_path / "c"))
     assert (tmp_path / "c" / "f.txt").exists()
+
+
+def test_streaming_drain_with_crash_replay_on_file_uri(spark, tmp_path):
+    """The full streaming lifecycle on a ``file:`` URI base — drain,
+    injected crash between a sink write and the checkpoint commit,
+    checkpoint resume, in-drain folds — must equal a crash-free drain
+    on a plain path: the checkpoint, writer lock, epoch overwrites and
+    fold publishes all route through the URI."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs = _docs(spark, n=120)
+
+    def dec(store):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(store.decisions).drop("batch_id").collect(),
+            )
+        )
+
+    base_ref, src_ref = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    ref_store = DI.init_dedup_ingest_store(spark, base_ref)
+    DI.run_dedup_ingest_stream(spark, src_ref, ref_store)
+    ref = dec(ref_store)
+
+    # URI store: same chunks, crash at epoch 1 after bands_idx, resume
+    base2, src2 = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    uri_base = "file:" + str(tmp_path / "uri_store")
+    store = DI.init_dedup_ingest_store(spark, uri_base)
+    assert store.base.startswith("file:")
+    try:
+        DI.run_dedup_ingest_stream(
+            spark, src2, store, fail_epoch=1, fail_after="bands_idx",
+            compact_every=2,
+        )
+        raise AssertionError("injected crash did not fire")
+    except StreamingQueryException:
+        pass
+    DI.run_dedup_ingest_stream(spark, src2, store, compact_every=2)
+    assert dec(store) == ref
