@@ -314,3 +314,46 @@ def test_streaming_drain_with_crash_replay_on_file_uri(spark, tmp_path):
         pass
     DI.run_dedup_ingest_stream(spark, src2, store, compact_every=2)
     assert dec(store) == ref
+
+
+def test_versioned_lifecycle_runs_without_atomic_rename_capability(
+    spark, tmp_path, monkeypatch
+):
+    """Object stores lose the in-place swap ops (gated above) but must
+    keep the FULL index lifecycle through the generation-versioned
+    path: with the atomic-rename capability masked off entirely,
+    build → append → compact → expire → retrain → search all succeed —
+    the versioned compact/expire operate on reader-invisible clones
+    (`_unpublished_tree`), and every publish is a pointer write that
+    needs no rename at all on such schemes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import ann_index_versioned as V
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        train_ivfpq_codebooks,
+    )
+
+    monkeypatch.setattr(fsio, "_ATOMIC_RENAME_SCHEMES", frozenset())
+    rng = random.Random(11)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id long, emb array<double>",
+    )
+    root = str(tmp_path / "root")
+    cb, pqs = train_ivfpq_codebooks(vecs, 4, 4, 4, 2, iters=1)
+    V.build_ivfpq_versioned(vecs, root, cb, pqs, sub_dim=4)
+    newer = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        "vec_id long, emb array<double>",
+    )
+    V.append_ivfpq_versioned(spark, root, newer)
+    assert V.compact_ivfpq_versioned(spark, root, max_files_per_cell=1) is not None
+    V.expire_ivfpq_versioned(spark, root, ids=[0, 1])
+    V.retrain_ivfpq_versioned(spark, root, vecs.unionByName(newer), iters=1)
+    probes = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    res = V.search_ivfpq_versioned(spark, root, probes, nprobe=2, k=3)
+    assert res.count() == 9
