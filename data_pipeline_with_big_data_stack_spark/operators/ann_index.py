@@ -691,13 +691,25 @@ def expire_vectors(
             .partitionBy("cell_id")
             .parquet(staging)
         )
-        fs.mkdirs(trash)
-        for c in cells:
-            part = f"cell_id={c}"
-            fs.rename(os.path.join(path, part), os.path.join(trash, part))
-            staged = os.path.join(staging, part)
-            if fs.exists(staged):  # absent ⇒ the cell expired empty
-                fs.rename(staged, os.path.join(path, part))
+        if _unpublished_tree:
+            # reader-invisible clone: no recovery will ever run on it
+            # (a crash just orphans the generation), so skip the park —
+            # on a linkless store the live→trash rename is a full byte
+            # copy of every affected cell, protecting nothing
+            for c in cells:
+                part = f"cell_id={c}"
+                fs.delete(os.path.join(path, part))
+                staged = os.path.join(staging, part)
+                if fs.exists(staged):  # absent ⇒ the cell expired empty
+                    fs.rename(staged, os.path.join(path, part))
+        else:
+            fs.mkdirs(trash)
+            for c in cells:
+                part = f"cell_id={c}"
+                fs.rename(os.path.join(path, part), os.path.join(trash, part))
+                staged = os.path.join(staging, part)
+                if fs.exists(staged):  # absent ⇒ the cell expired empty
+                    fs.rename(staged, os.path.join(path, part))
         if not any(
             n.startswith("cell_id=") for n in fs.list_names(path)
         ):

@@ -354,9 +354,12 @@ def _dedup_ingest_batch_locked(
     # resolved ONCE, under the writer lock the caller holds, so the
     # refusal checks and all seven sink accesses of the epoch land in
     # the same tree — a concurrent compactor can no longer publish/GC
-    # the generation between check and writes (ADVICE r10 TOCTOU)
-    gen_dir = os.path.join(store.base, store.current_generation())
+    # the generation between check and writes (ADVICE r10 TOCTOU).
+    # Stream epochs defer resolution past the isEmpty early-return so
+    # an empty micro-batch costs zero pointer reads
+    gen_dir = None
     if not _stream_epoch:
+        gen_dir = os.path.join(store.base, store.current_generation())
         if _committed_hi(store) is not None:
             raise RuntimeError(
                 f"dedup-ingest store at {store.base!r} is stream-driven (a "
@@ -380,6 +383,8 @@ def _dedup_ingest_batch_locked(
     if batch.isEmpty():
         return
     n_bkt = store.n_bkt
+    if gen_dir is None:
+        gen_dir = os.path.join(store.base, store.current_generation())
     sink = {name: os.path.join(gen_dir, name) for name in _SINKS}
 
     bands = minhash_signatures(batch).select(

@@ -174,12 +174,14 @@ def gc_generations(
             if ts is not None and (now - ts) < grace_seconds:
                 continue
         # best-effort: GC runs AFTER a successful publish, so a delete
-        # blocked by e.g. a reader's open handle on an NFS mount must
-        # not fail the writer operation (or abort a whole drain) over
-        # an already-consistent store — the next publish's GC retries
+        # blocked by e.g. a reader's open handle on an NFS mount — or a
+        # remote store's throttling/permission error, which surfaces as
+        # a raw JVM exception, not OSError — must not fail the writer
+        # operation (or abort a whole drain) over an already-consistent
+        # store; the next publish's GC retries
         try:
             fs.delete(_join(root, g))
-        except OSError:
+        except Exception:  # noqa: BLE001 - any delete failure is retryable
             pass
 
 
