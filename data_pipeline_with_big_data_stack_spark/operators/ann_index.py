@@ -691,25 +691,24 @@ def expire_vectors(
             .partitionBy("cell_id")
             .parquet(staging)
         )
-        if _unpublished_tree:
-            # reader-invisible clone: no recovery will ever run on it
-            # (a crash just orphans the generation), so skip the park —
-            # on a linkless store the live→trash rename is a full byte
-            # copy of every affected cell, protecting nothing
-            for c in cells:
-                part = f"cell_id={c}"
-                fs.delete(os.path.join(path, part))
-                staged = os.path.join(staging, part)
-                if fs.exists(staged):  # absent ⇒ the cell expired empty
-                    fs.rename(staged, os.path.join(path, part))
-        else:
+        # retire each affected live cell, then publish its staged
+        # replacement. Published tree: park the original in __preexpire
+        # (crash recovery rolls it back). Unpublished clone: plain
+        # delete — no recovery ever runs on a reader-invisible clone (a
+        # crash just orphans the generation), and on a linkless store
+        # the park rename would be a full byte copy protecting nothing.
+        if not _unpublished_tree:
             fs.mkdirs(trash)
-            for c in cells:
-                part = f"cell_id={c}"
-                fs.rename(os.path.join(path, part), os.path.join(trash, part))
-                staged = os.path.join(staging, part)
-                if fs.exists(staged):  # absent ⇒ the cell expired empty
-                    fs.rename(staged, os.path.join(path, part))
+        for c in cells:
+            part = f"cell_id={c}"
+            live = os.path.join(path, part)
+            if _unpublished_tree:
+                fs.delete(live)
+            else:
+                fs.rename(live, os.path.join(trash, part))
+            staged = os.path.join(staging, part)
+            if fs.exists(staged):  # absent ⇒ the cell expired empty
+                fs.rename(staged, live)
         if not any(
             n.startswith("cell_id=") for n in fs.list_names(path)
         ):

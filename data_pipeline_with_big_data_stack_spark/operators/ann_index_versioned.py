@@ -219,10 +219,14 @@ def expire_ivfpq_versioned(
     ids=None,
     predicate=None,
     id_col: str = "vec_id",
-) -> str:
+) -> str | None:
     """Retention as a new generation: clone, drop the expired vectors
     from the clone via ``expire_vectors`` (same ids-or-predicate
-    surface), publish."""
+    surface), publish. Returns None without publishing when nothing
+    matched (same no-op contract as ``compact_ivfpq_versioned``) — an
+    empty opt-out list must not pay a full clone-publish-GC cycle,
+    which on a linkless store copies every index byte for a
+    byte-identical result."""
     fs = fsio.Fs(spark, root)
     lease = _index_write_lock(spark, root)
     try:
@@ -233,7 +237,7 @@ def expire_ivfpq_versioned(
         cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
         gen = _next_gen(root, fs=fs)
         _clone_generation(os.path.join(root, cur), os.path.join(root, gen), fs=fs)
-        expire_vectors(
+        n_removed = expire_vectors(
             spark,
             _gen_index(root, gen),
             ids=ids,
@@ -241,6 +245,9 @@ def expire_ivfpq_versioned(
             id_col=id_col,
             _unpublished_tree=True,  # reader-invisible until the publish
         )
+        if not n_removed:
+            fs.delete(os.path.join(root, gen))
+            return None
         _publish(root, gen, fs=fs)
         _gc(root, gen, cur, fs=fs)
         return gen

@@ -181,8 +181,18 @@ def gc_generations(
         # store; the next publish's GC retries
         try:
             fs.delete(_join(root, g))
-        except Exception:  # noqa: BLE001 - any delete failure is retryable
-            pass
+        except Exception as exc:  # noqa: BLE001 - any delete failure is retryable
+            # visible, non-fatal: a PERSISTENT failure (lost delete
+            # permission, chronic throttling) would otherwise accrete
+            # stale generations with no signal at all
+            import warnings
+
+            warnings.warn(
+                f"generation GC could not delete {g!r} under {root!r} "
+                f"({exc}); it will be retried at the next publish",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def next_gen(root: str, fs: fsio.Fs | None = None) -> str:

@@ -321,11 +321,14 @@ def test_versioned_lifecycle_runs_without_atomic_rename_capability(
 ):
     """Object stores lose the in-place swap ops (gated above) but must
     keep the FULL index lifecycle through the generation-versioned
-    path: with the atomic-rename capability masked off entirely,
-    build → append → compact → expire → retrain → search all succeed —
-    the versioned compact/expire operate on reader-invisible clones
-    (`_unpublished_tree`), and every publish is a pointer write that
-    needs no rename at all on such schemes."""
+    path: with the atomic-rename capability masked off entirely, no
+    `_require_atomic_rename` gate fires anywhere in
+    build → append → compact → expire → retrain → search — the
+    versioned compact/expire operate on reader-invisible clones
+    (`_unpublished_tree`). The backing store here is still local, so
+    write_text_atomic's PUT branch and clone_tree's copy branch are
+    pinned separately (test_write_text_atomic_object_store_branch...);
+    this test pins the gate surface and lifecycle composition."""
     import random
 
     from pyspark.sql import functions as F
