@@ -71,6 +71,38 @@ def _require_atomic_rename(fs: fsio.Fs, path: str, op: str) -> None:
         )
 
 
+def _read_table(spark: SparkSession, path: str, fs: fsio.Fs | None = None):
+    """Manifest-aware read (`operators/segman`): a plain physical dir
+    reads exactly as ``spark.read.parquet(path)``; a generation table
+    whose manifest references segments in older generations reads the
+    union. Every read-only consumer of an index component goes through
+    here so the versioned stores can carry segments by reference."""
+    from data_pipeline_with_big_data_stack_spark.operators import segman
+
+    return segman.read_table(spark, fs or fsio.Fs(spark, path), path)
+
+
+def _refuse_manifested(fs: fsio.Fs, path: str, op: str) -> None:
+    """The in-place maintenance ops rewrite and swap PHYSICAL trees;
+    on a manifest-reference generation table (`operators/segman`) they
+    would read only the physically-present files — silently dropping
+    every referenced segment — and their swap would strand the
+    manifest. Those tables are maintained by the generation-versioned
+    ops, which supersede a manifest with a new generation instead of
+    editing one in place."""
+    from data_pipeline_with_big_data_stack_spark.operators import segman
+
+    p = path.rstrip("/")
+    for comp in (p, p + "_codebook", p + "_pq_codebook"):
+        if fs.exists(os.path.join(comp, segman.MANIFEST)):
+            raise NotImplementedError(
+                f"{op} rewrites directories in place, but {comp!r} is a "
+                "manifest-reference generation table — use the "
+                "generation-versioned ops (operators/ann_index_versioned), "
+                "which publish a new generation instead"
+            )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -388,6 +420,7 @@ def retrain_ivfpq_index(
     in-place swap at all)."""
     fs = fsio.Fs(spark, path)
     _require_atomic_rename(fs, path, "retrain_ivfpq_index")
+    _refuse_manifested(fs, path, "retrain_ivfpq_index")
     lease = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import (
@@ -441,12 +474,13 @@ def _sidecar_codebooks(
 ) -> tuple[DataFrame, list[DataFrame], int]:
     """Read the coarse + PQ codebooks back from an index's sidecars in
     the 1-row array-of-struct shape ``_coded_projection`` expects.
-    Returns (coarse, [pq_m...], sub_dim)."""
+    Returns (coarse, [pq_m...], sub_dim). Manifest-aware: a versioned
+    generation's sidecars may be segment references."""
     coarse = (
-        spark.read.parquet(path + "_codebook")
+        _read_table(spark, path + "_codebook")
         .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     )
-    pq_tbl = spark.read.parquet(path + "_pq_codebook")
+    pq_tbl = _read_table(spark, path + "_pq_codebook")
     n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
     sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     pq_codebooks = [
@@ -502,7 +536,6 @@ def compact_ivfpq_index(
     spark: SparkSession,
     path: str,
     max_files_per_cell: int = 4,
-    _unpublished_tree: bool = False,
 ) -> int:
     """Druid-style auto-compaction for the append path: every
     ``append_to_ivfpq_index`` leaves ≥1 new file per touched cell, and
@@ -531,13 +564,8 @@ def compact_ivfpq_index(
     )
 
     fs = fsio.Fs(spark, path)
-    # ``_unpublished_tree``: the versioned ops compact a CLONE no
-    # reader can resolve — a half-applied swap there is an orphan
-    # generation GC'd at the next publish, so the atomic-rename
-    # capability is not required (object stores stay supported via
-    # that path)
-    if not _unpublished_tree:
-        _require_atomic_rename(fs, path, "compact_ivfpq_index")
+    _require_atomic_rename(fs, path, "compact_ivfpq_index")
+    _refuse_manifested(fs, path, "compact_ivfpq_index")
     lease = _index_write_lock(spark, path)
     try:
         # heal ALL writers' crash states before reading: a compaction
@@ -557,18 +585,10 @@ def compact_ivfpq_index(
             .partitionBy("cell_id")
             .parquet(staging)
         )
-        if _unpublished_tree:
-            # no reader can resolve this tree and a crash just orphans
-            # the clone — skip the backup swap: on a linkless object
-            # store the live→backup rename is a full byte copy that
-            # protects nothing here
-            fs.delete(path)
-            fs.rename(staging, path)
-        else:
-            backup = path.rstrip("/") + "__precompact"
-            fs.rename(path, backup)
-            fs.rename(staging, path)
-            fs.delete(backup)
+        backup = path.rstrip("/") + "__precompact"
+        fs.rename(path, backup)
+        fs.rename(staging, path)
+        fs.delete(backup)
         return len(table_files(spark, path))
     finally:
         lease.release()
@@ -607,7 +627,6 @@ def expire_vectors(
     ids=None,
     predicate=None,
     id_col: str = "vec_id",
-    _unpublished_tree: bool = False,
 ) -> int:
     """Remove vectors from a materialized IVF-PQ index — the retention/
     delete half of the lifecycle (a training corpus also LOSES documents:
@@ -637,8 +656,8 @@ def expire_vectors(
     if (ids is None) == (predicate is None):
         raise ValueError("pass exactly one of ids / predicate")
     fs = fsio.Fs(spark, path)
-    if not _unpublished_tree:  # see compact_ivfpq_index
-        _require_atomic_rename(fs, path, "expire_vectors")
+    _require_atomic_rename(fs, path, "expire_vectors")
+    _refuse_manifested(fs, path, "expire_vectors")
     lease = _index_write_lock(spark, path)
     try:
         from data_pipeline_with_big_data_stack_spark.operators.layout import recover_compaction
@@ -691,21 +710,13 @@ def expire_vectors(
             .partitionBy("cell_id")
             .parquet(staging)
         )
-        # retire each affected live cell, then publish its staged
-        # replacement. Published tree: park the original in __preexpire
-        # (crash recovery rolls it back). Unpublished clone: plain
-        # delete — no recovery ever runs on a reader-invisible clone (a
-        # crash just orphans the generation), and on a linkless store
-        # the park rename would be a full byte copy protecting nothing.
-        if not _unpublished_tree:
-            fs.mkdirs(trash)
+        # retire each affected live cell (parked in __preexpire — crash
+        # recovery rolls it back), then publish its staged replacement
+        fs.mkdirs(trash)
         for c in cells:
             part = f"cell_id={c}"
             live = os.path.join(path, part)
-            if _unpublished_tree:
-                fs.delete(live)
-            else:
-                fs.rename(live, os.path.join(trash, part))
+            fs.rename(live, os.path.join(trash, part))
             staged = os.path.join(staging, part)
             if fs.exists(staged):  # absent ⇒ the cell expired empty
                 fs.rename(staged, live)
@@ -747,7 +758,7 @@ def search_ivfpq_index(
     the K_PQ-row PQ codebook centroids their codes point at. Identical
     top-k to the inline ``q_ann_ivfpq_topk`` given the same codebooks
     (equality-pinned in tests/test_ann_index.py)."""
-    cb_tbl = spark.read.parquet(path + "_codebook")
+    cb_tbl = _read_table(spark, path + "_codebook")
     cb = cb_tbl.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     ranked = F.array_sort(
         F.transform(
@@ -772,9 +783,9 @@ def search_ivfpq_index(
     cells = sorted(
         {r.cell_id for r in probe_cells.select("cell_id").distinct().collect()}
     )
-    index = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
+    index = _read_table(spark, path).filter(F.col("cell_id").isin(cells))
     n_sub = len([c for c in index.columns if c.startswith("code_")])
-    pq_tbl = spark.read.parquet(path + "_pq_codebook")
+    pq_tbl = _read_table(spark, path + "_pq_codebook")
     sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     cand = index.join(F.broadcast(probe_cells), "cell_id").filter(
         F.col(id_col) != F.col("q_id")
@@ -817,7 +828,7 @@ def search_ivf_index(
 ) -> DataFrame:
     """``probes(q_id, q_emb)`` → top-``k`` cosine matches per probe,
     reading only each probe's ``nprobe`` nearest index partitions."""
-    cb_tbl = spark.read.parquet(path + "_codebook")
+    cb_tbl = _read_table(spark, path + "_codebook")
     cb = cb_tbl.agg(
         F.collect_list(F.struct("cell_id", "c_emb")).alias("cb")
     )
@@ -844,7 +855,7 @@ def search_ivf_index(
     cells = sorted(
         {r.cluster_id for r in probe_cells.select("cluster_id").distinct().collect()}
     )
-    index = spark.read.parquet(path).filter(F.col("cluster_id").isin(cells))
+    index = _read_table(spark, path).filter(F.col("cluster_id").isin(cells))
     cand = (
         index.join(F.broadcast(probe_cells), "cluster_id")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -899,7 +910,7 @@ def estimate_ivfpq_recall(
     expected to retrieve). Monitoring contract pinned in
     tests/test_ann_index.py: fresh-index estimate high, shifted-append
     estimate drops, post-retrain estimate recovers."""
-    ids = spark.read.parquet(path).select(F.col(id_col))
+    ids = _read_table(spark, path).select(F.col(id_col))
     vecs = source_vecs.select(F.col(id_col), "emb").join(ids, id_col, "left_semi")
     probes = (
         vecs.select(

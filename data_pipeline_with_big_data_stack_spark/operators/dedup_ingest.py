@@ -68,6 +68,7 @@ from pyspark.sql import Window as W
 
 from data_pipeline_with_big_data_stack_spark.operators import fsio
 from data_pipeline_with_big_data_stack_spark.operators import generations as G
+from data_pipeline_with_big_data_stack_spark.operators import segman
 
 _SINKS = ("decisions", "bands_idx", "counts", "docstore")
 # lookup-key bucket column per sink (None = no pruned lookups)
@@ -142,6 +143,17 @@ class DedupIngestStore:
     def docstore(self) -> str:
         return self._sink("docstore")
 
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Manifest-aware read of one sink's full accumulated state
+        (`operators/segman`): an incremental fold CARRIES earlier fold
+        partitions by reference instead of copying them, so any reader
+        of a sink path must resolve the generation's manifest — a plain
+        ``spark.read.parquet(store.decisions)`` sees only the
+        physically-present partitions."""
+        if name not in _SINKS:
+            raise ValueError(f"unknown sink {name!r}; one of {_SINKS}")
+        return segman.read_table(spark, self.fs, self._sink(name))
+
 
 _SINK_SCHEMAS = {
     "decisions": "doc_id long, dup_of long, jaccard double",
@@ -204,6 +216,7 @@ def _prior(
     eid: int,
     bkt_col: str | None = None,
     touched: list[int] | None = None,
+    fs: fsio.Fs | None = None,
 ) -> DataFrame:
     """Committed state as of epoch ``eid``: partition-pruned to
     ``batch_id < eid`` so a replayed epoch never sees its own
@@ -214,8 +227,12 @@ def _prior(
     batch touched nothing" and legitimately yields no rows): defaulting
     a forgotten list to all-or-nothing would silently drop prior state
     — the missed-duplicates failure mode this module exists to
-    prevent."""
-    df = spark.read.parquet(path).filter(F.col("batch_id") < F.lit(int(eid)))
+    prevent. Reads are manifest-aware (`operators/segman`): after an
+    incremental fold, earlier fold partitions live in older generations
+    by reference."""
+    df = segman.read_table(spark, fs or fsio.default_fs(path), path).filter(
+        F.col("batch_id") < F.lit(int(eid))
+    )
     drop = ["batch_id"]
     if bkt_col is not None:
         if touched is None:
@@ -302,6 +319,15 @@ def dedup_ingest_batch(
     check-and-write cycle, so its refusal checks can never race a
     compactor on another driver publishing/GC'ing the generation
     being inspected (ADVICE r10).
+
+    BREAKING CHANGE vs the r10 contract (ADVICE r11): direct calls now
+    SELF-ACQUIRE the store's non-reentrant writer lock. A caller
+    following the old documented pattern — taking
+    ``ann_index._index_write_lock(spark, store.base)`` around the call
+    — now fails with a spurious contention error; drop the outer lock
+    (this function serializes itself), or drive batches through
+    :func:`run_dedup_ingest_stream`, which passes ``_stream_epoch=True``
+    and owns the lock for the whole drain.
 
     ``fail_after`` is a crash-injection hook for tests: one of
     ``'decisions' | 'bands_idx' | 'counts' | 'docstore'`` raises
@@ -409,7 +435,7 @@ def _dedup_ingest_batch_locked(
         # touched (bucket, epoch)) — the bands index itself is never
         # aggregated here, and the sidecar scan prunes to touched bkts
         prior_counts = (
-            _prior(s, sink["counts"], eid, "bkt", touched)
+            _prior(s, sink["counts"], eid, "bkt", touched, fs=store.fs)
             .groupBy("band", "band_key")
             .agg(F.max("n").alias("prior_n"))
         )
@@ -424,7 +450,7 @@ def _dedup_ingest_batch_locked(
         # prior bands scan prunes to the batch's buckets: any prior row
         # that can equi-join a batch row on (band, band_key) has the
         # same bkt by construction, so pruning loses no candidate
-        prior_bands = _prior(s, sink["bands_idx"], eid, "bkt", touched)
+        prior_bands = _prior(s, sink["bands_idx"], eid, "bkt", touched, fs=store.fs)
         all_bands = prior_bands.unionByName(capped.drop("bkt"))
         cand = (
             capped.drop("bkt")
@@ -453,9 +479,9 @@ def _dedup_ingest_batch_locked(
         # raw text, shingling runs AFTER them on candidate-scale rows
         # only — per-batch verify compute is O(candidates), and the
         # prior doc-store scan prunes to the partners' buckets
-        texts = _prior(s, sink["docstore"], eid, "dbkt", partner_bkts).unionByName(
-            batch.select("doc_id", "text")
-        )
+        texts = _prior(
+            s, sink["docstore"], eid, "dbkt", partner_bkts, fs=store.fs
+        ).unionByName(batch.select("doc_id", "text"))
         ver = verify_jaccard(cand, texts, threshold=tau)
         wv = W.partitionBy("doc_b").orderBy("doc_a")
         rejected = (
@@ -517,12 +543,10 @@ def run_dedup_ingest_stream(
     after every Nth epoch the drain folds the store in place (the
     drain already holds the writer lock). The in-drain fold is
     INCREMENTAL — only epochs past the previous fold marker are read
-    and rewritten, earlier fold partitions are carried (hardlinks on a
-    local/linking filesystem: metadata-only, each byte rewritten once
-    by the drain; on a linkless object store the carry is a byte copy,
-    so size compact_every for O(store/N) copy cost per fold there or
-    adopt a manifest-reference layout — ``fsio.Fs.clone_tree``) — so
-    each fold costs O(data since the last fold) where links exist. Without
+    and rewritten; earlier fold partitions carry by MANIFEST REFERENCE
+    (`operators/segman`: one small write per sink, zero data bytes on
+    every scheme including linkless object stores — VERDICT r11 #1) —
+    so each fold costs O(data since the last fold). Without
     periodic folding the per-batch prior reads re-list every
     accumulated epoch directory — O(epochs × buckets) metadata per
     batch even when the data scan prunes — so the fold is what keeps
@@ -599,7 +623,7 @@ def run_dedup_ingest_stream(
                 {
                     int(d.split("=", 1)[1])
                     for s in _SINKS
-                    for d in fs.list_names(os.path.join(gen_dir, s))
+                    for d in segman.resolve_all(fs, os.path.join(gen_dir, s))
                     if d.startswith("batch_id=")
                     and int(d.split("=", 1)[1]) >= 0
                 }
@@ -651,9 +675,11 @@ def compact_dedup_ingest_store(
     epoch). Epoch dirs ABOVE the committed high-water — crashed
     in-flight stream epochs (direct-call epochs cannot exist on a
     stream-driven store; ``dedup_ingest_batch`` refuses them) — are
-    hardlink-carried into the new generation unchanged rather than
-    dropped, so compaction is a pure relayout: the replay overwrites
-    the carried dir exactly as it would have overwritten the original.
+    carried into the new generation BY REFERENCE rather than dropped,
+    so compaction is a pure relayout: the replay's static overwrite
+    materializes the logical partition physically, which shadows the
+    reference (`operators/segman`) exactly as it overwrote the
+    original directory.
     Checkpoint-less (direct-driven) stores treat every on-disk epoch as
     committed and fold them all.
     Monotonic COMMITTED epoch ids make the fold safe: Spark never
@@ -744,10 +770,16 @@ def _compact_into_new_generation(
     the last full fold has grown to rival that fold's base — or when
     fold partitions exceed ``_FULL_FOLD_MAX_PARTS``. Base doubling
     makes full folds exponentially spaced, so lifetime rewrite work is
-    O(data × log folds). ``report`` (default: follow the CALLER's
-    ``full``) controls the per-sink file-count listing — a recursive
-    walk the drain's hot path must not pay, even when a fold
-    self-upgrades."""
+    O(data × log folds). Carried partitions — prior fold partitions at
+    or below the marker, and crashed in-flight epochs above the
+    committed high-water (their checkpoint replay statically overwrites
+    the logical partition, which SHADOWS the carried reference —
+    `operators/segman`) — move by MANIFEST REFERENCE: one small write
+    per sink, zero data bytes on every scheme (VERDICT r11 #1; the r10
+    design hardlinked locally and byte-copied on linkless stores).
+    ``report`` (default: follow the CALLER's ``full``) controls the
+    per-sink file-count listing — a recursive walk the drain's hot path
+    must not pay, even when a fold self-upgrades."""
     from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
 
     if report is None:
@@ -762,28 +794,27 @@ def _compact_into_new_generation(
     lo = -1 if full else inc_mark
     if lo < 0:
         full = True  # a fold from the beginning IS a full fold
+
+    def _eid(logical: str) -> int:
+        return int(logical.split("=", 1)[1])
+
+    def _part_bytes(entries: dict[str, list[str]], e: int) -> int:
+        return sum(fs.dir_bytes(d) for d in entries.get(f"batch_id={e}", []))
+
     if not full and lo >= 0:
         # upgrade decision on the representative bands sink: compare
         # what accumulated since the last FULL fold (prior incremental
         # fold partitions + new epochs) against that fold's base
-        bands = os.path.join(cur_dir, "bands_idx")
-        ids = [
-            int(d.split("=", 1)[1])
-            for d in fs.list_names(bands)
-            if d.startswith("batch_id=")
-        ]
+        bands_entries = segman.resolve_all(fs, os.path.join(cur_dir, "bands_idx"))
+        ids = [_eid(d) for d in bands_entries if d.startswith("batch_id=")]
         committed = [
             e for e in ids if e >= 0 and (ckpt_hi is None or e <= ckpt_hi)
         ]
         base_b = sum(
-            fs.dir_bytes(os.path.join(bands, f"batch_id={e}"))
-            for e in committed
-            if e <= full_mark
+            _part_bytes(bands_entries, e) for e in committed if e <= full_mark
         )
         since_full_b = sum(
-            fs.dir_bytes(os.path.join(bands, f"batch_id={e}"))
-            for e in committed
-            if e > full_mark
+            _part_bytes(bands_entries, e) for e in committed if e > full_mark
         )
         n_parts = len([e for e in committed if e <= lo])
         if since_full_b >= base_b or n_parts >= _FULL_FOLD_MAX_PARTS:
@@ -792,11 +823,8 @@ def _compact_into_new_generation(
     out: dict[str, int] = {}
     for sink in _SINKS:
         src = os.path.join(store.base, cur, sink)
-        on_disk = [
-            int(d.split("=", 1)[1])
-            for d in fs.list_names(src)
-            if d.startswith("batch_id=")
-        ]
+        entries = segman.resolve_all(fs, src)
+        on_disk = [_eid(d) for d in entries if d.startswith("batch_id=")]
         committed = (
             on_disk if ckpt_hi is None else [e for e in on_disk if e <= ckpt_hi]
         )
@@ -806,7 +834,7 @@ def _compact_into_new_generation(
         if fold_ids and hi >= 0:
             bkt_col = _SINK_BKT.get(sink)
             df = (
-                spark.read.parquet(src)
+                segman.read_table(spark, fs, src)
                 .filter(
                     (F.col("batch_id") > F.lit(lo))
                     & (F.col("batch_id") <= F.lit(hi))
@@ -825,13 +853,7 @@ def _compact_into_new_generation(
                 df = df.groupBy("band", "band_key", "bkt").agg(
                     F.max("n").alias("n")
                 )
-            total = max(
-                1,
-                sum(
-                    fs.dir_bytes(os.path.join(src, f"batch_id={e}"))
-                    for e in fold_ids
-                ),
-            )
+            total = max(1, sum(_part_bytes(entries, e) for e in fold_ids))
             n_out = max(1, -(-total // target_file_bytes))
             if bkt_col is None:
                 df = df.repartition(int(n_out))
@@ -847,24 +869,20 @@ def _compact_into_new_generation(
                 )
                 _write_epoch(df, dst, hi, bkt_col, n_bkt=0)
         _seed_sink(spark, gen_dir, sink)
-        # prior incremental-fold partitions survive verbatim (their ids
-        # are all <= lo; the new fold covers only (lo, hi])
-        for e in sorted(e for e in on_disk if -1 < e <= lo):
-            G.clone_generation(
-                os.path.join(src, f"batch_id={e}"),
-                os.path.join(dst, f"batch_id={e}"),
-                fs=fs,
-            )
+        # prior incremental-fold partitions (ids <= lo; this fold covers
+        # only (lo, hi]) and crashed in-flight epochs above the
+        # committed high-water carry BY REFERENCE — the replay's static
+        # overwrite materializes the logical partition physically, and
+        # shadow-merge resolution makes that rewrite win, exactly as it
+        # overwrote the original dir before
+        refs = {
+            f"batch_id={e}": entries[f"batch_id={e}"]
+            for e in on_disk
+            if (-1 < e <= lo) or e > hi
+        }
         marker = max(marker, hi)
-        # crashed in-flight epochs above the committed high-water
-        # survive verbatim; their checkpoint replay overwrites them
-        # exactly as it would have overwritten the originals
-        for e in sorted(e for e in on_disk if e > hi):
-            G.clone_generation(
-                os.path.join(src, f"batch_id={e}"),
-                os.path.join(dst, f"batch_id={e}"),
-                fs=fs,
-            )
+        if refs:
+            segman.write_manifest(fs, dst, refs, merge="shadow")
         if report:
             out[sink] = len(table_files(spark, dst))
     new_full_mark = marker if full else full_mark

@@ -47,23 +47,29 @@ those ops gate on this capability and direct object-store users to
 the generation-versioned ops, whose only publish primitive is the
 pointer write above (safe on every scheme).
 
-Two documented object-store caveats (the same ones every
-lakehouse-on-S3 design carries):
+One narrowed object-store caveat remains:
 
-* **Writer exclusion.** The stores' single-writer lock claims with
-  ``create(overwrite=False)``, atomic on filesystems but a
-  HEAD-then-PUT on plain S3A — two drivers inside the consistency
-  window can both claim it. On such stores, single-writer-ness must
-  come from the orchestrator (one maintenance job per store — the
-  reference runs exactly one Druid coordinator), or from an external
-  lock service, exactly as Delta Lake requires a DynamoDB LogStore
-  there. Filesystems (file/HDFS/ABFS/Ozone) get real exclusion.
-* **Clone cost.** ``clone_tree`` on a linkless store is a byte copy,
-  so generation carries/clones are O(cloned bytes), not the local
-  hardlink's O(#files) metadata. The versioned ops stay correct but
-  their append/carry cost model degrades; a manifest-reference layout
-  (files shared by name across generation manifests) is the zero-copy
-  upgrade and the protocol is already shaped for it.
+* **Writer exclusion.** :meth:`Fs.create_exclusive` claims the
+  single-writer locks. On real filesystems ``create(overwrite=False)``
+  is an atomic namespace operation. On object-store schemes the method
+  first asks for a CONDITIONAL write — S3 has supported
+  ``If-None-Match: *`` PUTs since late 2024, and Hadoop ≥ 3.4.2
+  surfaces them as the create-builder option
+  ``fs.option.create.conditional.overwrite`` — which pushes the claim
+  into the PUT itself: the losing writer's close() fails and is
+  reported as contention. Only on stores WITHOUT conditional write
+  does the claim degrade to HEAD-then-PUT, where single-writer-ness
+  must come from the orchestrator (one maintenance job per store —
+  the reference runs exactly one Druid coordinator) or an external
+  lock service, exactly as Delta Lake required a DynamoDB LogStore on
+  pre-conditional S3.
+
+The r11 clone-cost caveat (byte copies on linkless stores) is RETIRED:
+the generation stores now carry unchanged data across generations by
+manifest reference (`operators/segman`) — zero bytes moved on every
+scheme — and :meth:`Fs.clone_tree` remains only as a general utility
+(and counts any bytes it physically duplicates in
+:data:`BYTES_CLONED`, which the bench reads to pin carries at zero).
 """
 
 from __future__ import annotations
@@ -76,8 +82,16 @@ __all__ = ["Fs", "default_fs"]
 
 # schemes whose FileSystem.rename is atomic (a real filesystem
 # namespace operation). Object stores (s3a, gs, wasb, oss, cos...)
-# implement rename as copy+delete — NOT in this set. abfs (ADLS gen2)
-# and ofs/o3fs (Ozone) provide atomic rename; s3a does not.
+# implement rename as copy+delete — NOT in this set. abfs/abfss (ADLS
+# Gen2) provide atomic rename ONLY on accounts with the hierarchical
+# namespace enabled — an HNS-less (flat blob) account renames by
+# copy+delete despite the scheme, and Hadoop exposes no path capability
+# to probe it (checked against CommonPathCapabilities through 3.4.2) —
+# so deployments on flat accounts must remove abfs/abfss from this set
+# or, better, use the generation-versioned ops, which never rely on
+# rename at all. viewfs inherits whatever backs the mount: keep
+# object-store-backed mounts out of rename-swap store roots. ofs/o3fs
+# (Ozone) rename atomically; s3a does not.
 _ATOMIC_RENAME_SCHEMES = {
     "file",
     "hdfs",
@@ -88,6 +102,49 @@ _ATOMIC_RENAME_SCHEMES = {
     "ofs",
     "o3fs",
 }
+
+
+# bytes PHYSICALLY DUPLICATED by clone_tree since process start (copy
+# branches only — hardlinks move no data). The generation stores carry
+# by manifest reference and never clone, so the bench reads this
+# counter around a drain to pin "carries moved zero bytes" as a
+# measurement, not an assumption.
+BYTES_CLONED = 0
+
+# Hadoop ≥ 3.4.2 create-builder option (HADOOP-19256): push the
+# create-if-absent claim into the store's conditional write (S3
+# If-None-Match PUT) instead of a HEAD-then-PUT race
+_CONDITIONAL_CREATE_OPT = "fs.option.create.conditional.overwrite"
+
+
+def _is_exists(exc: Exception) -> bool:
+    """True iff the Java exception (or its cause chain) says the path
+    already exists — FileAlreadyExistsException from an atomic create,
+    or the conditional-PUT conflict surfaced at close()
+    (RemoteFileChangedException / HTTP 412 PreconditionFailed)."""
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:
+        try:
+            name = je.getClass().getName()
+            if name.endswith("AlreadyExistsException") or name.endswith(
+                "RemoteFileChangedException"
+            ):
+                return True
+            if "PreconditionFailed" in str(je.getMessage() or ""):
+                return True
+            je = je.getCause()
+        except Exception:  # noqa: BLE001 - gateway hiccup: fall through
+            break
+        seen += 1
+    if getattr(exc, "java_exception", None) is not None:
+        return False
+    msg = str(exc)
+    return (
+        "AlreadyExists" in msg
+        or "already exists" in msg.lower()
+        or "PreconditionFailed" in msg
+    )
 
 
 def _is_missing(exc: Exception) -> bool:
@@ -281,6 +338,48 @@ class Fs:
         finally:
             out.close()
 
+    def create_exclusive(self, path: str):
+        """Claim ``path`` create-if-absent — the single-writer lock
+        primitive. Returns ``(stream, conditional)``: an open output
+        stream the caller writes the claim body to and closes, plus
+        whether the claim rides a CONDITIONAL write. Raises
+        FileExistsError when the path already exists (the claim lost).
+
+        Real filesystems (:attr:`rename_is_atomic` schemes):
+        ``create(overwrite=False)`` is an atomic namespace operation —
+        exclusion is decided HERE. Object stores: plain create there is
+        HEAD-then-PUT (two drivers inside the window both pass), so the
+        claim is first attempted as a conditional write — Hadoop ≥
+        3.4.2 surfaces S3's ``If-None-Match: *`` PUT as the mandatory
+        builder option ``fs.option.create.conditional.overwrite`` — and
+        exclusion is decided by the STORE at close(): the losing
+        writer's close raises, which callers must treat as contention
+        (``conditional=True`` tells them to). Stores whose connector
+        rejects the option fall back to the plain create with the
+        module-docstring caveat (orchestrator-level single-writer or an
+        external lock service)."""
+        conditional = False
+        out = None
+        if not self.rename_is_atomic:
+            try:
+                builder = self._fs.createFile(self._p(path))
+                builder = builder.overwrite(False)
+                builder = builder.must(_CONDITIONAL_CREATE_OPT, False)
+                out = builder.build()
+                conditional = True
+            except Exception as exc:  # noqa: BLE001 - py4j wraps the cause
+                if _is_exists(exc):
+                    raise FileExistsError(path) from exc
+                out = None  # option unsupported on this connector
+        if out is None:
+            try:
+                out = self._fs.create(self._p(path), False)
+            except Exception as exc:  # noqa: BLE001
+                if _is_exists(exc):
+                    raise FileExistsError(path) from exc
+                raise
+        return out, conditional
+
     def _rename_overwrite(self, src: str, dst: str) -> None:
         """Hadoop's atomic-replace: ``FileContext.rename(...OVERWRITE)``
         (varargs — needs a gateway-built Java array)."""
@@ -333,13 +432,18 @@ class Fs:
             raise OSError(f"rename failed: {src!r} -> {dst!r}")
 
     def clone_tree(self, src: str, dst: str) -> None:
-        """Copy a generation tree. Local: directories recreated, files
+        """Copy a directory tree. Local: directories recreated, files
         hardlinked — O(#files) metadata ops, zero bytes (parquet files
-        are immutable once written, so sharing them between generations
-        is safe; deleting either generation only unlinks its names);
-        a cross-device link error (EXDEV — src and dst on different
+        are immutable once written, so sharing them between trees is
+        safe; deleting either tree only unlinks its names); a
+        cross-device link error (EXDEV — src and dst on different
         mounts) falls back to a real per-file copy. Remote:
-        ``FileUtil.copy`` (no link primitive on object stores)."""
+        ``FileUtil.copy`` (no link primitive on object stores). The
+        generation stores no longer clone at all — they carry by
+        manifest reference (`operators/segman`) — so this is a general
+        utility; any bytes it physically duplicates are counted in
+        :data:`BYTES_CLONED` (hardlinks count zero)."""
+        global BYTES_CLONED
         if self.is_local:
             import shutil
 
@@ -358,7 +462,9 @@ class Fs:
                         if exc.errno != errno.EXDEV:
                             raise
                         shutil.copy2(s, d)
+                        BYTES_CLONED += os.path.getsize(d)
             return
+        BYTES_CLONED += self.dir_bytes(src)
         FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
         if not FileUtil.copy(
             self._fs, self._p(src), self._fs, self._p(dst), False, self._conf

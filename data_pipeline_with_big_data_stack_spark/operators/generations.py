@@ -17,6 +17,11 @@ any materialized store in the engine can adopt it:
   store opts in) any generation published within the last
   ``grace_seconds``, so the serving contract is a wall-clock promise
   independent of how often the writer publishes,
+* a generation may REFERENCE immutable segment directories inside
+  older generations instead of copying them (`operators/segman` — the
+  zero-copy clone/carry path on linkless object stores); GC deletes
+  only what no kept generation's manifests reference, pruning rather
+  than dropping a superseded generation that still hosts live segments,
 * orphan generations (a writer crashed after materializing, before
   publishing) are never pointer-visible and vanish at the next GC.
 
@@ -114,9 +119,10 @@ def publish(root: str, gen: str, fs: fsio.Fs | None = None) -> None:
     :func:`gc_generations`'s ``grace_seconds`` reads). Stamp AFTER the
     flip: an unpublished orphan must never carry a stamp — the age rule
     would otherwise keep a crashed writer's half-written tree for a
-    full grace window. A crash between flip and stamp only costs that
-    one generation its age protection (it still gets the one-
-    predecessor grace), never keeps garbage."""
+    full grace window. A crash between flip and stamp is healed by the
+    NEXT publisher's GC, which back-stamps the generation it was handed
+    as ``prev`` (see :func:`gc_generations`), so the wall-clock grace
+    promise holds across that window too."""
     fs = fs or fsio.default_fs(root)
     fs.write_text_atomic(_join(root, POINTER), gen + "\n")
     fs.write_text_atomic(_join(root, gen, PUBLISHED_AT), f"{time.time():.3f}\n")
@@ -140,8 +146,8 @@ def gc_generations(
     grace_seconds: float = 0.0,
     fs: fsio.Fs | None = None,
 ) -> None:
-    """Drop every generation except ``new``, ``prev`` — the generation
-    that was PUBLISHED before this publish (the reader grace
+    """Reclaim superseded generations, keeping ``new``, ``prev`` — the
+    generation that was PUBLISHED before this publish (the reader grace
     generation), passed explicitly by the writer that just resolved it
     — and, with ``grace_seconds`` > 0, any generation PUBLISHED within
     that window (so a slow reader's contract is wall-clock time, not
@@ -154,25 +160,58 @@ def gc_generations(
     reader resolved. With ``prev`` explicit, orphans (never equal to
     either, and never carrying a publish stamp) always vanish here.
 
+    MANIFEST LIVENESS (`operators/segman`): a kept generation's tables
+    may REFERENCE physical directories inside older generations instead
+    of owning copies (that is what makes clones/carries zero-copy on
+    linkless stores). GC therefore deletes only what no kept
+    generation's manifests reference: a superseded generation whose
+    segments are still referenced is PRUNED — its unreferenced
+    partitions, markers and publish stamp go, the referenced segment
+    dirs stay in place — and vanishes entirely once later rewrites
+    (folds, compactions, retrains) stop referencing it.
+
     Ages are measured entirely on the STORAGE system's clock: each
-    stamp's mtime against the mtime of a probe file written now —
+    stamp's mtime against the mtime of ``new``'s own publish stamp,
+    which :func:`publish` wrote moments ago with the same clock —
     never against this driver's ``time.time()``, which another
-    publisher's clock may lead or trail by more than the whole
-    window."""
+    publisher's clock may lead or trail by more than the whole window.
+    If that probe mtime cannot be read, the age rule FAILS CLOSED
+    (ADVICE r11): no stamped generation is deleted this cycle —
+    deleting inside a promised reader window is the one unacceptable
+    outcome; unstamped orphans still vanish. A ``prev`` that lost its
+    stamp to a crash between pointer flip and stamp write is
+    back-stamped here (conservatively, as of now) so the wall-clock
+    grace promise survives that crash window (ADVICE r11)."""
     fs = fs or fsio.default_fs(root)
-    keep = {new, prev} if prev else {new}
-    now = None
+    from data_pipeline_with_big_data_stack_spark.operators import segman
+
+    kept = {new, prev} if prev else {new}
+    gens = list_generations(root, fs)
     if grace_seconds > 0:
-        probe = _join(root, ".gc_clock_probe")
-        fs.write_text_atomic(probe, "storage-clock probe\n")
-        now = fs.mtime(probe)
-    for g in list_generations(root, fs):
-        if g in keep:
-            continue
-        if grace_seconds > 0 and now is not None:
-            ts = published_at(root, g, fs)
-            if ts is not None and (now - ts) < grace_seconds:
+        if prev is not None and published_at(root, prev, fs) is None and fs.is_dir(
+            _join(root, prev)
+        ):
+            # crash window between prev's pointer flip and its stamp:
+            # restore its age protection from now — a fresh window is
+            # the conservative direction (never shorter than promised)
+            fs.write_text_atomic(
+                _join(root, prev, PUBLISHED_AT), f"{time.time():.3f}\n"
+            )
+        now = published_at(root, new, fs)
+        for g in gens:
+            if g in kept:
                 continue
+            ts = published_at(root, g, fs)
+            if ts is None:
+                continue  # unstamped: orphan or already-pruned remnant
+            if now is None or (now - ts) < grace_seconds:
+                kept.add(g)  # now is None → fail closed for stamped gens
+    live_refs: set[str] = set()
+    for g in kept:
+        live_refs |= segman.referenced_rel_paths(fs, _join(root, g))
+    for g in gens:
+        if g in kept:
+            continue
         # best-effort: GC runs AFTER a successful publish, so a delete
         # blocked by e.g. a reader's open handle on an NFS mount — or a
         # remote store's throttling/permission error, which surfaces as
@@ -180,7 +219,11 @@ def gc_generations(
         # operation (or abort a whole drain) over an already-consistent
         # store; the next publish's GC retries
         try:
-            fs.delete(_join(root, g))
+            mine = {r for r in live_refs if r.startswith(g + "/")}
+            if not mine:
+                fs.delete(_join(root, g))
+            else:
+                _prune_generation(root, g, mine, fs)
         except Exception as exc:  # noqa: BLE001 - any delete failure is retryable
             # visible, non-fatal: a PERSISTENT failure (lost delete
             # permission, chronic throttling) would otherwise accrete
@@ -193,6 +236,32 @@ def gc_generations(
                 RuntimeWarning,
                 stacklevel=2,
             )
+
+
+def _prune_generation(
+    root: str, g: str, keep_rel: set[str], fs: fsio.Fs
+) -> None:
+    """Delete everything under a superseded generation EXCEPT the
+    directories named in ``keep_rel`` (root-relative paths some live
+    manifest references). References are at most two levels deep
+    (``gen/sink`` for whole-table refs, ``gen/sink/part=v`` for
+    partition refs — the `segman` layout invariant), so the walk is
+    two levels. The publish stamp and markers go too: a pruned remnant
+    is no longer a servable generation, only a segment host."""
+    gdir = _join(root, g)
+    for name in fs.list_names(gdir):
+        rel = f"{g}/{name}"
+        path = _join(gdir, name)
+        if rel in keep_rel:
+            continue  # the whole sink dir is referenced
+        deeper = {r for r in keep_rel if r.startswith(rel + "/")}
+        if not deeper:
+            fs.delete(path)
+            continue
+        for sub in fs.list_names(path):
+            srel = f"{rel}/{sub}"
+            if srel not in keep_rel:
+                fs.delete(_join(path, sub))
 
 
 def next_gen(root: str, fs: fsio.Fs | None = None) -> str:

@@ -354,25 +354,40 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     import socket
     import time as _time
 
+    from data_pipeline_with_big_data_stack_spark.operators import fsio
+
     fs, lock = _lock_path(spark, path, suffix)
     # payload built BEFORE the claim: nothing fallible may sit between a
     # successful create and the cleanup-protected body write below
     payload = f"{os.getpid()}@{socket.gethostname()} {_time.time():.3f}\n"
-    try:
-        out = fs.create(lock, False)  # overwrite=False → atomic claim
-    except Exception as exc:  # noqa: BLE001 - py4j wraps the Java cause
-        msg = str(exc)
-        if "AlreadyExists" not in msg and "already exists" not in msg.lower():
-            raise  # transient IO / permissions — NOT lock contention
-        raise RuntimeError(
+
+    def _contention():
+        return RuntimeError(
             f"store {path} is locked by another maintenance job "
             f"(a crashed holder is reclaimed automatically after "
             f"{_STALE_LOCK_MAX_AGE:.0f}s, or remove "
             f"{path.rstrip('/') + suffix} manually if it is dead)"
-        ) from exc
+        )
+
+    # the claim itself goes through the facade's create_exclusive:
+    # atomic create on filesystems, a CONDITIONAL write on object
+    # stores whose connector supports it (then the store decides the
+    # race at close, below) — only connectors with neither keep the
+    # documented orchestrator/external-lock caveat (fsio docstring)
+    try:
+        out, conditional = fsio.Fs(spark, path).create_exclusive(
+            path.rstrip("/") + suffix
+        )
+    except FileExistsError as exc:
+        raise _contention() from exc
     try:
         _write_lock_body(out, payload)
-    except Exception:
+    except Exception as exc:
+        if conditional and fsio._is_exists(exc):
+            # conditional-PUT conflict surfaced at close(): this writer
+            # never created the object — the surviving lock belongs to
+            # the WINNER, so there is nothing of ours to clean up
+            raise _contention() from exc
         # the claim succeeded but the body didn't land: an EMPTY lock
         # file would block maintenance for the full age window (the
         # pid-liveness path can't parse it) — best-effort remove the

@@ -600,7 +600,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_dedup_ingest_stream(
         spark, chunks, store, tau=_STREAM_DEDUP_TAU, max_bucket=_LSH_MAX_BUCKET
     )
-    return spark.read.parquet(store.decisions).drop("batch_id")
+    return store.read(spark, "decisions").drop("batch_id")
 
 
 @query("q_stream_dedup_ingest_compacted", oracle=_STREAM_DEDUP_ORACLE)
@@ -634,4 +634,4 @@ def q_stream_dedup_ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFra
         spark, chunks, store, tau=_STREAM_DEDUP_TAU, max_bucket=_LSH_MAX_BUCKET
     )
     compact_dedup_ingest_store(spark, store)
-    return spark.read.parquet(store.decisions).drop("batch_id")
+    return store.read(spark, "decisions").drop("batch_id")
