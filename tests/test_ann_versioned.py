@@ -67,7 +67,21 @@ def test_build_publish_and_search_equals_flat_index(spark, built, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_append_clone_shares_files_and_equals_union_build(spark, tmp_path):
+def test_append_references_predecessor_segments_and_equals_union_build(
+    spark, tmp_path, monkeypatch
+):
+    """An append carries the predecessor's segments by MANIFEST
+    REFERENCE (VERDICT r11 #1): nothing is cloned or copied on any
+    scheme — pinned by forbidding clone_tree outright — the old
+    generation's files stay single-linked in place, the new generation
+    physically holds only the delta, and the search equals a
+    from-scratch build over the union."""
+    from data_pipeline_with_big_data_stack_spark.operators import fsio, segman
+
+    def no_clone(self, src, dst):  # pragma: no cover - assertion hook
+        raise AssertionError(f"clone_tree must not run for appends: {src}")
+
+    monkeypatch.setattr(fsio.Fs, "clone_tree", no_clone)
     e = _vecs(spark)
     half = e.filter(F.col("vec_id") % 2 == 0)
     rest = e.filter(F.col("vec_id") % 2 == 1)
@@ -77,14 +91,20 @@ def test_append_clone_shares_files_and_equals_union_build(spark, tmp_path):
     g1 = V.build_ivfpq_versioned(half, root, coarse, list(pq), sub_dim=_PQ_SUB)
     g2 = V.append_ivfpq_versioned(spark, root, rest)
     assert g2 > g1 and V.read_current(root) == g2
-    # generations share unchanged code files via hardlinks (nlink > 1)
+    # zero-copy carry: the predecessor's code files are shared by NAME
+    # (manifest reference into g1), never duplicated (nlink stays 1)
     old_files = [
         os.path.join(dp, f)
         for dp, _d, fs in os.walk(os.path.join(root, g1))
         for f in fs
         if f.endswith(".parquet")
     ]
-    assert old_files and all(os.stat(f).st_nlink >= 2 for f in old_files)
+    assert old_files and all(os.stat(f).st_nlink == 1 for f in old_files)
+    fs_h = fsio.Fs(spark, root)
+    refs = segman.resolve_refs(fs_h, V._gen_index(root, g2))
+    assert refs and all(
+        d.startswith(os.path.join(root, g1)) for dirs in refs.values() for d in dirs
+    ), "append manifest must reference the predecessor's segment dirs"
     flat = str(tmp_path / "flat")
     build_ivfpq_index(e, flat, coarse, list(pq), sub_dim=_PQ_SUB)
     got = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
@@ -136,6 +156,14 @@ def test_retrain_versioned_equals_flat_retrain(spark, tmp_path):
 
 
 def test_gc_keeps_current_plus_grace_and_drops_orphans(spark, built):
+    """Manifest-aware GC: orphans vanish immediately; a superseded
+    generation whose SEGMENTS live manifests still reference is PRUNED
+    (publish stamp gone, referenced code dirs intact) rather than
+    deleted; and the first full rewrite (retrain) plus one more publish
+    reclaims every remnant."""
+    from data_pipeline_with_big_data_stack_spark.operators import generations as G
+    from data_pipeline_with_big_data_stack_spark.queries.vector import _PQ_K
+
     e, root, coarse, pq, g1 = built
     os.makedirs(os.path.join(root, "gen-999999"))  # crashed unpublished writer
     g2 = V.append_ivfpq_versioned(
@@ -144,9 +172,18 @@ def test_gc_keeps_current_plus_grace_and_drops_orphans(spark, built):
     gens = V._list_generations(root)
     assert g2 in gens and g1 in gens  # current + grace predecessor
     assert "gen-999999" not in gens  # orphan GC'd
-    V.append_ivfpq_versioned(spark, root, e.limit(0).select("vec_id", "emb"))
+    g3 = V.append_ivfpq_versioned(spark, root, e.limit(0).select("vec_id", "emb"))
     gens = V._list_generations(root)
-    assert len(gens) == 2 and g1 not in gens
+    # g1 is no longer servable (kept = {g3, g2}) but still HOSTS the
+    # segments both manifests reference — pruned, not deleted: its
+    # stamp is gone, its referenced code files remain readable
+    assert g1 in gens and G.published_at(root, g1) is None
+    assert V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5).count() > 0
+    # a retrain is a fully-physical rebuild (drops every reference);
+    # after one more publish nothing references g1/g2/g3 and they all go
+    g4 = V.retrain_ivfpq_versioned(spark, root, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
+    g5 = V.append_ivfpq_versioned(spark, root, e.limit(0).select("vec_id", "emb"))
+    assert V._list_generations(root) == [g4, g5]
 
 
 def test_concurrent_search_during_retrain_never_errors_or_mixes(spark, built):

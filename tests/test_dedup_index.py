@@ -321,12 +321,12 @@ def test_batch_passes_touched_buckets_to_every_prior_read(spark, tmp_path, monke
     calls = []
     real = DI._prior
 
-    def spy(s, path, eid, bkt_col=None, touched=None):
+    def spy(s, path, eid, bkt_col=None, touched=None, fs=None):
         calls.append(
             (os.path.basename(os.path.normpath(path)), bkt_col,
              None if touched is None else len(touched))
         )
-        return real(s, path, eid, bkt_col, touched)
+        return real(s, path, eid, bkt_col, touched, fs=fs)
 
     monkeypatch.setattr(DI, "_prior", spy)
     store = DI.init_dedup_ingest_store(spark, str(tmp_path / "st"))
@@ -493,21 +493,33 @@ def test_compact_after_crashed_drain_preserves_committed_state_only(spark):
     except StreamingQueryException:
         pass
     # epoch 1 is on disk but NOT in ckpt/commits — compaction must fold
-    # only epoch 0; the half-written epoch-1 dir is carried VERBATIM so
-    # compaction stays a pure relayout (the checkpoint replay
-    # overwrites the carried dir exactly as it would the original)
+    # only epoch 0; the half-written epoch-1 partition is carried BY
+    # REFERENCE (zero bytes moved) so compaction stays a pure relayout:
+    # the checkpoint replay's static overwrite materializes batch_id=1
+    # physically, which SHADOWS the carried reference exactly as it
+    # overwrote the original directory
     DI.compact_dedup_ingest_store(spark, store)
     import re
 
+    from data_pipeline_with_big_data_stack_spark.operators import segman
+
+    logical = segman.resolve_all(store.fs, store.bands_idx)
     parts = sorted(
-        d
-        for d in os.listdir(store.bands_idx)
-        if re.fullmatch(r"batch_id=\d+", d)
+        d for d in logical if re.fullmatch(r"batch_id=\d+", d)
     )
     assert parts == ["batch_id=0", "batch_id=1"], parts
+    # the folded epoch is physical, the in-flight carry is a reference
+    # into the pre-compaction generation
+    physical = sorted(
+        d for d in os.listdir(store.bands_idx) if re.fullmatch(r"batch_id=\d+", d)
+    )
+    assert physical == ["batch_id=0"], physical
+    assert not logical["batch_id=1"][0].startswith(store.bands_idx), (
+        "in-flight epoch must be carried by reference, not copied"
+    )
     DI.run_dedup_ingest_stream(spark, src, store)
     got = sorted(
-        map(tuple, spark.read.parquet(store.decisions).drop("batch_id").collect())
+        map(tuple, store.read(spark, "decisions").drop("batch_id").collect())
     )
     assert got == ref_dec
 
@@ -603,23 +615,26 @@ def test_self_maintaining_drain_equals_plain_drain(spark):
 
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
+    from data_pipeline_with_big_data_stack_spark.operators import segman
+
     docs = _small_docs(spark)
+    ref_store = _drain(spark, docs)
     ref = sorted(
         map(
             tuple,
-            spark.read.parquet(_drain(spark, docs).decisions)
-            .drop("batch_id")
-            .collect(),
+            ref_store.read(spark, "decisions").drop("batch_id").collect(),
         )
     )
 
     store = _drain(spark, docs, compact_every=2)
     got = sorted(
-        map(tuple, spark.read.parquet(store.decisions).drop("batch_id").collect())
+        map(tuple, store.read(spark, "decisions").drop("batch_id").collect())
     )
     assert got == ref
     parts = sorted(
-        d for d in os.listdir(store.bands_idx) if re.fullmatch(r"batch_id=\d+", d)
+        d
+        for d in segman.resolve_all(store.fs, store.bands_idx)
+        if re.fullmatch(r"batch_id=\d+", d)
     )
     # epochs 0..3 with folds after 2: fold@2 leaves {2, carried 3-less}…
     # final state = folded partition + the post-fold epoch(s), never
@@ -642,7 +657,7 @@ def test_self_maintaining_drain_equals_plain_drain(spark):
         pass
     DI.run_dedup_ingest_stream(spark, src, store2, compact_every=2)
     got2 = sorted(
-        map(tuple, spark.read.parquet(store2.decisions).drop("batch_id").collect())
+        map(tuple, store2.read(spark, "decisions").drop("batch_id").collect())
     )
     assert got2 == ref
     # a crash INSIDE the batch that would have triggered the fold
@@ -658,7 +673,7 @@ def test_self_maintaining_drain_equals_plain_drain(spark):
         pass
     DI.run_dedup_ingest_stream(spark, src, store3, compact_every=2)
     got3 = sorted(
-        map(tuple, spark.read.parquet(store3.decisions).drop("batch_id").collect())
+        map(tuple, store3.read(spark, "decisions").drop("batch_id").collect())
     )
     assert got3 == ref
 
@@ -675,10 +690,12 @@ def test_incremental_fold_upgrades_to_full_on_size_ratio(spark, tmp_path):
     def words(doc_id, n):
         return (doc_id, " ".join(f"u{doc_id}w{i}" for i in range(n)))
 
+    from data_pipeline_with_big_data_stack_spark.operators import segman
+
     def parts(store):
         return sorted(
             int(m.group(1))
-            for d in os.listdir(store.bands_idx)
+            for d in segman.resolve_all(store.fs, store.bands_idx)
             if (m := re.fullmatch(r"batch_id=(\d+)", d))
         )
 
@@ -717,5 +734,5 @@ def test_incremental_fold_upgrades_to_full_on_size_ratio(spark, tmp_path):
     assert DI._read_fold_marker(
         os.path.join(store.base, store.current_generation()), store.fs
     ) == (2, 2)
-    docs = spark.read.parquet(store.docstore).drop("batch_id")
+    docs = store.read(spark, "docstore").drop("batch_id")
     assert docs.count() == 40 + 1 + 300
