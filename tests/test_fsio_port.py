@@ -324,11 +324,12 @@ def test_versioned_lifecycle_runs_without_atomic_rename_capability(
     path: with the atomic-rename capability masked off entirely, no
     `_require_atomic_rename` gate fires anywhere in
     build → append → compact → expire → retrain → search — the
-    versioned compact/expire operate on reader-invisible clones
-    (`_unpublished_tree`). The backing store here is still local, so
-    write_text_atomic's PUT branch and clone_tree's copy branch are
-    pinned separately (test_write_text_atomic_object_store_branch...);
-    this test pins the gate surface and lifecycle composition."""
+    versioned ops carry unchanged segments by manifest reference and
+    never rename a live tree. The backing store here is still local, so
+    write_text_atomic's PUT branch is pinned separately
+    (test_write_text_atomic_object_store_branch...); this test pins the
+    gate surface and lifecycle composition, and the simulated-scheme
+    sweep below forces every non-local branch at once."""
     import random
 
     from pyspark.sql import functions as F
@@ -360,3 +361,95 @@ def test_versioned_lifecycle_runs_without_atomic_rename_capability(
     )
     res = V.search_ivfpq_versioned(spark, root, probes, nprobe=2, k=3)
     assert res.count() == 9
+
+
+@pytest.fixture()
+def simulated_object_store(monkeypatch):
+    """Force EVERY Fs handle into its object-store branches over a
+    local directory (VERDICT r11 #8): no hardlinks (clone_tree takes
+    the copy branch if anything still calls it), no local fsync path
+    (write_text_atomic takes the direct-PUT branch), no atomic rename
+    (every `_require_atomic_rename` gate armed). Any local-ism left in
+    a store protocol fails loudly under this fixture."""
+    monkeypatch.setattr(fsio, "_ATOMIC_RENAME_SCHEMES", frozenset())
+    orig_init = fsio.Fs.__init__
+
+    def sim_init(self, spark, base):
+        orig_init(self, spark, base)
+        self.is_local = False
+        self.rename_is_atomic = False
+
+    monkeypatch.setattr(fsio.Fs, "__init__", sim_init)
+    return True
+
+
+def test_dedup_lifecycle_on_simulated_object_store(
+    spark, simulated_object_store
+):
+    """Full streaming-dedup lifecycle — drain, in-drain incremental
+    folds, grace GC, serving reads — with every filesystem touch forced
+    through the object-store branches, and carries pinned to move ZERO
+    bytes (fsio.BYTES_CLONED unchanged: manifest references, no
+    copies)."""
+    docs = _docs(spark, n=120)
+    before = fsio.BYTES_CLONED
+    base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    store = DI.init_dedup_ingest_store(spark, base)
+    g0 = store.current_generation()
+    DI.run_dedup_ingest_stream(
+        spark, src, store, compact_every=1, reader_grace_seconds=3600.0
+    )
+    assert fsio.BYTES_CLONED == before, "a carry moved bytes on an object store"
+    gens = G.list_generations(store.base, fs=store.fs)
+    assert g0 in gens, "grace must hold on the simulated scheme"
+    docs_back = store.read(spark, "docstore").drop("batch_id")
+    assert docs_back.count() == 120
+    # a second store without folds must equal the folded one's decisions
+    base2, src2 = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    plain = DI.init_dedup_ingest_store(spark, base2)
+    DI.run_dedup_ingest_stream(spark, src2, plain)
+    assert sorted(
+        map(tuple, store.read(spark, "decisions").drop("batch_id").collect())
+    ) == sorted(
+        map(tuple, plain.read(spark, "decisions").drop("batch_id").collect())
+    )
+
+
+def test_ann_versioned_lifecycle_on_simulated_object_store(
+    spark, tmp_path, simulated_object_store
+):
+    """build → append → compact → expire → retrain → search with every
+    Fs handle forced into object-store branches and zero clone bytes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import (
+        ann_index_versioned as V,
+    )
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        train_ivfpq_codebooks,
+    )
+
+    before = fsio.BYTES_CLONED
+    rng = random.Random(12)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id long, emb array<double>",
+    )
+    root = str(tmp_path / "simroot")
+    cb, pqs = train_ivfpq_codebooks(vecs, 4, 4, 4, 2, iters=1)
+    V.build_ivfpq_versioned(vecs, root, cb, pqs, sub_dim=4)
+    newer = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        "vec_id long, emb array<double>",
+    )
+    V.append_ivfpq_versioned(spark, root, newer)
+    assert V.compact_ivfpq_versioned(spark, root, max_files_per_cell=1) is not None
+    V.expire_ivfpq_versioned(spark, root, ids=[0, 1])
+    V.retrain_ivfpq_versioned(spark, root, vecs.unionByName(newer), iters=1)
+    probes = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    assert V.search_ivfpq_versioned(spark, root, probes, nprobe=2, k=3).count() == 9
+    assert fsio.BYTES_CLONED == before, "the lifecycle copied carried bytes"

@@ -1,0 +1,368 @@
+"""Segment-manifest layout primitives (`operators/segman`, VERDICT r11
+#1) and the conditional-write lock claim (`fsio.Fs.create_exclusive`,
+VERDICT r11 #3): manifests round-trip root-relative, merge semantics
+resolve as declared, plain dirs read unchanged, GC prunes by reference
+liveness, and the lock claim drives both the conditional-PUT and the
+fallback branch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_pipeline_with_big_data_stack_spark.operators import fsio, segman
+from data_pipeline_with_big_data_stack_spark.operators import generations as G
+
+
+def _write(spark, path, rows, schema="k long, v string"):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def _tuples(df):
+    return sorted(map(tuple, df.select("k", "v").collect()))
+
+
+def test_manifest_roundtrip_stores_root_relative_refs(spark, tmp_path):
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    _write(spark, os.path.join(t1, "batch_id=0"), [(1, "a")])
+    segman.write_manifest(
+        fs, t2, {"batch_id=0": [os.path.join(t1, "batch_id=0")]}, merge="shadow"
+    )
+    raw = json.loads(fs.read_text(os.path.join(t2, segman.MANIFEST)))
+    assert raw["refs"] == {"batch_id=0": ["gen-000001/t/batch_id=0"]}, (
+        "refs must be stored relative to the store root, never as "
+        "rendered absolute URIs"
+    )
+    resolved = segman.resolve_refs(fs, t2)
+    assert resolved == {"batch_id=0": [os.path.join(root, "gen-000001/t/batch_id=0")]}
+
+
+def test_write_manifest_refuses_refs_outside_root(spark, tmp_path):
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t2 = os.path.join(root, "gen-000002", "t")
+    with pytest.raises(ValueError, match="outside the store root"):
+        segman.write_manifest(fs, t2, {"x=1": ["/elsewhere/x=1"]}, merge="union")
+    with pytest.raises(ValueError, match="merge must be one of"):
+        segman.write_manifest(fs, t2, {}, merge="overlay")
+
+
+def test_read_manifest_raises_on_malformed(spark, tmp_path):
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t = os.path.join(root, "gen-000001", "t")
+    fs.write_text_atomic(os.path.join(t, segman.MANIFEST), '{"merge": "nope"}')
+    with pytest.raises(ValueError, match="malformed segment manifest"):
+        segman.read_manifest(fs, t)
+
+
+def test_read_table_plain_dir_is_vanilla_parquet_read(spark, tmp_path):
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t = os.path.join(root, "gen-000001", "t")
+    _write(spark, os.path.join(t, "batch_id=0"), [(1, "a"), (2, "b")])
+    got = segman.read_table(spark, fs, t)
+    want = spark.read.parquet(t)
+    assert _tuples(got) == _tuples(want)
+    assert sorted(got.columns) == sorted(want.columns)
+
+
+def test_shadow_merge_physical_partition_supersedes_reference(spark, tmp_path):
+    """The dedup-store replay contract: a physically rewritten logical
+    partition hides the carried reference with the same name."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    _write(spark, os.path.join(t1, "batch_id=0"), [(1, "old")])
+    _write(spark, os.path.join(t1, "batch_id=1"), [(2, "keep")])
+    segman.write_manifest(
+        fs,
+        t2,
+        {
+            "batch_id=0": [os.path.join(t1, "batch_id=0")],
+            "batch_id=1": [os.path.join(t1, "batch_id=1")],
+        },
+        merge="shadow",
+    )
+    assert _tuples(segman.read_table(spark, fs, t2)) == [(1, "old"), (2, "keep")]
+    # the "replay": batch_id=0 is statically rewritten in gen-000002
+    _write(spark, os.path.join(t2, "batch_id=0"), [(1, "new")])
+    assert _tuples(segman.read_table(spark, fs, t2)) == [(1, "new"), (2, "keep")]
+    # resolve_all flattens post-shadow: the superseded ref is dropped
+    entries = segman.resolve_all(fs, t2)
+    assert entries["batch_id=0"] == [os.path.join(t2, "batch_id=0")]
+    assert entries["batch_id=1"] == [os.path.join(t1, "batch_id=1")]
+
+
+def test_union_merge_physical_and_reference_both_read(spark, tmp_path):
+    """The ANN-append contract: new files for a cell ADD to the
+    referenced older files of the same cell."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    _write(spark, os.path.join(t1, "cell_id=0"), [(1, "old")])
+    segman.write_manifest(
+        fs, t2, {"cell_id=0": [os.path.join(t1, "cell_id=0")]}, merge="union"
+    )
+    _write(spark, os.path.join(t2, "cell_id=0"), [(2, "appended")])
+    assert _tuples(segman.read_table(spark, fs, t2)) == [(1, "old"), (2, "appended")]
+    # and partition pruning still applies to referenced groups
+    pruned = segman.read_table(spark, fs, t2).filter("cell_id = 0")
+    assert pruned.count() == 2
+
+
+def test_whole_table_reference_for_flat_sidecars(spark, tmp_path):
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "cb")
+    t2 = os.path.join(root, "gen-000002", "cb")
+    _write(spark, t1, [(7, "centroid")])
+    segman.write_manifest(fs, t2, segman.resolve_all(fs, t1), merge="union")
+    assert _tuples(segman.read_table(spark, fs, t2)) == [(7, "centroid")]
+    # flattening: a third generation's refs point at the ORIGINAL dir
+    t3 = os.path.join(root, "gen-000003", "cb")
+    segman.write_manifest(fs, t3, segman.resolve_all(fs, t2), merge="union")
+    assert segman.resolve_refs(fs, t3) == {segman.WHOLE: [t1]}
+
+
+def test_read_table_empty_manifested_table_raises(spark, tmp_path):
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t = os.path.join(root, "gen-000001", "t")
+    segman.write_manifest(fs, t, {}, merge="union")
+    with pytest.raises(FileNotFoundError, match="neither physical"):
+        segman.read_table(spark, fs, t)
+
+
+def test_gc_prunes_to_referenced_segments_and_fails_closed_on_grace(
+    spark, tmp_path
+):
+    """generations.gc_generations under the manifest layout: a
+    superseded generation hosting referenced segments is pruned (stamp
+    and unreferenced sinks gone, referenced dirs intact); with
+    grace_seconds > 0 and an unreadable clock probe no STAMPED
+    generation is deleted (fail-closed, ADVICE r11) while unstamped
+    orphans still vanish."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    # gen1: physical segments in sink "t" plus an unreferenced sink "u"
+    t1 = os.path.join(root, "gen-000001", "t")
+    _write(spark, os.path.join(t1, "p=0"), [(1, "live")])
+    _write(spark, os.path.join(root, "gen-000001", "u", "p=0"), [(9, "dead")])
+    G.publish(root, "gen-000001", fs=fs)
+    # gen2 references gen1's t/p=0; gen3 supersedes both
+    t2 = os.path.join(root, "gen-000002", "t")
+    segman.write_manifest(
+        fs, t2, {"p=0": [os.path.join(t1, "p=0")]}, merge="union"
+    )
+    G.publish(root, "gen-000002", fs=fs)
+    fs.mkdirs(os.path.join(root, "gen-000007"))  # unstamped orphan
+    fs.mkdirs(os.path.join(root, "gen-000003"))
+    G.publish(root, "gen-000003", fs=fs)
+    G.gc_generations(root, "gen-000003", "gen-000002", fs=fs)
+    gens = G.list_generations(root, fs=fs)
+    assert "gen-000007" not in gens, "orphan must vanish"
+    assert "gen-000001" in gens, "referenced segment host must survive"
+    # pruned: stamp + unreferenced sink gone, referenced dir readable
+    assert G.published_at(root, "gen-000001", fs=fs) is None
+    assert not fs.exists(os.path.join(root, "gen-000001", "u"))
+    assert _tuples(segman.read_table(spark, fs, t2)) == [(1, "live")]
+
+    # fail-closed grace: make the probe unreadable by stripping the NEW
+    # generation's stamp; stamped gen-000002 must survive, the fresh
+    # orphan must still go
+    fs.delete(os.path.join(root, "gen-000003", G.PUBLISHED_AT))
+    fs.mkdirs(os.path.join(root, "gen-000008"))  # another orphan
+    G.gc_generations(root, "gen-000003", None, grace_seconds=3600.0, fs=fs)
+    gens = G.list_generations(root, fs=fs)
+    assert "gen-000002" in gens, "fail-closed grace deleted a stamped generation"
+    assert "gen-000008" not in gens
+
+
+def test_gc_backstamps_prev_that_lost_its_stamp(spark, tmp_path):
+    """ADVICE r11: a crash between prev's pointer flip and its stamp
+    write must not cost it the wall-clock grace promise — the next GC
+    back-stamps it (conservatively, as of now)."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    fs.mkdirs(os.path.join(root, "gen-000001"))
+    G.publish(root, "gen-000001", fs=fs)
+    fs.delete(os.path.join(root, "gen-000001", G.PUBLISHED_AT))  # the crash
+    fs.mkdirs(os.path.join(root, "gen-000002"))
+    G.publish(root, "gen-000002", fs=fs)
+    G.gc_generations(root, "gen-000002", "gen-000001", grace_seconds=3600.0, fs=fs)
+    assert G.published_at(root, "gen-000001", fs=fs) is not None
+    # and the restored stamp actually protects it at the NEXT publish
+    fs.mkdirs(os.path.join(root, "gen-000003"))
+    G.publish(root, "gen-000003", fs=fs)
+    G.gc_generations(root, "gen-000003", "gen-000002", grace_seconds=3600.0, fs=fs)
+    assert "gen-000001" in G.list_generations(root, fs=fs)
+
+
+# ---------------------------------------------------------------------
+# fsio.Fs.create_exclusive: the conditional-write claim (VERDICT r11 #3)
+# ---------------------------------------------------------------------
+
+
+class _StubStream:
+    def __init__(self, fail_close=None):
+        self.wrote = b""
+        self.closed = False
+        self._fail_close = fail_close
+
+    def write(self, data):
+        self.wrote += bytes(data)
+
+    def close(self):
+        self.closed = True
+        if self._fail_close is not None:
+            raise self._fail_close
+
+
+class _StubBuilder:
+    def __init__(self, log, reject_must=False, stream=None):
+        self._log, self._reject, self._stream = log, reject_must, stream
+
+    def overwrite(self, flag):
+        self._log.append(("overwrite", flag))
+        return self
+
+    def must(self, key, val):
+        self._log.append(("must", key, val))
+        if self._reject:
+            raise Exception(f"java.lang.IllegalArgumentException: Unsupported {key}")
+        return self
+
+    def build(self):
+        self._log.append(("build",))
+        return self._stream
+
+
+class _StubJavaFs:
+    """Duck-typed stand-in for the py4j FileSystem handle."""
+
+    def __init__(self, log, reject_must=False, stream=None, plain_raises=None):
+        self._log, self._reject = log, reject_must
+        self._stream, self._plain_raises = stream, plain_raises
+
+    def createFile(self, path):
+        self._log.append(("createFile", str(path)))
+        return _StubBuilder(self._log, self._reject, self._stream)
+
+    def create(self, path, overwrite):
+        self._log.append(("create", str(path), bool(overwrite)))
+        if self._plain_raises is not None:
+            raise self._plain_raises
+        return self._stream
+
+
+def _object_store_fs(spark, tmp_path):
+    fs = fsio.Fs(spark, str(tmp_path))
+    fs.rename_is_atomic = False  # classify as an object store
+    return fs
+
+
+def test_create_exclusive_uses_conditional_put_where_supported(spark, tmp_path):
+    log = []
+    stream = _StubStream()
+    fs = _object_store_fs(spark, tmp_path)
+    fs._fs = _StubJavaFs(log, reject_must=False, stream=stream)
+    out, conditional = fs.create_exclusive(str(tmp_path / "lock"))
+    assert conditional is True and out is stream
+    assert ("must", fsio._CONDITIONAL_CREATE_OPT, False) in log
+    assert ("overwrite", False) in log
+    assert not any(op[0] == "create" for op in log), (
+        "conditional branch must not fall through to the plain create"
+    )
+
+
+def test_create_exclusive_falls_back_when_connector_rejects_option(
+    spark, tmp_path
+):
+    log = []
+    stream = _StubStream()
+    fs = _object_store_fs(spark, tmp_path)
+    fs._fs = _StubJavaFs(log, reject_must=True, stream=stream)
+    out, conditional = fs.create_exclusive(str(tmp_path / "lock"))
+    assert conditional is False and out is stream
+    assert ("create", str(tmp_path / "lock"), False) in log
+
+
+def test_create_exclusive_maps_exists_to_fileexists(spark, tmp_path):
+    log = []
+    fs = _object_store_fs(spark, tmp_path)
+    fs._fs = _StubJavaFs(
+        log,
+        reject_must=True,
+        plain_raises=Exception(
+            "org.apache.hadoop.fs.FileAlreadyExistsException: lock exists"
+        ),
+    )
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(str(tmp_path / "lock"))
+    # atomic-rename scheme: the plain create path, same mapping
+    fs2 = fsio.Fs(spark, str(tmp_path))
+    p = str(tmp_path / "lock2")
+    out, cond = fs2.create_exclusive(p)
+    out.write(bytearray(b"x"))
+    out.close()
+    assert cond is False
+    with pytest.raises(FileExistsError):
+        fs2.create_exclusive(p)
+
+
+def test_acquire_lock_reports_conditional_close_conflict_as_contention(
+    spark, tmp_path, monkeypatch
+):
+    """The losing conditional PUT surfaces at close(): _acquire_lock
+    must report contention and must NOT delete the winner's lock."""
+    from data_pipeline_with_big_data_stack_spark.operators import (
+        rollup_maintenance as RM,
+    )
+
+    deleted = []
+    conflict = Exception(
+        "org.apache.hadoop.fs.s3a.RemoteFileChangedException: "
+        "PUT PreconditionFailed (412)"
+    )
+    stream = _StubStream(fail_close=conflict)
+
+    def fake_exclusive(self, path):
+        return stream, True
+
+    monkeypatch.setattr(fsio.Fs, "create_exclusive", fake_exclusive)
+
+    real_lock_path = RM._lock_path
+
+    def spy_lock_path(spark_, path, suffix=RM._LOCK_SUFFIX):
+        fs, lock = real_lock_path(spark_, path, suffix)
+
+        class _FsSpy:
+            def __getattr__(self, name):
+                if name == "delete":
+                    def _del(*a, **k):
+                        deleted.append(a)
+                        return fs.delete(*a, **k)
+
+                    return _del
+                return getattr(fs, name)
+
+        return _FsSpy(), lock
+
+    monkeypatch.setattr(RM, "_lock_path", spy_lock_path)
+    with pytest.raises(RuntimeError, match="locked by another maintenance job"):
+        RM._acquire_lock(spark, str(tmp_path / "store"))
+    assert stream.wrote, "the claim body must have been attempted"
+    assert not deleted, (
+        "a close-time conditional conflict means WE never created the "
+        "object — deleting would remove the winner's lock"
+    )
