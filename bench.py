@@ -299,12 +299,33 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
                 t0 = time.perf_counter()
                 dedup_ingest_batch(trickle, 1, st, max_bucket=_LSH_MAX_BUCKET)
                 best = min(best, time.perf_counter() - t0)
-            return best
+            return best, st
 
-        t_quarter = trickle_sec(chunks[0], "dedup_trk1")
-        t_full = trickle_sec(docs, "dedup_trk4")
+        t_quarter, _st1 = trickle_sec(chunks[0], "dedup_trk1")
+        t_full, st4 = trickle_sec(docs, "dedup_trk4")
         out["dedup_trickle_batch_sec"] = round(t_full, 3)
         out["dedup_trickle_state_ratio"] = round(t_full / t_quarter, 2)
+
+        # --- carry cost of the store maintenance protocol (VERDICT r11
+        # #1 done-criterion): run a full fold, one more trickle epoch,
+        # then an INCREMENTAL fold — the step that CARRIES the folded
+        # base across generations — and report both its latency and the
+        # bytes the carry physically duplicated (fsio.BYTES_CLONED
+        # delta). Under the manifest-reference layout the carry is a
+        # small manifest write: the byte metric measures 0 on every
+        # scheme, as a measurement rather than an assumption. ---
+        from data_pipeline_with_big_data_stack_spark.operators import fsio
+        from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+            _compact_into_new_generation,
+        )
+
+        _compact_into_new_generation(spark, st4, 1 << 30)  # full fold base
+        dedup_ingest_batch(trickle, 2, st4, max_bucket=_LSH_MAX_BUCKET)
+        cloned0 = fsio.BYTES_CLONED
+        t0 = time.perf_counter()
+        _compact_into_new_generation(spark, st4, 1 << 30, full=False)
+        out["dedup_incr_fold_sec"] = round(time.perf_counter() - t0, 3)
+        out["fold_carry_bytes_moved"] = fsio.BYTES_CLONED - cloned0
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
@@ -387,6 +408,23 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["__serve_probes__"] = f"{type(exc).__name__}: {exc}"[:500]
         serve = {}
+    # Same-session code A/B for round-over-round movers (VERDICT r11
+    # #2): re-time each >1.2x mover plus the ANN maintenance family on
+    # BOTH the previous round's tree (git worktree) and this one, in
+    # this session, so BENCH_DETAIL carries code-attributable ratios
+    # instead of three more rounds of drift ambiguity.
+    ab: dict = {}
+    try:
+        from tools.bench_ab import pick_movers, previous_round_baseline, run_ab
+
+        baseline = previous_round_baseline()
+        if baseline is not None:
+            ab_names = pick_movers(times, baseline[2])
+            ab = run_ab(spark, sf_dir, ab_names)
+        else:
+            ab = {"skipped": "no previous bench snapshot"}
+    except Exception as exc:  # noqa: BLE001
+        errors["__ab__"] = f"{type(exc).__name__}: {exc}"[:500]
     # The driver captures only the process tail (~2000 chars): round 5's
     # full per-query line outgrew it and the driver recorded parsed=null
     # (VERDICT r5 #1). The LAST stdout line is now a compact summary —
@@ -406,6 +444,8 @@ def main() -> None:
         "calibration_sec": calibration,
         **serve,
     }
+    if ab:
+        detail["ab"] = ab
     if errors:
         detail["errors"] = errors
     detail_path = os.path.join(
@@ -434,6 +474,13 @@ def main() -> None:
         "queries_count": len(times),
         "detail_file": "BENCH_DETAIL.json",
     }
+    ratios = (ab or {}).get("ratios") or {}
+    if ratios:
+        # summary only — per-query ab_ratio lives in BENCH_DETAIL; the
+        # compact line must stay under the driver's ~2000-char tail
+        payload["ab_n"] = len(ratios)
+        payload["ab_max_ratio"] = max(r["ab_ratio"] for r in ratios.values())
+        payload["ab_min_ratio"] = min(r["ab_ratio"] for r in ratios.values())
     if errors:
         # names only — full messages live in the detail file; a long
         # traceback here would re-break the driver's tail capture

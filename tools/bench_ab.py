@@ -1,0 +1,203 @@
+"""Same-session code A/B for bench movers (VERDICT r11 #2).
+
+Three rounds running, raw per-query round-over-round ratios were
+unreadable for shared-host drift (`q_doc_quality_scores` r10, the ANN
+maintenance family r11) and the answer each time was a MANUAL
+``git worktree`` A/B. This automates it: check out the previous
+round's bench commit in a detached worktree, import BOTH trees into
+the one live SparkSession (sequentially, with the package purged from
+``sys.modules`` between phases so a tree never executes against the
+other tree's modules), re-time the movers warm back-to-back, and emit
+``ab_ratio = new/old`` per query. A ratio near 1.0 says the
+round-over-round move was host drift; a ratio matching the raw move
+says the code changed the query.
+
+Used by ``bench.py`` (full per-query results land in
+BENCH_DETAIL.json's ``ab`` block; the compact line carries only a
+summary) and runnable standalone::
+
+    python tools/bench_ab.py q_ann_ivfpq_index_search ...
+
+Baseline resolution: the newest ``BENCH_r{N}.json`` in the repo root
+names the previous round; the commit that last touched it is the tree
+that produced those numbers (the driver commits artifacts at round
+end, code-identical to the round's HEAD).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the store-protocol-sensitive family: always A/B'd, whether or not
+# the raw round-over-round ratio flags them (VERDICT r11 asked for the
+# whole family after r11's single-member manual A/B)
+AB_ALWAYS = (
+    "q_ann_ivfpq_versioned_lifecycle",
+    "q_ann_ivfpq_index_retrain",
+    "q_ann_ivfpq_recall_monitor",
+    "q_ann_ivfpq_index_search",
+    "q_ann_ivfpq_index_expire",
+)
+MOVER_RATIO = 1.2
+MAX_AB_QUERIES = 10
+_PKG = "data_pipeline_with_big_data_stack_spark"
+
+
+def previous_round_baseline() -> tuple[int, str, dict] | None:
+    """(round, commit, best-of-3 times) of the newest bench snapshot,
+    or None when unresolvable (first round, no git, missing files)."""
+    rounds = []
+    for f in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    if not rounds:
+        return None
+    n = max(rounds)
+    detail = os.path.join(REPO, f"BENCH_DETAIL_r{n}.json")
+    bench = os.path.join(REPO, f"BENCH_r{n}.json")
+    src = detail if os.path.exists(detail) else bench
+    try:
+        with open(src) as fh:
+            times = json.load(fh).get("queries") or {}
+        sha = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", os.path.basename(bench)],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 - no git / unreadable snapshot
+        return None
+    return (n, sha, times) if sha else None
+
+
+def pick_movers(current: dict, baseline: dict) -> list[str]:
+    """Queries whose raw round-over-round ratio moved more than
+    MOVER_RATIO in either direction, plus the always-A/B family,
+    largest |log ratio| first, capped at MAX_AB_QUERIES."""
+    import math
+
+    scored = []
+    for q, new in current.items():
+        old = baseline.get(q)
+        if not old or not new:
+            continue
+        r = new / old
+        if r > MOVER_RATIO or r < 1.0 / MOVER_RATIO:
+            scored.append((abs(math.log(r)), q))
+    movers = [q for _s, q in sorted(scored, reverse=True)]
+    out = [q for q in AB_ALWAYS if q in current]
+    out += [q for q in movers if q not in out]
+    return out[:MAX_AB_QUERIES]
+
+
+def _purge_pkg() -> None:
+    for k in list(sys.modules):
+        if k == _PKG or k.startswith(_PKG + "."):
+            del sys.modules[k]
+
+
+def _load_queries(tree_root: str) -> dict:
+    """Import the tree at ``tree_root`` and return its QUERIES registry.
+    The package is purged first so EVERY module (operators included)
+    resolves inside this tree — queries import operators lazily by
+    absolute name at call time, and a stale sys.modules entry would
+    silently mix the two trees."""
+    _purge_pkg()
+    sys.path.insert(0, tree_root)
+    try:
+        mod = __import__(_PKG + ".queries", fromlist=["QUERIES"])
+        return mod.QUERIES
+    finally:
+        sys.path.remove(tree_root)
+
+
+def _time_query(spark, queries: dict, name: str, sf_dir: str) -> float | None:
+    """Warmup + best-of-2 warm executions via the noop sink (the same
+    semantics as bench.run_query's best-of-3, one run cheaper — the A/B
+    compares two numbers taken seconds apart on one host, so two warm
+    runs bound the noise that matters)."""
+    if name not in queries:
+        return None
+    for i in range(3):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        if i == 0:
+            best = None  # warmup pays this tree's codegen/file-index
+        else:
+            best = dt if best is None else min(best, dt)
+    return best
+
+
+def run_ab(spark, sf_dir: str, names: list[str]) -> dict:
+    """A/B the named queries against the previous round's tree inside
+    THIS session. Returns the BENCH_DETAIL ``ab`` block. Never raises —
+    an unresolvable baseline returns {"skipped": reason}."""
+    base = previous_round_baseline()
+    if base is None:
+        return {"skipped": "no previous bench snapshot or git history"}
+    n, sha, _times = base
+    wt = f"/tmp/bench_ab_r{n}_{os.getpid()}"
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, sha],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+    except Exception as exc:  # noqa: BLE001
+        return {"skipped": f"worktree add failed: {exc}"[:200]}
+    out: dict[str, dict] = {}
+    try:
+        # phase 1: the OLD tree times every query, then phase 2 re-times
+        # them on the CURRENT tree — both phases inside one session,
+        # minutes apart, so host drift cancels out of the ratio
+        old_q = _load_queries(wt)
+        old_t = {q: _time_query(spark, old_q, q, sf_dir) for q in names}
+        new_q = _load_queries(REPO)
+        for q in names:
+            new = _time_query(spark, new_q, q, sf_dir)
+            old = old_t.get(q)
+            if new is None or old is None:
+                continue
+            out[q] = {
+                "old_sec": round(old, 3),
+                "new_sec": round(new, 3),
+                "ab_ratio": round(new / old, 3),
+            }
+    finally:
+        _purge_pkg()  # leave the process on the current tree's modules
+        try:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=REPO,
+                capture_output=True,
+                check=False,
+            )
+        except Exception:  # noqa: BLE001 - stale worktrees are harmless
+            pass
+    return {"baseline_round": n, "baseline_commit": sha[:12], "ratios": out}
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    from data_pipeline_with_big_data_stack_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or list(AB_ALWAYS)
+    spark = get_spark(app_name="bench-ab")
+    print(json.dumps(run_ab(spark, sf_dir, names), indent=1))
+
+
+if __name__ == "__main__":
+    main()
