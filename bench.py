@@ -314,18 +314,24 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
         # delta). Under the manifest-reference layout the carry is a
         # small manifest write: the byte metric measures 0 on every
         # scheme, as a measurement rather than an assumption. ---
-        from data_pipeline_with_big_data_stack_spark.operators import fsio
-        from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
-            _compact_into_new_generation,
-        )
+        try:
+            from data_pipeline_with_big_data_stack_spark.operators import fsio
+            from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+                _compact_into_new_generation,
+            )
 
-        _compact_into_new_generation(spark, st4, 1 << 30)  # full fold base
-        dedup_ingest_batch(trickle, 2, st4, max_bucket=_LSH_MAX_BUCKET)
-        cloned0 = fsio.BYTES_CLONED
-        t0 = time.perf_counter()
-        _compact_into_new_generation(spark, st4, 1 << 30, full=False)
-        out["dedup_incr_fold_sec"] = round(time.perf_counter() - t0, 3)
-        out["fold_carry_bytes_moved"] = fsio.BYTES_CLONED - cloned0
+            _compact_into_new_generation(spark, st4, 1 << 30)  # full fold base
+            dedup_ingest_batch(trickle, 2, st4, max_bucket=_LSH_MAX_BUCKET)
+            cloned0 = fsio.BYTES_CLONED
+            t0 = time.perf_counter()
+            _compact_into_new_generation(spark, st4, 1 << 30, full=False)
+            out["dedup_incr_fold_sec"] = round(time.perf_counter() - t0, 3)
+            out["fold_carry_bytes_moved"] = fsio.BYTES_CLONED - cloned0
+        except Exception as exc:  # noqa: BLE001 - isolated: a fold-probe
+            # failure must not erase the six standing serve metrics
+            # already in `out` (the round-2 "one crasher erased the
+            # whole block" class)
+            out["fold_carry_error"] = f"{type(exc).__name__}: {exc}"[:200]
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
@@ -420,7 +426,7 @@ def main() -> None:
         baseline = previous_round_baseline()
         if baseline is not None:
             ab_names = pick_movers(times, baseline[2])
-            ab = run_ab(spark, sf_dir, ab_names)
+            ab = run_ab(spark, sf_dir, ab_names, baseline=baseline)
         else:
             ab = {"skipped": "no previous bench snapshot"}
     except Exception as exc:  # noqa: BLE001

@@ -52,23 +52,29 @@ _PKG = "data_pipeline_with_big_data_stack_spark"
 
 def previous_round_baseline() -> tuple[int, str, dict] | None:
     """(round, commit, best-of-3 times) of the newest bench snapshot,
-    or None when unresolvable (first round, no git, missing files)."""
-    rounds = []
+    or None when unresolvable (first round, no git, missing files).
+    Filenames come from the directory listing itself — early rounds are
+    zero-padded (``BENCH_r01.json``), so reconstructing the name from
+    the parsed number would silently miss them. The per-query detail
+    snapshot is preferred; the compact ``BENCH_r{N}.json`` fallback
+    carries only the top-12 queries, so baseline coverage is recorded
+    for the ab block to disclose."""
+    rounds: dict[int, str] = {}
     for f in os.listdir(REPO):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
         if m:
-            rounds.append(int(m.group(1)))
+            rounds[int(m.group(1))] = f
     if not rounds:
         return None
     n = max(rounds)
-    detail = os.path.join(REPO, f"BENCH_DETAIL_r{n}.json")
-    bench = os.path.join(REPO, f"BENCH_r{n}.json")
-    src = detail if os.path.exists(detail) else bench
+    bench = rounds[n]
+    detail = bench.replace("BENCH_r", "BENCH_DETAIL_r")
+    src = detail if os.path.exists(os.path.join(REPO, detail)) else bench
     try:
-        with open(src) as fh:
+        with open(os.path.join(REPO, src)) as fh:
             times = json.load(fh).get("queries") or {}
         sha = subprocess.run(
-            ["git", "log", "-n1", "--format=%H", "--", os.path.basename(bench)],
+            ["git", "log", "-n1", "--format=%H", "--", bench],
             cwd=REPO,
             capture_output=True,
             text=True,
@@ -124,28 +130,59 @@ def _time_query(spark, queries: dict, name: str, sf_dir: str) -> float | None:
     """Warmup + best-of-2 warm executions via the noop sink (the same
     semantics as bench.run_query's best-of-3, one run cheaper — the A/B
     compares two numbers taken seconds apart on one host, so two warm
-    runs bound the noise that matters)."""
+    runs bound the noise that matters). None: missing from this tree's
+    registry, or errored (an old-tree query can legitimately fail under
+    the new session/fixtures — one such failure must not abort the
+    whole A/B)."""
     if name not in queries:
         return None
-    for i in range(3):
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
-        if i == 0:
-            best = None  # warmup pays this tree's codegen/file-index
-        else:
-            best = dt if best is None else min(best, dt)
+    best = None
+    try:
+        for i in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            if i > 0:  # the warmup run pays this tree's codegen/file-index
+                best = dt if best is None else min(best, dt)
+    except Exception:  # noqa: BLE001 - isolate per query
+        return None
     return best
 
 
-def run_ab(spark, sf_dir: str, names: list[str]) -> dict:
+def _host_probe(spark, sf_dir: str) -> float:
+    """Tiny fixed host-speed probe (best-of-3 constant scan+aggregate),
+    recorded once per A/B PHASE: the two phases run minutes apart, so a
+    load spike overlapping only one of them would bias every ab_ratio
+    the same way — the pair of probe values makes that visible."""
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(li).selectExpr("sum(l_quantity)", "count(*)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def run_ab(
+    spark,
+    sf_dir: str,
+    names: list[str],
+    baseline: tuple[int, str, dict] | None = None,
+) -> dict:
     """A/B the named queries against the previous round's tree inside
     THIS session. Returns the BENCH_DETAIL ``ab`` block. Never raises —
-    an unresolvable baseline returns {"skipped": reason}."""
-    base = previous_round_baseline()
+    an unresolvable baseline returns {"skipped": reason}; a query that
+    errors on either tree is simply absent from ``ratios``. Pass the
+    already-resolved ``baseline`` tuple (from
+    :func:`previous_round_baseline`) to avoid re-resolving it."""
+    base = baseline if baseline is not None else previous_round_baseline()
     if base is None:
         return {"skipped": "no previous bench snapshot or git history"}
-    n, sha, _times = base
+    if not names:
+        return {"skipped": "no movers and no always-A/B queries present"}
+    n, sha, times = base
     wt = f"/tmp/bench_ab_r{n}_{os.getpid()}"
     try:
         subprocess.run(
@@ -158,13 +195,18 @@ def run_ab(spark, sf_dir: str, names: list[str]) -> dict:
     except Exception as exc:  # noqa: BLE001
         return {"skipped": f"worktree add failed: {exc}"[:200]}
     out: dict[str, dict] = {}
+    probe_old = probe_new = None
+    err = None
     try:
         # phase 1: the OLD tree times every query, then phase 2 re-times
         # them on the CURRENT tree — both phases inside one session,
-        # minutes apart, so host drift cancels out of the ratio
+        # minutes apart. A per-phase host probe makes a one-sided load
+        # spike (which would bias every ratio the same way) visible.
         old_q = _load_queries(wt)
+        probe_old = _host_probe(spark, sf_dir)
         old_t = {q: _time_query(spark, old_q, q, sf_dir) for q in names}
         new_q = _load_queries(REPO)
+        probe_new = _host_probe(spark, sf_dir)
         for q in names:
             new = _time_query(spark, new_q, q, sf_dir)
             old = old_t.get(q)
@@ -175,6 +217,8 @@ def run_ab(spark, sf_dir: str, names: list[str]) -> dict:
                 "new_sec": round(new, 3),
                 "ab_ratio": round(new / old, 3),
             }
+    except Exception as exc:  # noqa: BLE001 - never fail the bench over A/B
+        err = f"{type(exc).__name__}: {exc}"[:200]
     finally:
         _purge_pkg()  # leave the process on the current tree's modules
         try:
@@ -186,7 +230,20 @@ def run_ab(spark, sf_dir: str, names: list[str]) -> dict:
             )
         except Exception:  # noqa: BLE001 - stale worktrees are harmless
             pass
-    return {"baseline_round": n, "baseline_commit": sha[:12], "ratios": out}
+    if err and not out:
+        return {"skipped": f"A/B failed: {err}"}
+    result = {
+        "baseline_round": n,
+        "baseline_commit": sha[:12],
+        # top-12-only compact fallback baselines can't flag cheap movers
+        "baseline_query_coverage": len(times),
+        "phase_probe_old_sec": probe_old,
+        "phase_probe_new_sec": probe_new,
+        "ratios": out,
+    }
+    if err:
+        result["error"] = err
+    return result
 
 
 def main() -> None:
