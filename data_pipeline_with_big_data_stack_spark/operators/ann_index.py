@@ -470,17 +470,17 @@ def retrain_ivfpq_index(
 
 
 def _sidecar_codebooks(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, fs: fsio.Fs | None = None
 ) -> tuple[DataFrame, list[DataFrame], int]:
     """Read the coarse + PQ codebooks back from an index's sidecars in
     the 1-row array-of-struct shape ``_coded_projection`` expects.
     Returns (coarse, [pq_m...], sub_dim). Manifest-aware: a versioned
     generation's sidecars may be segment references."""
     coarse = (
-        _read_table(spark, path + "_codebook")
+        _read_table(spark, path + "_codebook", fs=fs)
         .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     )
-    pq_tbl = _read_table(spark, path + "_pq_codebook")
+    pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
     n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
     sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     pq_codebooks = [
@@ -525,7 +525,7 @@ def append_to_ivfpq_index(
         # sidecars are read AFTER the lock + recovery: retrain rewrites
         # them, so a pre-lock read could code this batch against stale
         # (or crash-mixed) codebooks and poison the index silently
-        coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path)
+        coarse, pq_codebooks, sub_dim = _sidecar_codebooks(spark, path, fs=fs)
         coded = _coded_projection(vecs, coarse, pq_codebooks, sub_dim, id_col)
         coded.write.mode("append").partitionBy("cell_id").parquet(path)
     finally:
@@ -758,7 +758,8 @@ def search_ivfpq_index(
     the K_PQ-row PQ codebook centroids their codes point at. Identical
     top-k to the inline ``q_ann_ivfpq_topk`` given the same codebooks
     (equality-pinned in tests/test_ann_index.py)."""
-    cb_tbl = _read_table(spark, path + "_codebook")
+    fs = fsio.Fs(spark, path)  # ONE handle for all three component reads
+    cb_tbl = _read_table(spark, path + "_codebook", fs=fs)
     cb = cb_tbl.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     ranked = F.array_sort(
         F.transform(
@@ -783,9 +784,9 @@ def search_ivfpq_index(
     cells = sorted(
         {r.cell_id for r in probe_cells.select("cell_id").distinct().collect()}
     )
-    index = _read_table(spark, path).filter(F.col("cell_id").isin(cells))
+    index = _read_table(spark, path, fs=fs).filter(F.col("cell_id").isin(cells))
     n_sub = len([c for c in index.columns if c.startswith("code_")])
-    pq_tbl = _read_table(spark, path + "_pq_codebook")
+    pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
     sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     cand = index.join(F.broadcast(probe_cells), "cell_id").filter(
         F.col(id_col) != F.col("q_id")
@@ -828,7 +829,8 @@ def search_ivf_index(
 ) -> DataFrame:
     """``probes(q_id, q_emb)`` → top-``k`` cosine matches per probe,
     reading only each probe's ``nprobe`` nearest index partitions."""
-    cb_tbl = _read_table(spark, path + "_codebook")
+    fs = fsio.Fs(spark, path)
+    cb_tbl = _read_table(spark, path + "_codebook", fs=fs)
     cb = cb_tbl.agg(
         F.collect_list(F.struct("cell_id", "c_emb")).alias("cb")
     )
@@ -855,7 +857,7 @@ def search_ivf_index(
     cells = sorted(
         {r.cluster_id for r in probe_cells.select("cluster_id").distinct().collect()}
     )
-    index = _read_table(spark, path).filter(F.col("cluster_id").isin(cells))
+    index = _read_table(spark, path, fs=fs).filter(F.col("cluster_id").isin(cells))
     cand = (
         index.join(F.broadcast(probe_cells), "cluster_id")
         .filter(F.col(id_col) != F.col("q_id"))

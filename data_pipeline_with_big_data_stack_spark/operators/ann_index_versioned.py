@@ -241,10 +241,13 @@ def compact_ivfpq_versioned(
     reference. Returns the new generation, or None if no cell was over
     threshold. The no-op path is detected from listings alone BEFORE
     anything is materialized (ADVICE r11: it writes nothing, clones
-    nothing, publishes nothing). A full rewrite also drops every
+    nothing, publishes nothing). A full CODE rewrite drops every code
     reference into older generations, which lets the next GC reclaim
-    them — compaction is what bounds segment accumulation, exactly as
-    in an LSM/Druid segment store."""
+    their code segments — compaction is what bounds segment
+    accumulation, exactly as in an LSM/Druid segment store. The
+    codebook SIDECARS stay referenced (compaction never retrains), so
+    the generation that physically hosts them — the last build/retrain
+    — survives as a pruned remnant until the next retrain/build."""
     fs = fsio.Fs(spark, root)
     lease = _index_write_lock(spark, root)
     try:
@@ -309,10 +312,9 @@ def expire_ivfpq_versioned(
                 F.lit(False),
             )
             doomed = index.filter(predicate)
-        tomb_agg = doomed.agg(
-            F.collect_set("cell_id").alias("cells"),
-            F.count(F.lit(1)).alias("n"),
-        ).head()
+        # (unlike the standalone expire_vectors, no removal count is
+        # returned here — the result is the generation name)
+        tomb_agg = doomed.agg(F.collect_set("cell_id").alias("cells")).head()
         cells = sorted(tomb_agg["cells"])
         if not cells:
             return None

@@ -780,8 +780,6 @@ def _compact_into_new_generation(
     ``report`` (default: follow the CALLER's ``full``) controls the
     per-sink file-count listing — a recursive walk the drain's hot path
     must not pay, even when a fold self-upgrades."""
-    from data_pipeline_with_big_data_stack_spark.operators.layout import table_files
-
     if report is None:
         report = full
     fs = store.fs
@@ -884,7 +882,16 @@ def _compact_into_new_generation(
         if refs:
             segman.write_manifest(fs, dst, refs, merge="shadow")
         if report:
-            out[sink] = len(table_files(spark, dst))
+            # LOGICAL file count — physical partitions plus carried
+            # references (a physical-only listing would under-report a
+            # sink whose in-flight epoch carried by reference)
+            out[sink] = sum(
+                1
+                for dirs in segman.resolve_all(fs, dst).values()
+                for d in dirs
+                for f in fs.list_files_recursive(d)
+                if f.endswith(".parquet")
+            )
     new_full_mark = marker if full else full_mark
     G.atomic_write(
         os.path.join(gen_dir, _FOLD_MARKER), f"{marker} {new_full_mark}\n", fs=fs

@@ -185,30 +185,61 @@ def gc_generations(
     fs = fs or fsio.default_fs(root)
     from data_pipeline_with_big_data_stack_spark.operators import segman
 
+    import warnings
+
     kept = {new, prev} if prev else {new}
-    gens = list_generations(root, fs)
-    if grace_seconds > 0:
-        if prev is not None and published_at(root, prev, fs) is None and fs.is_dir(
-            _join(root, prev)
-        ):
-            # crash window between prev's pointer flip and its stamp:
-            # restore its age protection from now — a fresh window is
-            # the conservative direction (never shorter than promised)
-            fs.write_text_atomic(
-                _join(root, prev, PUBLISHED_AT), f"{time.time():.3f}\n"
-            )
-        now = published_at(root, new, fs)
-        for g in gens:
-            if g in kept:
-                continue
-            ts = published_at(root, g, fs)
-            if ts is None:
-                continue  # unstamped: orphan or already-pruned remnant
-            if now is None or (now - ts) < grace_seconds:
-                kept.add(g)  # now is None → fail closed for stamped gens
-    live_refs: set[str] = set()
-    for g in kept:
-        live_refs |= segman.referenced_rel_paths(fs, _join(root, g))
+    # EVERYTHING from here on is post-publish housekeeping: the store is
+    # already consistent, so no failure below may abort the writer
+    # operation (or kill a whole streaming drain) — each step either
+    # degrades fail-closed (delete less) with a warning, or is retried
+    # wholesale by the next publish's GC.
+    try:
+        gens = list_generations(root, fs)
+        if grace_seconds > 0:
+            if (
+                prev is not None
+                and published_at(root, prev, fs) is None
+                and fs.is_dir(_join(root, prev))
+            ):
+                # crash window between prev's pointer flip and its
+                # stamp: restore its age protection from now — a fresh
+                # window is the conservative direction (never shorter
+                # than promised)
+                try:
+                    fs.write_text_atomic(
+                        _join(root, prev, PUBLISHED_AT), f"{time.time():.3f}\n"
+                    )
+                except Exception as exc:  # noqa: BLE001 - retried next GC
+                    warnings.warn(
+                        f"could not back-stamp grace predecessor {prev!r} "
+                        f"under {root!r} ({exc})",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+            now = published_at(root, new, fs)
+            for g in gens:
+                if g in kept:
+                    continue
+                ts = published_at(root, g, fs)
+                if ts is None:
+                    continue  # unstamped: orphan or already-pruned remnant
+                if now is None or (now - ts) < grace_seconds:
+                    kept.add(g)  # now is None → fail closed for stamped gens
+        live_refs: set[str] = set()
+        for g in kept:
+            live_refs |= segman.referenced_rel_paths(fs, _join(root, g))
+    except Exception as exc:  # noqa: BLE001 - liveness unknown → fail closed
+        # a transient read error or one damaged manifest in a KEPT
+        # generation means the live-reference set cannot be trusted —
+        # deleting anything could destroy a referenced segment, so this
+        # cycle deletes nothing and the next publish's GC retries
+        warnings.warn(
+            f"generation GC under {root!r} skipped this cycle — could not "
+            f"establish manifest liveness ({exc})",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
     for g in gens:
         if g in kept:
             continue

@@ -383,15 +383,21 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     try:
         _write_lock_body(out, payload)
     except Exception as exc:
-        if conditional and fsio._is_exists(exc):
-            # conditional-PUT conflict surfaced at close(): this writer
-            # never created the object — the surviving lock belongs to
-            # the WINNER, so there is nothing of ours to clean up
-            raise _contention() from exc
-        # the claim succeeded but the body didn't land: an EMPTY lock
-        # file would block maintenance for the full age window (the
-        # pid-liveness path can't parse it) — best-effort remove the
-        # just-created lock before re-raising (ADVICE r6)
+        if conditional:
+            # on a conditional claim the object appears only at a
+            # SUCCESSFUL close — whatever went wrong, this writer never
+            # created it, so any surviving lock object belongs to a
+            # WINNING writer and must never be deleted here (deleting
+            # would dissolve the live holder's guard). A classified
+            # exists-conflict is contention; anything else re-raises
+            # as itself so transient IO isn't misread as a held lock.
+            if fsio._is_exists(exc):
+                raise _contention() from exc
+            raise
+        # non-conditional claim: it succeeded but the body didn't land;
+        # an EMPTY lock file would block maintenance for the full age
+        # window (the pid-liveness path can't parse it) — best-effort
+        # remove the just-created lock before re-raising (ADVICE r6)
         try:
             fs.delete(lock, False)
         except Exception:  # noqa: BLE001 - leave it to the age breaker
