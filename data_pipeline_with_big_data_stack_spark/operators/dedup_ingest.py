@@ -884,11 +884,14 @@ def _compact_into_new_generation(
         if report:
             # LOGICAL file count — physical partitions plus carried
             # references (a physical-only listing would under-report a
-            # sink whose in-flight epoch carried by reference)
+            # sink whose in-flight epoch carried by reference). The
+            # refs just written are in hand and can never collide with
+            # the physical partitions (e <= lo or e > hi vs hi and the
+            # seed), so no manifest read-back is needed.
+            ref_dirs = [d for dirs in refs.values() for d in dirs]
             out[sink] = sum(
                 1
-                for dirs in segman.resolve_all(fs, dst).values()
-                for d in dirs
+                for d in (dst, *ref_dirs)
                 for f in fs.list_files_recursive(d)
                 if f.endswith(".parquet")
             )

@@ -114,18 +114,21 @@ def atomic_write(path: str, text: str, fs: fsio.Fs | None = None) -> None:
 
 
 def publish(root: str, gen: str, fs: fsio.Fs | None = None) -> None:
-    """Atomically flip the pointer to ``gen``, then stamp the
-    generation with its publish time (the age signal
-    :func:`gc_generations`'s ``grace_seconds`` reads). Stamp AFTER the
-    flip: an unpublished orphan must never carry a stamp — the age rule
-    would otherwise keep a crashed writer's half-written tree for a
-    full grace window. A crash between flip and stamp is healed by the
-    NEXT publisher's GC, which back-stamps the generation it was handed
-    as ``prev`` (see :func:`gc_generations`), so the wall-clock grace
-    promise holds across that window too."""
+    """Stamp the generation with its publish time (the age signal
+    :func:`gc_generations`'s ``grace_seconds`` reads), then atomically
+    flip the pointer to ``gen``. Stamp BEFORE the flip — the crash
+    window between the two writes must fail in the cheap direction: a
+    crash after stamp/before flip leaves a STAMPED ORPHAN, which is
+    never pointer-visible and costs at most one grace window of disk
+    before the age rule reclaims it; the r11 order (flip first) instead
+    left a PUBLISHED generation with no stamp, which a later GC would
+    treat as an orphan and delete INSIDE the promised reader window —
+    garbage retention is recoverable, a broken serving contract is not.
+    Ordinary unstamped orphans (writer crashed before publish was ever
+    called) still vanish at the next GC regardless of grace."""
     fs = fs or fsio.default_fs(root)
-    fs.write_text_atomic(_join(root, POINTER), gen + "\n")
     fs.write_text_atomic(_join(root, gen, PUBLISHED_AT), f"{time.time():.3f}\n")
+    fs.write_text_atomic(_join(root, POINTER), gen + "\n")
 
 
 def published_at(root: str, gen: str, fs: fsio.Fs | None = None) -> float | None:
@@ -178,10 +181,11 @@ def gc_generations(
     If that probe mtime cannot be read, the age rule FAILS CLOSED
     (ADVICE r11): no stamped generation is deleted this cycle —
     deleting inside a promised reader window is the one unacceptable
-    outcome; unstamped orphans still vanish. A ``prev`` that lost its
-    stamp to a crash between pointer flip and stamp write is
-    back-stamped here (conservatively, as of now) so the wall-clock
-    grace promise survives that crash window (ADVICE r11)."""
+    outcome; unstamped orphans still vanish. The publish-crash window
+    needs no repair here: :func:`publish` stamps BEFORE the pointer
+    flip, so a published generation always carries its stamp (a crash
+    can only leave a stamped, never-published orphan, reclaimed once
+    its window ages out — ADVICE r11)."""
     fs = fs or fsio.default_fs(root)
     from data_pipeline_with_big_data_stack_spark.operators import segman
 
@@ -196,26 +200,6 @@ def gc_generations(
     try:
         gens = list_generations(root, fs)
         if grace_seconds > 0:
-            if (
-                prev is not None
-                and published_at(root, prev, fs) is None
-                and fs.is_dir(_join(root, prev))
-            ):
-                # crash window between prev's pointer flip and its
-                # stamp: restore its age protection from now — a fresh
-                # window is the conservative direction (never shorter
-                # than promised)
-                try:
-                    fs.write_text_atomic(
-                        _join(root, prev, PUBLISHED_AT), f"{time.time():.3f}\n"
-                    )
-                except Exception as exc:  # noqa: BLE001 - retried next GC
-                    warnings.warn(
-                        f"could not back-stamp grace predecessor {prev!r} "
-                        f"under {root!r} ({exc})",
-                        RuntimeWarning,
-                        stacklevel=2,
-                    )
             now = published_at(root, new, fs)
             for g in gens:
                 if g in kept:
@@ -259,8 +243,6 @@ def gc_generations(
             # visible, non-fatal: a PERSISTENT failure (lost delete
             # permission, chronic throttling) would otherwise accrete
             # stale generations with no signal at all
-            import warnings
-
             warnings.warn(
                 f"generation GC could not delete {g!r} under {root!r} "
                 f"({exc}); it will be retried at the next publish",

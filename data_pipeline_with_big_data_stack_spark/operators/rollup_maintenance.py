@@ -385,14 +385,24 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     except Exception as exc:
         if conditional:
             # on a conditional claim the object appears only at a
-            # SUCCESSFUL close — whatever went wrong, this writer never
-            # created it, so any surviving lock object belongs to a
-            # WINNING writer and must never be deleted here (deleting
-            # would dissolve the live holder's guard). A classified
-            # exists-conflict is contention; anything else re-raises
-            # as itself so transient IO isn't misread as a held lock.
+            # SUCCESSFUL close, so a surviving NON-EMPTY lock belongs
+            # to a winning writer (every winner writes its payload
+            # before close) and must never be deleted — deleting would
+            # dissolve the live holder's guard. One sub-case IS
+            # provably ours: the body write() failed but the close in
+            # _write_lock_body's finally still landed, leaving an
+            # EMPTY object (no competitor, conditional PUT passed) that
+            # would otherwise block maintenance for the full age window
+            # — clean up exactly that. A classified exists-conflict is
+            # contention; anything else re-raises as itself so
+            # transient IO isn't misread as a held lock.
             if fsio._is_exists(exc):
                 raise _contention() from exc
+            try:
+                if _read_lock_body(spark._jvm, fs, lock) == "":
+                    fs.delete(lock, False)
+            except Exception:  # noqa: BLE001 - leave it to the age breaker
+                pass
             raise
         # non-conditional claim: it succeeded but the body didn't land;
         # an EMPTY lock file would block maintenance for the full age

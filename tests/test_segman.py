@@ -188,24 +188,38 @@ def test_gc_prunes_to_referenced_segments_and_fails_closed_on_grace(
     assert "gen-000008" not in gens
 
 
-def test_gc_backstamps_prev_that_lost_its_stamp(spark, tmp_path):
-    """ADVICE r11: a crash between prev's pointer flip and its stamp
-    write must not cost it the wall-clock grace promise — the next GC
-    back-stamps it (conservatively, as of now)."""
+def test_publish_stamps_before_pointer_flip(spark, tmp_path):
+    """ADVICE r11: the publish crash window must fail in the cheap
+    direction. Stamping BEFORE the flip means a published generation
+    ALWAYS carries its stamp — its wall-clock grace promise can never
+    be lost to a crash — while the crash's residue is a stamped,
+    never-published orphan: retained at most one grace window, deleted
+    immediately when grace is off."""
     root = str(tmp_path / "root")
     fs = fsio.Fs(spark, root)
     fs.mkdirs(os.path.join(root, "gen-000001"))
     G.publish(root, "gen-000001", fs=fs)
-    fs.delete(os.path.join(root, "gen-000001", G.PUBLISHED_AT))  # the crash
+
+    # simulate the crash: stamp written, pointer flip never happened
     fs.mkdirs(os.path.join(root, "gen-000002"))
-    G.publish(root, "gen-000002", fs=fs)
-    G.gc_generations(root, "gen-000002", "gen-000001", grace_seconds=3600.0, fs=fs)
-    assert G.published_at(root, "gen-000001", fs=fs) is not None
-    # and the restored stamp actually protects it at the NEXT publish
+    fs.write_text_atomic(
+        os.path.join(root, "gen-000002", G.PUBLISHED_AT), "crashed publish\n"
+    )
+    assert G.read_current(root, fs=fs) == "gen-000001"
+
     fs.mkdirs(os.path.join(root, "gen-000003"))
     G.publish(root, "gen-000003", fs=fs)
-    G.gc_generations(root, "gen-000003", "gen-000002", grace_seconds=3600.0, fs=fs)
-    assert "gen-000001" in G.list_generations(root, fs=fs)
+    # grace on: the stamped orphan is indistinguishable from a recently
+    # published generation and is retained for the window (the bounded,
+    # recoverable cost of the ordering)
+    G.gc_generations(root, "gen-000003", "gen-000001", grace_seconds=3600.0, fs=fs)
+    assert "gen-000002" in G.list_generations(root, fs=fs)
+    # grace off: stamps grant no protection — the orphan dies now
+    G.gc_generations(root, "gen-000003", "gen-000001", grace_seconds=0.0, fs=fs)
+    assert G.list_generations(root, fs=fs) == ["gen-000001", "gen-000003"]
+    # every actually-published generation carries its stamp by
+    # construction — the r11 'published but unstamped' state is gone
+    assert G.published_at(root, "gen-000003", fs=fs) is not None
 
 
 # ---------------------------------------------------------------------
