@@ -887,14 +887,28 @@ def _compact_into_new_generation(
             # sink whose in-flight epoch carried by reference). The
             # refs just written are in hand and can never collide with
             # the physical partitions (e <= lo or e > hi vs hi and the
-            # seed), so no manifest read-back is needed.
-            ref_dirs = [d for dirs in refs.values() for d in dirs]
-            out[sink] = sum(
-                1
-                for d in (dst, *ref_dirs)
-                for f in fs.list_files_recursive(d)
-                if f.endswith(".parquet")
+            # seed), so no manifest read-back is needed; referenced
+            # dirs are listed ONCE per segment parent (not once per
+            # partition) and attributed by the delimiter-safe
+            # "/batch_id=e/" path component — never by comparing
+            # rendered absolute URIs.
+            by_parent: dict[str, set[str]] = {}
+            for logical, dirs in refs.items():
+                for d in dirs:
+                    by_parent.setdefault(
+                        os.path.dirname(d.rstrip("/")), set()
+                    ).add(logical)
+            n_files = sum(
+                1 for f in fs.list_files_recursive(dst) if f.endswith(".parquet")
             )
+            for parent, logicals in by_parent.items():
+                n_files += sum(
+                    1
+                    for f in fs.list_files_recursive(parent)
+                    if f.endswith(".parquet")
+                    and any(f"/{lg}/" in f for lg in logicals)
+                )
+            out[sink] = n_files
     new_full_mark = marker if full else full_mark
     G.atomic_write(
         os.path.join(gen_dir, _FOLD_MARKER), f"{marker} {new_full_mark}\n", fs=fs

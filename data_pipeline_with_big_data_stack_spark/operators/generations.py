@@ -182,10 +182,13 @@ def gc_generations(
     (ADVICE r11): no stamped generation is deleted this cycle —
     deleting inside a promised reader window is the one unacceptable
     outcome; unstamped orphans still vanish. The publish-crash window
-    needs no repair here: :func:`publish` stamps BEFORE the pointer
-    flip, so a published generation always carries its stamp (a crash
-    can only leave a stamped, never-published orphan, reclaimed once
-    its window ages out — ADVICE r11)."""
+    needs no repair for CURRENT stores: :func:`publish` stamps BEFORE
+    the pointer flip, so a published generation always carries its
+    stamp (a crash can only leave a stamped, never-published orphan,
+    reclaimed once its window ages out — ADVICE r11). A ``prev`` with
+    no stamp can only be residue of the r11 flip-first ordering; it is
+    back-stamped here, best-effort, to carry its grace promise across
+    the upgrade boundary."""
     fs = fs or fsio.default_fs(root)
     from data_pipeline_with_big_data_stack_spark.operators import segman
 
@@ -200,6 +203,28 @@ def gc_generations(
     try:
         gens = list_generations(root, fs)
         if grace_seconds > 0:
+            if (
+                prev is not None
+                and published_at(root, prev, fs) is None
+                and fs.is_dir(_join(root, prev))
+            ):
+                # LEGACY residue only: a store last written by the r11
+                # code (which flipped before stamping) that crashed in
+                # that window has a pointer-visible generation with no
+                # stamp. The current publish() order cannot create this
+                # state; back-stamp it here (best-effort) so its grace
+                # promise survives the upgrade boundary.
+                try:
+                    fs.write_text_atomic(
+                        _join(root, prev, PUBLISHED_AT), f"{time.time():.3f}\n"
+                    )
+                except Exception as exc:  # noqa: BLE001 - legacy-only repair
+                    warnings.warn(
+                        f"could not back-stamp legacy grace predecessor "
+                        f"{prev!r} under {root!r} ({exc})",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             now = published_at(root, new, fs)
             for g in gens:
                 if g in kept:

@@ -399,7 +399,12 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
             if fsio._is_exists(exc):
                 raise _contention() from exc
             try:
-                if _read_lock_body(spark._jvm, fs, lock) == "":
+                # a landed object whose body is empty (write failed,
+                # close committed) or equals OUR unique payload (write
+                # landed, close errored transiently after the PUT
+                # committed) is provably this writer's residue; any
+                # other body is a live winner's lock and stays
+                if _read_lock_body(spark._jvm, fs, lock) in ("", payload):
                     fs.delete(lock, False)
             except Exception:  # noqa: BLE001 - leave it to the age breaker
                 pass

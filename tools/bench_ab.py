@@ -68,8 +68,13 @@ def previous_round_baseline() -> tuple[int, str, dict] | None:
         return None
     n = max(rounds)
     bench = rounds[n]
-    detail = bench.replace("BENCH_r", "BENCH_DETAIL_r")
-    src = detail if os.path.exists(os.path.join(REPO, detail)) else bench
+    # detail snapshots are unpadded (BENCH_DETAIL_r6.json) while early
+    # compact snapshots are padded (BENCH_r06.json) — try both forms
+    src = bench
+    for cand in (f"BENCH_DETAIL_r{n}.json", bench.replace("BENCH_r", "BENCH_DETAIL_r")):
+        if os.path.exists(os.path.join(REPO, cand)):
+            src = cand
+            break
     try:
         with open(os.path.join(REPO, src)) as fh:
             times = json.load(fh).get("queries") or {}
