@@ -46,6 +46,14 @@ table; a manifest holds O(partitions × retained segments) short
 strings. Reads stay partition-pruned: each referenced group is scanned
 with ``basePath`` set to its physical parent, so ``cell_id``/``bkt``
 filters prune files inside every group exactly as on a plain tree.
+The dedup store references at BATCH granularity (bucket dirs ride
+inside the referenced partition), so its manifests stay tiny at any
+``n_bkt``. The ANN index references per cell: at very large
+``k_coarse`` (≥ ~10⁵ cells) times many retained segments, a JSON
+manifest grows to tens of MB — still one read per query, but the
+Iceberg-style next step (manifest lists splitting entries into
+partition-range files) is the known upgrade path; compaction cadence
+bounds retained segments long before that point in practice.
 """
 
 from __future__ import annotations
