@@ -399,12 +399,18 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
             if fsio._is_exists(exc):
                 raise _contention() from exc
             try:
-                # a landed object whose body is empty (write failed,
-                # close committed) or equals OUR unique payload (write
-                # landed, close errored transiently after the PUT
-                # committed) is provably this writer's residue; any
-                # other body is a live winner's lock and stays
-                if _read_lock_body(spark._jvm, fs, lock) in ("", payload):
+                # a landed object whose body is a byte-PREFIX of OUR
+                # unique payload — empty (write failed, close
+                # committed), partial (write raised mid-buffer, the
+                # finally-close committed the prefix), or complete
+                # (close errored transiently after the PUT committed)
+                # — is this writer's residue and is removed so it can't
+                # block maintenance for the full age window. A foreign
+                # writer's body is always a COMPLETE "pid@host ts\n"
+                # payload, which cannot be a strict prefix of ours, so
+                # anything else is a live winner's lock and stays.
+                body = _read_lock_body(spark._jvm, fs, lock)
+                if body is not None and payload.startswith(body):
                     fs.delete(lock, False)
             except Exception:  # noqa: BLE001 - leave it to the age breaker
                 pass

@@ -380,3 +380,125 @@ def test_acquire_lock_reports_conditional_close_conflict_as_contention(
         "a close-time conditional conflict means WE never created the "
         "object — deleting would remove the winner's lock"
     )
+
+
+def test_gc_backstamps_legacy_unstamped_prev(spark, tmp_path):
+    """Upgrade-boundary repair: a store last written by the r11
+    flip-first ordering that crashed between flip and stamp has a
+    pointer-visible generation with NO stamp. When it arrives as
+    ``prev``, GC back-stamps it so its wall-clock grace promise
+    survives the upgrade (the current stamp-before-flip publish can
+    never create this state itself)."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    fs.mkdirs(os.path.join(root, "gen-000001"))
+    G.publish(root, "gen-000001", fs=fs)
+    fs.delete(os.path.join(root, "gen-000001", G.PUBLISHED_AT))  # legacy residue
+    fs.mkdirs(os.path.join(root, "gen-000002"))
+    G.publish(root, "gen-000002", fs=fs)
+    G.gc_generations(root, "gen-000002", "gen-000001", grace_seconds=3600.0, fs=fs)
+    assert G.published_at(root, "gen-000001", fs=fs) is not None
+    # the restored stamp protects it at the NEXT publish too
+    fs.mkdirs(os.path.join(root, "gen-000003"))
+    G.publish(root, "gen-000003", fs=fs)
+    G.gc_generations(root, "gen-000003", "gen-000002", grace_seconds=3600.0, fs=fs)
+    assert "gen-000001" in G.list_generations(root, fs=fs)
+
+
+class _CondClaimStream:
+    """Conditional-claim stream stub that 'commits' whatever write()
+    buffered to the REAL lock file at close — modelling the object
+    store where the PUT lands at close time."""
+
+    def __init__(self, lockfile, fail_write_after=None, fail_close=False):
+        self._lockfile = lockfile
+        self._fail_write_after = fail_write_after
+        self._fail_close = fail_close
+        self._buf = b""
+
+    def write(self, data):
+        data = bytes(data)
+        if self._fail_write_after is not None:
+            self._buf += data[: self._fail_write_after]
+            raise Exception("java.net.SocketException: write reset")
+        self._buf += data
+
+    def close(self):
+        with open(self._lockfile, "wb") as fh:
+            fh.write(self._buf)
+        if self._fail_close:
+            raise Exception("java.net.SocketException: reset after commit")
+
+
+@pytest.mark.parametrize(
+    "fail_write_after,fail_close,expect_deleted",
+    [
+        (0, False, True),    # write failed, close committed an EMPTY object
+        (5, False, True),    # write failed mid-buffer: PARTIAL own prefix
+        (None, True, True),  # write landed, close errored after committing
+    ],
+)
+def test_acquire_lock_cleans_up_provably_own_conditional_residue(
+    spark, tmp_path, monkeypatch, fail_write_after, fail_close, expect_deleted
+):
+    """A failed conditional claim whose landed body is a byte-prefix of
+    OUR payload (empty / partial / complete) is this writer's residue
+    and must be removed — otherwise maintenance blocks for the full
+    stale-age window with the pid-liveness breaker refusing to help
+    (the holder pid is alive: it's us)."""
+    from data_pipeline_with_big_data_stack_spark.operators import (
+        rollup_maintenance as RM,
+    )
+
+    store = str(tmp_path / "store")
+    lockfile = store + RM._LOCK_SUFFIX
+
+    def fake_exclusive(self, path):
+        return _CondClaimStream(
+            lockfile, fail_write_after=fail_write_after, fail_close=fail_close
+        ), True
+
+    monkeypatch.setattr(fsio.Fs, "create_exclusive", fake_exclusive)
+    with pytest.raises(Exception, match="SocketException"):
+        RM._acquire_lock(spark, store)
+    assert not os.path.exists(lockfile), (
+        "own conditional residue must be cleaned up"
+    )
+    # and the store is immediately usable: the next claim succeeds
+    monkeypatch.undo()
+    lease = RM._acquire_lock(spark, store)
+    lease.release()
+
+
+def test_acquire_lock_never_deletes_foreign_conditional_lock(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror pin: when the surviving body is NOT a prefix of our
+    payload it belongs to a live winner — a failed conditional claim
+    must leave it untouched."""
+    from data_pipeline_with_big_data_stack_spark.operators import (
+        rollup_maintenance as RM,
+    )
+
+    store = str(tmp_path / "store")
+    lockfile = store + RM._LOCK_SUFFIX
+    foreign = "99999@otherhost 1700000000.000\n"
+    os.makedirs(store, exist_ok=True)
+    with open(lockfile, "w") as fh:
+        fh.write(foreign)
+
+    class _NeverLands:
+        def write(self, data):
+            raise Exception("java.net.SocketException: write reset")
+
+        def close(self):
+            pass  # nothing of ours ever lands
+
+    monkeypatch.setattr(
+        fsio.Fs, "create_exclusive", lambda self, path: (_NeverLands(), True)
+    )
+    with pytest.raises(Exception, match="SocketException"):
+        RM._acquire_lock(spark, store)
+    assert open(lockfile).read() == foreign, (
+        "a foreign lock body must never be deleted by a failed claim"
+    )
