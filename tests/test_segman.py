@@ -502,3 +502,42 @@ def test_acquire_lock_never_deletes_foreign_conditional_lock(
     assert open(lockfile).read() == foreign, (
         "a foreign lock body must never be deleted by a failed claim"
     )
+
+
+def test_manifested_read_partition_prunes_referenced_groups(spark, tmp_path):
+    """Physical pin for the layout's scale claim: a filter on the
+    partition column prunes files inside BOTH the self scan and the
+    referenced basePath group — the numFiles scan metric of a pruned
+    read stays below the full read's, exactly as on a plain tree."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    for c in range(4):
+        _write(spark, os.path.join(t1, f"cell_id={c}"), [(c, "old")])
+    segman.write_manifest(
+        fs,
+        t2,
+        {f"cell_id={c}": [os.path.join(t1, f"cell_id={c}")] for c in range(4)},
+        merge="union",
+    )
+    for c in range(4):  # the append delta: physical files in gen-2
+        _write(spark, os.path.join(t2, f"cell_id={c}"), [(10 + c, "new")])
+
+    def n_files(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        return sum(
+            leaves.apply(i).metrics().apply("numFiles").value()
+            for i in range(leaves.size())
+            if leaves.apply(i).metrics().contains("numFiles")
+        )
+
+    full = n_files(segman.read_table(spark, fs, t2))
+    pruned_df = segman.read_table(spark, fs, t2).filter("cell_id = 2")
+    pruned = n_files(pruned_df)
+    assert pruned < full, f"pruned read {pruned}/{full} files"
+    assert pruned == 2, (  # one self file + one referenced file
+        f"expected exactly the two cell_id=2 files, read {pruned}"
+    )
+    assert _tuples(pruned_df) == [(2, "old"), (12, "new")]
