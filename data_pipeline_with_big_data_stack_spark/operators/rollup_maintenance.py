@@ -385,30 +385,27 @@ def _acquire_lock(spark: SparkSession, path: str, suffix: str = _LOCK_SUFFIX):
     except Exception as exc:
         if conditional:
             # on a conditional claim the object appears only at a
-            # SUCCESSFUL close, so a surviving NON-EMPTY lock belongs
-            # to a winning writer (every winner writes its payload
-            # before close) and must never be deleted — deleting would
-            # dissolve the live holder's guard. One sub-case IS
-            # provably ours: the body write() failed but the close in
-            # _write_lock_body's finally still landed, leaving an
-            # EMPTY object (no competitor, conditional PUT passed) that
-            # would otherwise block maintenance for the full age window
-            # — clean up exactly that. A classified exists-conflict is
-            # contention; anything else re-raises as itself so
-            # transient IO isn't misread as a held lock.
+            # SUCCESSFUL close, so the store — not this code — decided
+            # any race. A classified exists-conflict is contention;
+            # anything else re-raises as itself so transient IO isn't
+            # misread as a held lock, after cleaning up what is
+            # provably OUR residue: a landed body that is a byte-PREFIX
+            # of our unique payload — empty (write failed, the
+            # finally-close committed), partial (write raised
+            # mid-buffer), or complete (close errored transiently after
+            # the PUT committed). Left behind, such residue would block
+            # maintenance for the full age window with the pid-liveness
+            # breaker refusing to help (the "holder" pid is alive —
+            # it's us). The deletion is safe because only a COMPLETE
+            # "pid@host ts\n" body can be a LIVE lock, and a complete
+            # body can be a prefix of our payload only by EQUALING it
+            # (the single newline is terminal), which uniqueness rules
+            # out for any other writer; a PARTIAL foreign body is
+            # itself dead residue of a failed claim, so even a
+            # prefix-colliding one is never a live holder's guard.
             if fsio._is_exists(exc):
                 raise _contention() from exc
             try:
-                # a landed object whose body is a byte-PREFIX of OUR
-                # unique payload — empty (write failed, close
-                # committed), partial (write raised mid-buffer, the
-                # finally-close committed the prefix), or complete
-                # (close errored transiently after the PUT committed)
-                # — is this writer's residue and is removed so it can't
-                # block maintenance for the full age window. A foreign
-                # writer's body is always a COMPLETE "pid@host ts\n"
-                # payload, which cannot be a strict prefix of ours, so
-                # anything else is a live winner's lock and stays.
                 body = _read_lock_body(spark._jvm, fs, lock)
                 if body is not None and payload.startswith(body):
                     fs.delete(lock, False)

@@ -431,15 +431,15 @@ class _CondClaimStream:
 
 
 @pytest.mark.parametrize(
-    "fail_write_after,fail_close,expect_deleted",
+    "fail_write_after,fail_close",
     [
-        (0, False, True),    # write failed, close committed an EMPTY object
-        (5, False, True),    # write failed mid-buffer: PARTIAL own prefix
-        (None, True, True),  # write landed, close errored after committing
+        (0, False),    # write failed, close committed an EMPTY object
+        (5, False),    # write failed mid-buffer: PARTIAL own prefix
+        (None, True),  # write landed, close errored after committing
     ],
 )
 def test_acquire_lock_cleans_up_provably_own_conditional_residue(
-    spark, tmp_path, monkeypatch, fail_write_after, fail_close, expect_deleted
+    spark, tmp_path, monkeypatch, fail_write_after, fail_close
 ):
     """A failed conditional claim whose landed body is a byte-prefix of
     OUR payload (empty / partial / complete) is this writer's residue
