@@ -71,15 +71,26 @@ def _require_atomic_rename(fs: fsio.Fs, path: str, op: str) -> None:
         )
 
 
-def _read_table(spark: SparkSession, path: str, fs: fsio.Fs | None = None):
+def _read_table(
+    spark: SparkSession,
+    path: str,
+    fs: fsio.Fs | None = None,
+    logicals: set[str] | None = None,
+):
     """Manifest-aware read (`operators/segman`): a plain physical dir
     reads exactly as ``spark.read.parquet(path)``; a generation table
     whose manifest references segments in older generations reads the
     union. Every read-only consumer of an index component goes through
-    here so the versioned stores can carry segments by reference."""
+    here so the versioned stores can carry segments by reference.
+    ``logicals`` (partition dir names, e.g. ``cell_id=5``) lets the
+    cell-pruned search paths restrict MANIFEST resolution to the probed
+    partitions — the metadata-side twin of the data-side partition
+    pruning they already do; callers must still filter the frame."""
     from data_pipeline_with_big_data_stack_spark.operators import segman
 
-    return segman.read_table(spark, fs or fsio.Fs(spark, path), path)
+    return segman.read_table(
+        spark, fs or fsio.Fs(spark, path), path, logicals=logicals
+    )
 
 
 def _refuse_manifested(fs: fsio.Fs, path: str, op: str) -> None:
@@ -784,7 +795,9 @@ def search_ivfpq_index(
     cells = sorted(
         {r.cell_id for r in probe_cells.select("cell_id").distinct().collect()}
     )
-    index = _read_table(spark, path, fs=fs).filter(F.col("cell_id").isin(cells))
+    index = _read_table(
+        spark, path, fs=fs, logicals={f"cell_id={c}" for c in cells}
+    ).filter(F.col("cell_id").isin(cells))
     n_sub = len([c for c in index.columns if c.startswith("code_")])
     pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
     sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
@@ -857,7 +870,9 @@ def search_ivf_index(
     cells = sorted(
         {r.cluster_id for r in probe_cells.select("cluster_id").distinct().collect()}
     )
-    index = _read_table(spark, path, fs=fs).filter(F.col("cluster_id").isin(cells))
+    index = _read_table(
+        spark, path, fs=fs, logicals={f"cluster_id={c}" for c in cells}
+    ).filter(F.col("cluster_id").isin(cells))
     cand = (
         index.join(F.broadcast(probe_cells), "cluster_id")
         .filter(F.col(id_col) != F.col("q_id"))

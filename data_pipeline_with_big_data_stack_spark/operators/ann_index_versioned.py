@@ -121,6 +121,7 @@ def _ref_sidecars(fs: fsio.Fs, root: str, cur: str, gen: str) -> None:
             os.path.join(root, gen, comp),
             segman.resolve_all(fs, os.path.join(root, cur, comp)),
             merge="union",
+            reuse_from=os.path.join(root, cur, comp),
         )
 
 
@@ -199,6 +200,7 @@ def append_ivfpq_versioned(
             _gen_index(root, gen),
             segman.resolve_all(fs, _gen_index(root, cur)),
             merge="union",
+            reuse_from=_gen_index(root, cur),
         )
         _ref_sidecars(fs, root, cur, gen)
         append_to_ivfpq_index(spark, _gen_index(root, gen), vecs, id_col=id_col)
@@ -350,7 +352,7 @@ def expire_ivfpq_versioned(
                 .write.mode("overwrite")
                 .parquet(os.path.join(gen_index, "cell_id=-1"))
             )
-        segman.write_manifest(fs, gen_index, refs, merge="union")
+        segman.write_manifest(fs, gen_index, refs, merge="union", reuse_from=cur_index)
         _ref_sidecars(fs, root, cur, gen)
         _publish(root, gen, fs=fs)
         _gc(root, gen, cur, fs=fs)

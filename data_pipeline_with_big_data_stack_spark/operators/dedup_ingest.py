@@ -880,7 +880,7 @@ def _compact_into_new_generation(
         }
         marker = max(marker, hi)
         if refs:
-            segman.write_manifest(fs, dst, refs, merge="shadow")
+            segman.write_manifest(fs, dst, refs, merge="shadow", reuse_from=src)
         if report:
             # LOGICAL file count — physical partitions plus carried
             # references (a physical-only listing would under-report a

@@ -280,26 +280,41 @@ def _prune_generation(
     root: str, g: str, keep_rel: set[str], fs: fsio.Fs
 ) -> None:
     """Delete everything under a superseded generation EXCEPT the
-    directories named in ``keep_rel`` (root-relative paths some live
-    manifest references). References are at most two levels deep
-    (``gen/sink`` for whole-table refs, ``gen/sink/part=v`` for
-    partition refs — the `segman` layout invariant), so the walk is
-    two levels. The publish stamp and markers go too: a pruned remnant
-    is no longer a servable generation, only a segment host."""
-    gdir = _join(root, g)
-    for name in fs.list_names(gdir):
-        rel = f"{g}/{name}"
-        path = _join(gdir, name)
-        if rel in keep_rel:
-            continue  # the whole sink dir is referenced
-        deeper = {r for r in keep_rel if r.startswith(rel + "/")}
-        if not deeper:
-            fs.delete(path)
+    paths named in ``keep_rel`` (root-relative paths some live
+    manifest references): whole sink dirs (``gen/sink``), partition
+    dirs (``gen/sink/part=v``), or manifest-list part files
+    (``gen/sink/.manifest-parts/part-<hash>.json``). The walk recurses
+    only where a kept reference points deeper, so it touches
+    O(referenced paths) directories regardless of generation size. The
+    publish stamp and markers go too: a pruned remnant is no longer a
+    servable generation, only a segment host."""
+    _prune_tree(_join(root, g), g, keep_rel, fs)
+
+
+def _prune_tree(path: str, rel: str, keep_rel: set[str], fs: fsio.Fs) -> None:
+    # Partition the kept paths by their next component ONCE per level —
+    # the listing loop then does O(1) set lookups, so the whole prune is
+    # O(listed entries + |keep_rel| × depth), never the
+    # O(entries × |keep_rel|) a per-entry prefix scan would cost at the
+    # ~10⁵-partition scale the manifest layout targets.
+    prefix = rel + "/"
+    exact: set[str] = set()
+    deeper: dict[str, set[str]] = {}
+    for r in keep_rel:
+        if not r.startswith(prefix):
             continue
-        for sub in fs.list_names(path):
-            srel = f"{rel}/{sub}"
-            if srel not in keep_rel:
-                fs.delete(_join(path, sub))
+        head, _, tail = r[len(prefix):].partition("/")
+        if tail:
+            deeper.setdefault(head, set()).add(r)
+        else:
+            exact.add(head)
+    for name in fs.list_names(path):
+        if name in exact:
+            continue  # this whole subtree is referenced
+        if name in deeper:
+            _prune_tree(_join(path, name), prefix + name, deeper[name], fs)
+        else:
+            fs.delete(_join(path, name))
 
 
 def next_gen(root: str, fs: fsio.Fs | None = None) -> str:

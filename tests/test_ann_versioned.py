@@ -228,3 +228,43 @@ def test_concurrent_search_during_retrain_never_errors_or_mixes(spark, built):
     seen = {tuple(map(tuple, r)) for r in results}
     assert seen <= allowed, "reader observed a mixed/torn result set"
     assert tuple(map(tuple, new)) in seen, "reader never saw the new generation"
+
+
+def test_append_with_manifest_list_split_equals_union_build(
+    spark, tmp_path, monkeypatch
+):
+    """With the Iceberg-style manifest-list split forced on, an append
+    writes its carry as partition-range part files (the root manifest
+    holds only the chunk map) and the search still equals a
+    from-scratch build over the union — the split is a pure layout
+    change, invisible to resolution."""
+    import json
+
+    from data_pipeline_with_big_data_stack_spark.operators import fsio, segman
+
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 2)
+    e = _vecs(spark)
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    coarse = _codebook(e, k=_K_CELLS)
+    pq = _pq_train_codebooks(e)
+    root = str(tmp_path / "vroot")
+    V.build_ivfpq_versioned(half, root, coarse, list(pq), sub_dim=_PQ_SUB)
+    g2 = V.append_ivfpq_versioned(spark, root, rest)
+    fs = fsio.Fs(spark, root)
+    raw = json.loads(
+        fs.read_text(os.path.join(V._gen_index(root, g2), segman.MANIFEST))
+    )
+    assert "parts" in raw and "refs" not in raw
+    assert all(k.startswith(("cell_id=", "h=")) for k in raw["parts"])
+    flat = str(tmp_path / "flat")
+    build_ivfpq_index(e, flat, coarse, list(pq), sub_dim=_PQ_SUB)
+    got = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
+    want = _res(search_ivfpq_index(spark, flat, _probes(e), nprobe=2, k=5))
+    assert got == want
+    # expire through the split format: victim gone, serving intact
+    victim = {r[1] for r in got}.pop()
+    V.expire_ivfpq_versioned(spark, root, ids=[victim])
+    after = _res(V.search_ivfpq_versioned(spark, root, _probes(e), nprobe=2, k=5))
+    assert victim not in {r[1] for r in after} and len(after) > 0

@@ -453,3 +453,37 @@ def test_ann_versioned_lifecycle_on_simulated_object_store(
     )
     assert V.search_ivfpq_versioned(spark, root, probes, nprobe=2, k=3).count() == 9
     assert fsio.BYTES_CLONED == before, "the lifecycle copied carried bytes"
+
+
+@pytest.fixture()
+def manifest_list_forced(monkeypatch):
+    """Force every segment manifest into the manifest-LIST format
+    (``segman.PART_THRESHOLD = 0``) with tiny partition-range chunks,
+    so the full store lifecycles exercise part-file writes, cross-
+    generation part reuse, and part-aware GC end to end."""
+    from data_pipeline_with_big_data_stack_spark.operators import segman
+
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 2)
+    return True
+
+
+def test_dedup_lifecycle_split_manifests_on_simulated_object_store(
+    spark, simulated_object_store, manifest_list_forced
+):
+    """The dedup streaming lifecycle is format-independent: with every
+    manifest split into content-addressed parts AND every Fs handle in
+    object-store branches, drains/folds/grace/serving behave exactly as
+    with inline manifests — and carries still move zero bytes."""
+    test_dedup_lifecycle_on_simulated_object_store(spark, simulated_object_store)
+
+
+def test_ann_versioned_lifecycle_split_manifests_on_simulated_object_store(
+    spark, tmp_path, simulated_object_store, manifest_list_forced
+):
+    """build → append → compact → expire → retrain → search with split
+    manifests on the simulated object store: identical behavior, zero
+    clone bytes."""
+    test_ann_versioned_lifecycle_on_simulated_object_store(
+        spark, tmp_path, simulated_object_store
+    )

@@ -541,3 +541,321 @@ def test_manifested_read_partition_prunes_referenced_groups(spark, tmp_path):
         f"expected exactly the two cell_id=2 files, read {pruned}"
     )
     assert _tuples(pruned_df) == [(2, "old"), (12, "new")]
+
+
+# ---------------------------------------------------------------- #
+# Manifest lists (the Iceberg-style split past PART_THRESHOLD):     #
+# partition-range chunks as immutable content-addressed part files, #
+# shared across generations by reference and GC'd like segments.    #
+# ---------------------------------------------------------------- #
+
+
+def test_chunk_key_is_range_stable_with_hash_fallback():
+    """Integer ``k=v`` names chunk by value range — membership never
+    shifts when OTHER partitions appear, which is what makes an
+    untouched chunk's content (hence its content-hash filename)
+    reusable across generations — and non-integer names fall back to a
+    stable hash bucket."""
+    assert segman._chunk_key("cell_id=0") == segman._chunk_key("cell_id=255")
+    assert segman._chunk_key("cell_id=255") != segman._chunk_key("cell_id=256")
+    assert segman._chunk_key("cell_id=300") == "cell_id=256"
+    assert segman._chunk_key("cell_id=-1") == f"cell_id={-segman.PART_GROUP}"
+    assert segman._chunk_key(".").startswith("h=")
+    assert segman._chunk_key("name=abc").startswith("h=")
+    assert segman._chunk_key("name=abc") == segman._chunk_key("name=abc")
+
+
+def _split_refs(spark, t1, n):
+    refs = {}
+    for i in range(n):
+        d = os.path.join(t1, f"batch_id={i}")
+        _write(spark, d, [(i, "a")])
+        refs[f"batch_id={i}"] = [d]
+    return refs
+
+
+def test_manifest_list_splits_and_reads_back_identically(
+    spark, tmp_path, monkeypatch
+):
+    """Past the threshold the root manifest holds only the chunk map;
+    refs live in dot-dir part files Spark's index never sees; and
+    read_manifest/read_table return exactly what the inline format
+    would."""
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 4)
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    refs = _split_refs(spark, t1, 10)
+    segman.write_manifest(fs, t2, refs, merge="shadow")
+    raw = json.loads(fs.read_text(os.path.join(t2, segman.MANIFEST)))
+    assert "refs" not in raw
+    assert set(raw["parts"]) == {"batch_id=0", "batch_id=4", "batch_id=8"}
+    assert all(
+        p.startswith("gen-000002/t/" + segman.PARTS_DIR + "/part-")
+        for p in raw["parts"].values()
+    ), "locally written parts must be stored root-relative"
+    man = segman.read_manifest(fs, t2)
+    assert man["refs"] == {
+        f"batch_id={i}": [f"gen-000001/t/batch_id={i}"] for i in range(10)
+    }
+    assert _tuples(segman.read_table(spark, fs, t2)) == [
+        (i, "a") for i in range(10)
+    ]
+
+
+def test_manifest_list_reuses_unchanged_chunks_by_reference(
+    spark, tmp_path, monkeypatch
+):
+    """A successor manifest that only touched one chunk writes ONE new
+    part file and references the predecessor's part files for every
+    untouched chunk — O(touched partitions) manifest writes per
+    publish, the whole point of the split."""
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 4)
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    t3 = os.path.join(root, "gen-000003", "t")
+    refs = _split_refs(spark, t1, 10)
+    segman.write_manifest(fs, t2, refs, merge="shadow")
+    d10 = os.path.join(t1, "batch_id=10")
+    _write(spark, d10, [(10, "a")])
+    refs3 = dict(refs, **{"batch_id=10": [d10]})
+    segman.write_manifest(fs, t3, refs3, merge="shadow", reuse_from=t2)
+    raw3 = json.loads(fs.read_text(os.path.join(t3, segman.MANIFEST)))
+    assert raw3["parts"]["batch_id=0"].startswith("gen-000002/t/")
+    assert raw3["parts"]["batch_id=4"].startswith("gen-000002/t/")
+    assert raw3["parts"]["batch_id=8"].startswith("gen-000003/t/")
+    own = fs.list_names(os.path.join(t3, segman.PARTS_DIR))
+    assert len(own) == 1, "only the touched chunk may be rewritten"
+    man = segman.read_manifest(fs, t3)
+    assert set(man["refs"]) == {f"batch_id={i}" for i in range(11)}
+    assert _tuples(segman.read_table(spark, fs, t3)) == [
+        (i, "a") for i in range(11)
+    ]
+
+
+def test_manifest_list_shadow_physical_partition_wins(
+    spark, tmp_path, monkeypatch
+):
+    """Shadow-merge semantics are format-independent: a physical
+    partition in the table dir supersedes a reference that happens to
+    live inside a part file (a replayed epoch's static overwrite must
+    win exactly as it does on an inline manifest)."""
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 4)
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    segman.write_manifest(fs, t2, _split_refs(spark, t1, 6), merge="shadow")
+    _write(spark, os.path.join(t2, "batch_id=3"), [(33, "replayed")])
+    assert "batch_id=3" not in segman.resolve_refs(fs, t2)
+    got = _tuples(segman.read_table(spark, fs, t2))
+    assert (33, "replayed") in got and (3, "a") not in got
+
+
+def test_gc_keeps_part_files_referenced_by_live_manifests(
+    spark, tmp_path, monkeypatch
+):
+    """The GC liveness set includes part files: a superseded generation
+    whose PART FILES a live manifest still references is pruned down to
+    those parts (three levels deep — the recursive prune), and the live
+    table reads identically after the prune."""
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 4)
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    t3 = os.path.join(root, "gen-000003", "t")
+    refs = _split_refs(spark, t1, 10)
+    segman.write_manifest(fs, t2, refs, merge="shadow")
+    # gen2 also owns a physical partition nothing will reference
+    _write(spark, os.path.join(t2, "batch_id=90"), [(90, "dead")])
+    G.publish(root, "gen-000002", fs=fs)
+    # gen3 reuses gen2's parts for chunks 0/4 and rewrites chunk 8
+    d10 = os.path.join(t1, "batch_id=10")
+    _write(spark, d10, [(10, "a")])
+    segman.write_manifest(
+        fs, t3, dict(refs, **{"batch_id=10": [d10]}), merge="shadow",
+        reuse_from=t2,
+    )
+    G.publish(root, "gen-000003", fs=fs)
+    G.gc_generations(root, "gen-000003", None, fs=fs)
+    gens = G.list_generations(root, fs=fs)
+    assert {"gen-000001", "gen-000002", "gen-000003"} <= set(gens)
+    # gen2 pruned to exactly its two still-referenced part files
+    kept = [
+        os.path.join(dp, f)
+        for dp, _d, names in os.walk(os.path.join(root, "gen-000002"))
+        for f in names
+    ]
+    assert len(kept) == 2 and all(
+        segman.PARTS_DIR in p and os.path.basename(p).startswith("part-")
+        for p in kept
+    ), f"gen2 must keep only referenced parts, kept: {kept}"
+    assert not fs.exists(os.path.join(t2, "batch_id=90"))
+    assert not fs.exists(os.path.join(t2, segman.MANIFEST))
+    assert _tuples(segman.read_table(spark, fs, t3)) == [
+        (i, "a") for i in range(11)
+    ]
+    # a full rewrite that drops every reference reclaims gen1 AND gen2
+    t4 = os.path.join(root, "gen-000004", "t")
+    _write(spark, os.path.join(t4, "batch_id=0"), [(0, "compacted")])
+    G.publish(root, "gen-000004", fs=fs)
+    G.gc_generations(root, "gen-000004", None, fs=fs)
+    assert G.list_generations(root, fs=fs) == ["gen-000004"]
+
+
+def test_read_table_selective_logicals_prunes_part_reads(
+    spark, tmp_path, monkeypatch
+):
+    """Selective resolution (``read_table(..., logicals=...)``) is the
+    metadata-side twin of partition pruning: a reader probing one
+    partition fetches exactly ONE part file, not every chunk; probing
+    an absent partition falls back to the full resolution and stays an
+    empty result, parity with the unrestricted read + filter."""
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 4)
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    segman.write_manifest(fs, t2, _split_refs(spark, t1, 10), merge="shadow")
+    reads: list[str] = []
+    orig = fsio.Fs.read_text
+
+    def counting(self, p):
+        reads.append(p)
+        return orig(self, p)
+
+    monkeypatch.setattr(fsio.Fs, "read_text", counting)
+    df = segman.read_table(spark, fs, t2, logicals={"batch_id=5"})
+    assert _tuples(df.filter("k = 5")) == [(5, "a")]
+    part_reads = [p for p in reads if segman.PARTS_DIR in p]
+    assert len(part_reads) == 1, f"expected one probed chunk, read {part_reads}"
+    absent = segman.read_table(spark, fs, t2, logicals={"batch_id=99"})
+    assert absent.filter("k = 99").count() == 0
+
+
+def test_parts_path_safety_not_waived_by_valid_refs(spark, tmp_path):
+    """A valid inline ``refs`` dict must never waive the ``parts``
+    path-safety check: an absolute (or traversing) part path would be
+    joined under the store root and escape it at read time."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t = os.path.join(root, "gen-000001", "t")
+    for bad in ("/etc/passwd", "../outside/part.json", "s3a://bkt/p.json"):
+        fs.write_text_atomic(
+            os.path.join(t, segman.MANIFEST),
+            json.dumps({"merge": "union", "refs": {}, "parts": {"a": bad}}),
+        )
+        with pytest.raises(ValueError, match="malformed segment manifest"):
+            segman.read_manifest(fs, t)
+    # and a non-dict refs alongside valid parts is malformed too
+    fs.write_text_atomic(
+        os.path.join(t, segman.MANIFEST),
+        json.dumps({"merge": "union", "refs": [1], "parts": {}}),
+    )
+    with pytest.raises(ValueError, match="malformed segment manifest"):
+        segman.read_manifest(fs, t)
+
+
+def test_chunk_key_never_raises_on_hostile_values():
+    """Values ``int()`` rejects but ``isdigit``-style checks admit
+    (double negatives, unicode superscripts) must hash-bucket, not
+    crash a publish mid-lifecycle."""
+    assert segman._chunk_key("x=--5").startswith("h=")
+    assert segman._chunk_key("x=\u00b2").startswith("h=")
+    assert segman._chunk_key("x=").startswith("h=")
+    assert segman._chunk_key("x=+5") == "x=0"
+
+
+def test_selective_read_uses_persisted_group_not_live_constant(
+    spark, tmp_path, monkeypatch
+):
+    """The chunk-group width rides in the root manifest: a store
+    written under one PART_GROUP stays selectively readable (and
+    reusable-from) after the constant is retuned — recomputing keys
+    with the live constant would silently drop carried partitions."""
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    monkeypatch.setattr(segman, "PART_GROUP", 4)
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    refs = _split_refs(spark, t1, 10)
+    segman.write_manifest(fs, t2, refs, merge="shadow")
+    raw = json.loads(fs.read_text(os.path.join(t2, segman.MANIFEST)))
+    assert raw["group"] == 4
+    monkeypatch.setattr(segman, "PART_GROUP", 8)  # retuned release
+    df = segman.read_table(spark, fs, t2, logicals={"batch_id=5"})
+    assert _tuples(df.filter("k = 5")) == [(5, "a")]
+    # and reuse across the retune is refused (different chunking), so
+    # the successor rewrites all chunks under the new width
+    t3 = os.path.join(root, "gen-000003", "t")
+    segman.write_manifest(fs, t3, refs, merge="shadow", reuse_from=t2)
+    raw3 = json.loads(fs.read_text(os.path.join(t3, segman.MANIFEST)))
+    assert raw3["group"] == 8
+    assert all(p.startswith("gen-000003/t/") for p in raw3["parts"].values())
+
+
+def test_part_fragment_refs_share_the_path_safety_predicate(
+    spark, tmp_path, monkeypatch
+):
+    """A part FRAGMENT's ref paths are joined under the store root
+    exactly like the root manifest's refs — a crafted part with an
+    absolute or traversing path must raise the contractual
+    malformed-part error, not silently read outside the root."""
+    monkeypatch.setattr(segman, "PART_THRESHOLD", 0)
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t1 = os.path.join(root, "gen-000001", "t")
+    t2 = os.path.join(root, "gen-000002", "t")
+    segman.write_manifest(fs, t2, _split_refs(spark, t1, 2), merge="union")
+    parts_dir = os.path.join(t2, segman.PARTS_DIR)
+    victim = os.path.join(parts_dir, fs.list_names(parts_dir)[0])
+    for bad in (
+        {"refs": {"batch_id=0": ["/etc"]}},
+        {"refs": {"batch_id=0": ["../../outside"]}},
+        {"refs": {"batch_id=0": 5}},
+    ):
+        fs.write_text_atomic(victim, json.dumps(bad))
+        with pytest.raises(ValueError, match="malformed manifest part"):
+            segman.read_manifest(fs, t2)
+
+
+def test_group_field_is_validated_with_the_manifest(spark, tmp_path):
+    """A zero / non-integer persisted ``group`` must raise the
+    contractual malformed-manifest error at read time, not a raw
+    ZeroDivisionError/TypeError inside a selective search."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t = os.path.join(root, "gen-000001", "t")
+    for bad in (0, -4, "x", True):
+        fs.write_text_atomic(
+            os.path.join(t, segman.MANIFEST),
+            json.dumps({"merge": "union", "group": bad, "parts": {}}),
+        )
+        with pytest.raises(ValueError, match="malformed segment manifest"):
+            segman.read_manifest(fs, t)
+
+
+def test_inline_refs_share_the_path_safety_predicate_on_read(spark, tmp_path):
+    """Inline ``refs`` values are joined under the store root exactly
+    like part paths — read-side validation must reject absolute or
+    traversing paths there too, not only in the parts map."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t = os.path.join(root, "gen-000001", "t")
+    for bad in ("/etc", "../outside", "hdfs://nn/x"):
+        fs.write_text_atomic(
+            os.path.join(t, segman.MANIFEST),
+            json.dumps({"merge": "union", "refs": {"p=0": [bad]}}),
+        )
+        with pytest.raises(ValueError, match="malformed segment manifest"):
+            segman.read_manifest(fs, t)
