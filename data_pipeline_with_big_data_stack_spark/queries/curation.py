@@ -721,6 +721,163 @@ def q_doc_repeated_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-substring dedup, sliding-window form (the suffix-array dedup of
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022, re-expressed relationally): a duplicated span is ANY K-token
+# window occurring elsewhere in the corpus, at any offset — not just on
+# fixed chunk boundaries like q_doc_repeated_chunk_removal. One copy
+# (the position-packed first occurrence) is kept; every other doc's
+# covered token positions are merged into disjoint spans
+# (gaps-and-islands over per-doc window functions) and counted as
+# removed. Scale shape: the window explode is linear in corpus tokens
+# (K-1 extra rows per token vs the suffix array's O(n log n) sort —
+# same candidates, shuffle-friendly); the only wide ops are one
+# combiner-friendly groupBy on the window text, one hash join back, and
+# one doc_id-partitioned window pass. No suffix array is ever
+# materialized, so the op shards over any number of executors.
+# --------------------------------------------------------------------------
+_SUB_K = 8
+
+
+@query(
+    "q_doc_exact_substring_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    base AS (SELECT doc_id, len(words)::BIGINT AS n_tok, words FROM w),
+    ex AS (
+      SELECT doc_id,
+             s,
+             doc_id * 4096 + s                                AS pos,
+             array_to_string(words[s+1 : s+{_SUB_K}], ' ')    AS win
+      FROM (SELECT doc_id, words,
+                   unnest(range(0, len(words) - {_SUB_K} + 1)) AS s
+            FROM base WHERE len(words) >= {_SUB_K})),
+    firsts AS (
+      SELECT win, min(pos) AS first_pos, count(*) AS n_occ
+      FROM ex GROUP BY win),
+    dup AS (
+      SELECT e.doc_id, e.s, e.s + {_SUB_K - 1} AS e_pos
+      FROM ex e JOIN firsts f USING (win)
+      WHERE f.n_occ > 1 AND e.pos <> f.first_pos),
+    marked AS (
+      SELECT doc_id, s, e_pos,
+             CASE WHEN s > coalesce(max(e_pos) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup),
+    islands AS (
+      SELECT doc_id, isl, min(s) AS i_s, max(e_pos) AS i_e,
+             count(*) AS n_w
+      FROM (SELECT doc_id, s, e_pos,
+                   sum(new_island) OVER (
+                     PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM marked)
+      GROUP BY doc_id, isl),
+    rem AS (
+      SELECT doc_id,
+             sum(i_e - i_s + 1)::BIGINT AS removed_tokens,
+             sum(n_w)::BIGINT           AS n_dup_windows
+      FROM islands GROUP BY doc_id),
+    nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM ex GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(nw.n_windows, 0)::BIGINT       AS n_windows,
+           coalesce(rem.n_dup_windows, 0)::BIGINT  AS n_dup_windows,
+           coalesce(rem.removed_tokens, 0)::BIGINT AS removed_tokens,
+           (b.n_tok - coalesce(rem.removed_tokens, 0))::BIGINT AS kept_tokens
+    FROM base b
+    LEFT JOIN nw USING (doc_id)
+    LEFT JOIN rem USING (doc_id)
+    """,
+)
+def q_doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: sliding K-token windows duplicated elsewhere in the
+    corpus (keeping the position-packed first occurrence), their merged
+    covered spans, and the tokens removed/kept under span removal."""
+    return exact_substring_dedup(_docs(spark, sf_dir, rebalance=True))
+
+
+def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
+    """Sliding-window exact-substring dedup accounting over a
+    ``(doc_id, text)`` frame — see :func:`q_doc_exact_substring_dedup`.
+    Requires fewer than 4096 windows per document (the position-packing
+    width shared with the chunk dedup ops)."""
+    from pyspark.sql.window import Window as W
+
+    d = d.withColumn("words", F.split("text", " "))
+    base = d.select("doc_id", "words", F.size("words").cast("long").alias("n_tok"))
+    # explode the start-offset expression INLINE (generator pitfall);
+    # guard size >= K — in ANSI mode sequence(0, negative) DESCENDS
+    ex = base.filter(F.size("words") >= k).select(
+        "doc_id",
+        "words",
+        F.explode(F.expr(f"sequence(0, size(words) - {k}, 1)")).alias("s"),
+    )
+    c = ex.select(
+        "doc_id",
+        "s",
+        (F.col("doc_id") * 4096 + F.col("s")).alias("pos"),
+        F.concat_ws(" ", F.expr(f"slice(words, s + 1, {k})")).alias("win"),
+    )
+    firsts = c.groupBy("win").agg(
+        F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("n_occ")
+    )
+    dup = (
+        c.join(firsts, "win")
+        .filter((F.col("n_occ") > 1) & (F.col("pos") != F.col("first_pos")))
+        .select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
+    )
+    prev = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        dup.withColumn(
+            "new_island",
+            (
+                F.col("s")
+                > F.coalesce(F.max("e_pos").over(prev), F.lit(-1))
+            ).cast("long"),
+        )
+        .withColumn("isl", F.sum("new_island").over(run))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("s").alias("i_s"),
+            F.max("e_pos").alias("i_e"),
+            F.count(F.lit(1)).alias("n_w"),
+        )
+    )
+    # dup-window count rides the island aggregation (already doc-
+    # partitioned by the window pass) — no separate shuffle + join
+    rem = islands.groupBy("doc_id").agg(
+        F.sum(F.col("i_e") - F.col("i_s") + 1).cast("long").alias("removed_tokens"),
+        F.sum("n_w").cast("long").alias("n_dup_windows"),
+    )
+    nw = c.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    return (
+        base.select("doc_id", "n_tok")
+        .join(nw, "doc_id", "left")
+        .join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce(F.col("removed_tokens"), F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+            (F.col("n_tok") - F.coalesce(F.col("removed_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Unigram-LM quality score: average log-probability of a document under
 # the corpus's own unigram distribution — the cheap perplexity proxy
 # used to rank/filter web text before an expensive model-based pass.

@@ -211,3 +211,35 @@ def test_cluster_aware_split_never_splits_a_dup_cluster(spark):
     j = singles.merge(naive, on="doc_id", suffixes=("", "_naive"))
     assert (j.split_key == j.doc_id).all()
     assert (j.split == j.split_naive).all()
+
+
+def test_exact_substring_dedup_merges_overlapping_spans(spark):
+    """The sliding-window dedup (Lee-et-al exact-substring form): a
+    duplicated K-window at ANY offset marks its span; overlapping
+    windows merge into one span (9 removed tokens for two overlapping
+    8-windows, never 16); the position-packed first occurrence keeps
+    everything; sub-K docs legitimately have zero windows."""
+    from data_pipeline_with_big_data_stack_spark.queries.curation import exact_substring_dedup
+
+    uniq = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"  # canonical doc 0
+    rows = [
+        (0, uniq),                                   # first occurrence
+        (1, "a1 a2 " + uniq),                        # dup at offset 2 (whole 12-token run)
+        (2, "b1 " + " ".join(uniq.split()[:9]) + " b2"),  # two overlapping dup windows
+        (3, "x y z"),                                # sub-K: no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in exact_substring_dedup(df, k=8).collect()}
+    assert got[0].removed_tokens == 0 and got[0].kept_tokens == 12
+    assert got[0].n_windows == 5 and got[0].n_dup_windows == 0
+    # doc 1: all five 8-windows of the embedded run are duplicates of
+    # doc 0's; their union is one 12-token span
+    assert got[1].n_dup_windows == 5
+    assert got[1].removed_tokens == 12 and got[1].kept_tokens == 2
+    # doc 2: windows at s=1 (u1..u8) and s=2 (u2..u9) both duplicate
+    # doc 0's — merged span covers 9 tokens, not 16
+    assert got[2].n_dup_windows == 2
+    assert got[2].removed_tokens == 9 and got[2].kept_tokens == 2
+    # doc 3: too short for any window; everything kept
+    assert got[3].n_windows == 0 and got[3].removed_tokens == 0
+    assert got[3].kept_tokens == 3
