@@ -63,6 +63,11 @@ BUDGETS = {
     # score groupBy + per-threshold groupBy (model lineage is cut by
     # materialize)
     "q_quality_classifier_pr": 3,
+    # round 12: sliding-window exact-substring dedup — win-keyed
+    # groupBy + the doc-partitioned islands pass + the final doc agg
+    # join; the dup-window count rides the island aggregation, so
+    # 3 is the whole op
+    "q_doc_exact_substring_dedup": 3,
 }
 
 
