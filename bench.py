@@ -101,6 +101,10 @@ HEADLINE = [
     # (build → retrain → search behind an atomic _CURRENT pointer —
     # maintenance never pauses serving)
     "q_ann_ivfpq_versioned_lifecycle",
+    # round-12 addition: sliding-window exact-substring dedup (the
+    # suffix-array dedup re-expressed relationally; any-offset
+    # duplicated spans, merged-interval removal accounting)
+    "q_doc_exact_substring_dedup",
 ]
 
 
