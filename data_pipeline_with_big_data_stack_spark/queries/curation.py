@@ -747,7 +747,7 @@ _SUB_K = 8
     ex AS (
       SELECT doc_id,
              s,
-             doc_id * 4096 + s                                AS pos,
+             doc_id * 1048576 + s                             AS pos,
              array_to_string(words[s+1 : s+{_SUB_K}], ' ')    AS win
       FROM (SELECT doc_id, words,
                    unnest(range(0, len(words) - {_SUB_K} + 1)) AS s
@@ -801,8 +801,10 @@ def q_doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
     """Sliding-window exact-substring dedup accounting over a
     ``(doc_id, text)`` frame — see :func:`q_doc_exact_substring_dedup`.
-    Requires fewer than 4096 windows per document (the position-packing
-    width shared with the chunk dedup ops)."""
+    Position packing is ``doc_id * 2**20 + offset``: documents up to
+    ~1M tokens (any realistic web/book document) and doc ids up to
+    ~2**43 pack into one orderable int64 — the canonical "first
+    occurrence" is just ``min(pos)``, an order-independent aggregate."""
     from pyspark.sql.window import Window as W
 
     d = d.withColumn("words", F.split("text", " "))
@@ -817,7 +819,7 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
     c = ex.select(
         "doc_id",
         "s",
-        (F.col("doc_id") * 4096 + F.col("s")).alias("pos"),
+        (F.col("doc_id") * 1048576 + F.col("s")).alias("pos"),
         F.concat_ws(" ", F.expr(f"slice(words, s + 1, {k})")).alias("win"),
     )
     firsts = c.groupBy("win").agg(
