@@ -371,6 +371,37 @@ def ingest_throughput(spark, n_rows: int = 1_000_000) -> float:
     return n_rows / best
 
 
+_LINE_CAP = 1900  # the driver tail-captures ~2,000 chars; keep margin
+
+
+def compact_line(payload: dict) -> str:
+    """Render the driver-facing JSON line, guaranteed under ``_LINE_CAP``.
+
+    Last-resort truncation order when the line runs long: drop ``queries``
+    (the per-query timings live in BENCH_DETAIL.json), then bound the
+    ``errors`` name list to a prefix plus an ``errors_n`` total (full
+    messages also live in BENCH_DETAIL.json). Totals always survive —
+    this is the invariant ``tests/test_bench_contract.py`` pins, and it
+    must hold even when every headline query errors at once.
+    """
+    line = json.dumps(payload)
+    if len(line) <= _LINE_CAP:
+        return line
+    payload = dict(payload)
+    payload["queries"] = {}
+    line = json.dumps(payload)
+    if len(line) <= _LINE_CAP:
+        return line
+    names = list(payload.get("errors") or [])
+    payload["errors_n"] = len(names)
+    payload["errors"] = names
+    while names and len(json.dumps(payload)) > _LINE_CAP:
+        del names[-5:]
+    if not names:
+        payload.pop("errors", None)
+    return json.dumps(payload)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -495,11 +526,7 @@ def main() -> None:
         # names only — full messages live in the detail file; a long
         # traceback here would re-break the driver's tail capture
         payload["errors"] = sorted(errors)
-    line = json.dumps(payload)
-    if len(line) > 1900:  # last-resort: totals always survive
-        payload["queries"] = {}
-        line = json.dumps(payload)
-    print(line)
+    print(compact_line(payload))
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 - the JSON line already printed

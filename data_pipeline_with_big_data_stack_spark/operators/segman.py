@@ -142,11 +142,15 @@ def _read_manifest_raw(fs: fsio.Fs, table_dir: str) -> dict | None:
     )
     # group must be usable by _chunk_key's integer division when parts
     # are present (0 or a non-int would crash a selective read with a
-    # raw ZeroDivisionError/TypeError instead of the contractual error)
+    # raw ZeroDivisionError/TypeError instead of the contractual error).
+    # It is REQUIRED alongside parts: the writer always persists the
+    # width it chunked with, and falling back to the live PART_GROUP
+    # constant on a hand-edited/corrupted manifest would recreate the
+    # retune hazard the persisted group exists to prevent (selective
+    # reads computing chunk keys the writer never filed under).
     g = man.get("group")
-    ok_group = g is None or (
-        isinstance(g, int) and not isinstance(g, bool) and g > 0
-    )
+    g_valid = isinstance(g, int) and not isinstance(g, bool) and g > 0
+    ok_group = g_valid if "parts" in man else (g is None or g_valid)
     has_content = isinstance(man.get("refs"), dict) or isinstance(
         man.get("parts"), dict
     )
@@ -197,7 +201,8 @@ def _combine_manifest(
     }
     parts: dict[str, str] = man.get("parts") or {}
     if logicals is not None and parts:
-        group = man.get("group", PART_GROUP)
+        # _read_manifest_raw guarantees group is present with parts
+        group = man["group"]
         wanted = {_chunk_key(n, group) for n in logicals} | {
             _chunk_key(WHOLE, group)
         }

@@ -247,6 +247,37 @@ def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK = 16
 _STRIDE = 12
 
+# Position-packing stride shared by the corpus-dedup ops: a packed
+# position is ``doc_id * 2**20 + index`` (chunk index or token offset),
+# one orderable int64 whose min() is the canonical first occurrence.
+# Bounds — guarded IN-PLAN so overflow raises instead of silently
+# bleeding into a neighboring doc's range (the oracle packs identically,
+# so the hash gate could never catch a silent collision): index < 2^20
+# (≥1M-token docs for the sliding-window op; ~16.8M tokens at
+# _CHUNK=16 for chunk removal) and 0 <= doc_id < 2^43.
+_POS_STRIDE = 2**20
+_DOC_ID_MAX = 2**43
+
+
+def _packed_pos(idx, what: str):
+    """``doc_id * 2**20 + idx`` with a loud in-plan overflow guard."""
+    ok = (
+        (idx >= 0)
+        & (idx < _POS_STRIDE)
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < _DOC_ID_MAX)
+    )
+    err = F.concat(
+        F.lit(f"{what}: position-packing overflow (doc_id="),
+        F.col("doc_id").cast("string"),
+        F.lit(", idx="),
+        idx.cast("string"),
+        F.lit("); bounds: 0 <= idx < 2^20, 0 <= doc_id < 2^43"),
+    )
+    return F.when(ok, F.col("doc_id") * _POS_STRIDE + idx).otherwise(
+        F.raise_error(err).cast("long")
+    )
+
 
 @query(
     "q_doc_chunking",
@@ -669,7 +700,7 @@ def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     c AS (
       SELECT doc_id,
-             doc_id * 4096 + s // {_CHUNK}                 AS pos,
+             doc_id * 1048576 + s // {_CHUNK}              AS pos,
              array_to_string(words[s+1 : s+{_CHUNK}], ' ') AS chunk,
              len(words[s+1 : s+{_CHUNK}])::BIGINT          AS n_tok
       FROM (SELECT doc_id, words, unnest(range(0, len(words), {_CHUNK})) AS s
@@ -690,18 +721,29 @@ def q_doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_repeated_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per doc: chunks dropped because an identical chunk appeared
     earlier in the corpus (position-packed min), and tokens kept."""
-    d = _docs(spark, sf_dir, rebalance=True).withColumn(
-        "words", F.split("text", " ")
-    )
+    return repeated_chunk_removal(_docs(spark, sf_dir, rebalance=True))
+
+
+def repeated_chunk_removal(d: DataFrame, chunk_tokens: int = _CHUNK) -> DataFrame:
+    """Corpus-level repeated-chunk removal accounting over a
+    ``(doc_id, text)`` frame — see :func:`q_doc_repeated_chunk_removal`.
+    First occurrence is ``min(doc_id * 2**20 + chunk_index)`` (guarded
+    packing, see :func:`_packed_pos`), so documents up to ~16.8M tokens
+    and doc ids up to 2**43 attribute collision-free."""
+    d = d.withColumn("words", F.split("text", " "))
     ex = d.select(
         "doc_id",
         "words",
-        F.explode(F.expr(f"sequence(0, size(words) - 1, {_CHUNK})")).alias("s"),
+        F.explode(
+            F.expr(f"sequence(0, size(words) - 1, {chunk_tokens})")
+        ).alias("s"),
     )
-    chunk = F.expr(f"slice(words, s + 1, {_CHUNK})")
+    chunk = F.expr(f"slice(words, s + 1, {chunk_tokens})")
     c = ex.select(
         "doc_id",
-        (F.col("doc_id") * 4096 + (F.col("s") / _CHUNK).cast("long")).alias("pos"),
+        _packed_pos(
+            (F.col("s") / chunk_tokens).cast("long"), "repeated_chunk_removal"
+        ).alias("pos"),
         F.concat_ws(" ", chunk).alias("chunk"),
         F.size(chunk).cast("long").alias("n_tok"),
     )
@@ -804,7 +846,9 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
     Position packing is ``doc_id * 2**20 + offset``: documents up to
     ~1M tokens (any realistic web/book document) and doc ids up to
     ~2**43 pack into one orderable int64 — the canonical "first
-    occurrence" is just ``min(pos)``, an order-independent aggregate."""
+    occurrence" is just ``min(pos)``, an order-independent aggregate.
+    The packing is guarded in-plan (:func:`_packed_pos`): a document or
+    id past the bounds raises instead of silently colliding."""
     from pyspark.sql.window import Window as W
 
     d = d.withColumn("words", F.split("text", " "))
@@ -819,7 +863,7 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
     c = ex.select(
         "doc_id",
         "s",
-        (F.col("doc_id") * 1048576 + F.col("s")).alias("pos"),
+        _packed_pos(F.col("s"), "exact_substring_dedup").alias("pos"),
         F.concat_ws(" ", F.expr(f"slice(words, s + 1, {k})")).alias("win"),
     )
     firsts = c.groupBy("win").agg(

@@ -50,14 +50,25 @@ def test_compact_line_fits_tail_capture():
 
 
 def test_compact_line_fits_even_with_full_error_list():
+    # the crash-everything scenario: every headline query errors. The
+    # real truncation helper must get the line under the cap (dropping
+    # `queries`, then bounding `errors` to a prefix + `errors_n`).
     p = _worst_case_payload()
     p["errors"] = sorted(bench.HEADLINE)  # names only, by design
-    line = json.dumps(p)
-    # the in-bench hard cap drops `queries` when over 1900 — mirror it
-    if len(line) > 1900:
-        p["queries"] = {}
-        line = json.dumps(p)
+    line = bench.compact_line(p)
     assert len(line) < 1900
+    out = json.loads(line)
+    # totals always survive truncation
+    assert out["value"] == p["value"]
+    assert out["queries_count"] == p["queries_count"]
+    # if the name list was bounded, the total error count is preserved
+    if "errors_n" in out:
+        assert out["errors_n"] == len(bench.HEADLINE)
+
+
+def test_compact_line_is_identity_when_small():
+    p = {"metric": "headline_queries_total", "value": 1.0, "queries": {}}
+    assert bench.compact_line(p) == json.dumps(p)
 
 
 def test_headline_names_resolve_in_registry():

@@ -243,3 +243,48 @@ def test_exact_substring_dedup_merges_overlapping_spans(spark):
     # doc 3: too short for any window; everything kept
     assert got[3].n_windows == 0 and got[3].removed_tokens == 0
     assert got[3].kept_tokens == 3
+
+
+def test_repeated_chunk_removal_collision_free_past_65k_tokens(spark):
+    """Regression for the 4096-stride position packing (VERDICT r12 #2):
+    with the old ``doc_id * 4096 + chunk_index`` packing, doc 1's chunk
+    index 4096 (tokens 65,536..65,551) packed to the SAME int64 as doc
+    2's chunk 0, so when those chunks are identical both looked like
+    "the first occurrence" and nothing was removed. The 2^20 stride
+    attributes collision-free for docs up to ~16.8M tokens."""
+    from data_pipeline_with_big_data_stack_spark.queries.curation import repeated_chunk_removal
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    filler = " ".join(f"f{i}" for i in range(65536))  # 4096 unique chunks
+    rows = [
+        (1, filler + " " + shared),  # shared chunk at index 4096 (first)
+        (2, shared),                 # same chunk at index 0 of a later doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repeated_chunk_removal(df).collect()}
+    # doc 1 owns the first occurrence: nothing removed
+    assert got[1].n_chunks == 4097
+    assert got[1].n_removed == 0 and got[1].kept_tokens == 65552
+    # doc 2's only chunk is a later duplicate: removed (the old packing
+    # collided pos(1, 4096) == pos(2, 0) == 8192 and kept it)
+    assert got[2].n_chunks == 1
+    assert got[2].n_removed == 1 and got[2].kept_tokens == 0
+
+
+@pytest.mark.parametrize("bad_doc_id", [-1, 2**43])
+def test_position_packing_overflow_raises_loudly(spark, bad_doc_id):
+    """ADVICE r12: a doc_id outside [0, 2^43) must raise in-plan, not
+    silently bleed into a neighboring doc's position range (the oracle
+    packs identically, so the hash gate could never catch a silent
+    collision). Same guard on both corpus-dedup ops."""
+    from data_pipeline_with_big_data_stack_spark.queries.curation import (
+        exact_substring_dedup,
+        repeated_chunk_removal,
+    )
+
+    text = " ".join(f"t{i}" for i in range(16))
+    df = spark.createDataFrame([(bad_doc_id, text)], "doc_id long, text string")
+    with pytest.raises(Exception, match="position-packing overflow"):
+        exact_substring_dedup(df, k=8).collect()
+    with pytest.raises(Exception, match="position-packing overflow"):
+        repeated_chunk_removal(df).collect()

@@ -845,6 +845,29 @@ def test_group_field_is_validated_with_the_manifest(spark, tmp_path):
             segman.read_manifest(fs, t)
 
 
+def test_parts_manifest_without_group_is_malformed(spark, tmp_path):
+    """ADVICE r12: a parts manifest MISSING the persisted group must be
+    rejected, not silently combined with the live PART_GROUP constant —
+    the writer always emits group with parts, so absence means a
+    hand-edited/corrupted manifest, and defaulting would recreate the
+    retune hazard the persisted width exists to prevent."""
+    root = str(tmp_path / "root")
+    fs = fsio.Fs(spark, root)
+    t = os.path.join(root, "gen-000001", "t")
+    fs.write_text_atomic(
+        os.path.join(t, segman.MANIFEST),
+        json.dumps({"merge": "union", "parts": {}}),
+    )
+    with pytest.raises(ValueError, match="malformed segment manifest"):
+        segman.read_manifest(fs, t)
+    # an inline-refs manifest (no parts) legitimately has no group
+    fs.write_text_atomic(
+        os.path.join(t, segman.MANIFEST),
+        json.dumps({"merge": "union", "refs": {"p=0": ["gen-000000/t/p=0"]}}),
+    )
+    assert segman.read_manifest(fs, t)["refs"] == {"p=0": ["gen-000000/t/p=0"]}
+
+
 def test_inline_refs_share_the_path_safety_predicate_on_read(spark, tmp_path):
     """Inline ``refs`` values are joined under the store root exactly
     like part paths — read-side validation must reject absolute or

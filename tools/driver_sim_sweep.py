@@ -12,7 +12,9 @@ non-empty check on the rows-only queries.
 
 Usage (from any cwd — the tool re-execs itself from /tmp):
     python tools/driver_sim_sweep.py [sf_dir] [lo] [hi]
-Defaults: /root/testdata/sf0.01, full range. Prints one line per
+    python tools/driver_sim_sweep.py [sf_dir] q_name [q_name ...]
+Defaults: /root/testdata/sf0.01, full range. A non-integer second arg
+selects queries by name instead of index range. Prints one line per
 failure and a summary; exit code 1 if anything mismatched.
 """
 
@@ -35,8 +37,13 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 10**9
+    lo, hi, names = 0, 10**9, None
+    rest = sys.argv[2:]
+    if rest and not rest[0].lstrip("-").isdigit():
+        names = rest
+    else:
+        lo = int(rest[0]) if len(rest) > 0 else 0
+        hi = int(rest[1]) if len(rest) > 1 else 10**9
 
     import duckdb
     import numpy as np
@@ -74,8 +81,13 @@ def main() -> None:
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     Q, O = E.queries(), E.oracle_sql()
+    if names is not None:
+        unknown = [n for n in names if n not in Q]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            sys.exit(2)
     res: dict[str, str] = {}
-    for name in list(Q)[lo:hi]:
+    for name in names if names is not None else list(Q)[lo:hi]:
         try:
             s = Q[name](spark, sf_dir).toPandas()
             if name in O:
