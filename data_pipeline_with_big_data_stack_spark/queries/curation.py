@@ -739,19 +739,25 @@ def repeated_chunk_removal(d: DataFrame, chunk_tokens: int = _CHUNK) -> DataFram
         ).alias("s"),
     )
     chunk = F.expr(f"slice(words, s + 1, {chunk_tokens})")
+    # 128-bit chunk fingerprint instead of the raw {chunk_tokens}-token
+    # text on the wide ops — same rationale and collision bound as
+    # :func:`exact_substring_dedup` (two xxhash64 lanes, P ≤ n²/2^129);
+    # the oracle groups on the raw text, so the value gate verifies it.
+    chunk_text = F.concat_ws(" ", chunk)
     c = ex.select(
         "doc_id",
         _packed_pos(
             (F.col("s") / chunk_tokens).cast("long"), "repeated_chunk_removal"
         ).alias("pos"),
-        F.concat_ws(" ", chunk).alias("chunk"),
+        F.xxhash64(chunk_text).alias("c1"),
+        F.xxhash64(F.lit(1), chunk_text).alias("c2"),
         F.size(chunk).cast("long").alias("n_tok"),
     )
-    firsts = c.groupBy("chunk").agg(
+    firsts = c.groupBy("c1", "c2").agg(
         F.min("pos").alias("first_pos"),
         F.count(F.lit(1)).alias("n_occ"),
     )
-    j = c.join(firsts, "chunk")
+    j = c.join(firsts, ["c1", "c2"])
     removed = (F.col("n_occ") > 1) & (F.col("pos") != F.col("first_pos"))
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
@@ -774,9 +780,11 @@ def repeated_chunk_removal(d: DataFrame, chunk_tokens: int = _CHUNK) -> DataFram
 # removed. Scale shape: the window explode is linear in corpus tokens
 # (K-1 extra rows per token vs the suffix array's O(n log n) sort —
 # same candidates, shuffle-friendly); the only wide ops are one
-# combiner-friendly groupBy on the window text, one hash join back, and
-# one doc_id-partitioned window pass. No suffix array is ever
-# materialized, so the op shards over any number of executors.
+# combiner-friendly groupBy on the window fingerprint, one hash join
+# back, and one doc_id-partitioned window pass. No suffix array is ever
+# materialized, so the op shards over any number of executors. The
+# grouping key is a 128-bit window fingerprint (see the in-function
+# comment), so shuffle width is 16 bytes/window, not the window text.
 # --------------------------------------------------------------------------
 _SUB_K = 8
 
@@ -860,17 +868,29 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
         "words",
         F.explode(F.expr(f"sequence(0, size(words) - {k}, 1)")).alias("s"),
     )
+    # group/join on a 128-bit window FINGERPRINT (two independent
+    # xxhash64 lanes), not the raw K-token text: shuffle rows carry 16
+    # bytes where the text would be ~6-8 bytes/token × K (a ~5-10×
+    # shuffle-width cut at K=8 — at 100 TB the win-keyed exchange is
+    # this op's dominant cost). Collision bound: two DIFFERENT windows
+    # must collide on BOTH lanes, P ≤ n²/2^129 — at 10^13 corpus
+    # windows that is ~4·10^-14, far below any hardware error rate.
+    # The DuckDB oracle still groups on the raw window text, so the
+    # per-round value gate verifies the fingerprint path end-to-end
+    # rather than assuming it.
+    win = F.concat_ws(" ", F.expr(f"slice(words, s + 1, {k})"))
     c = ex.select(
         "doc_id",
         "s",
         _packed_pos(F.col("s"), "exact_substring_dedup").alias("pos"),
-        F.concat_ws(" ", F.expr(f"slice(words, s + 1, {k})")).alias("win"),
+        F.xxhash64(win).alias("w1"),
+        F.xxhash64(F.lit(1), win).alias("w2"),
     )
-    firsts = c.groupBy("win").agg(
+    firsts = c.groupBy("w1", "w2").agg(
         F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("n_occ")
     )
     dup = (
-        c.join(firsts, "win")
+        c.join(firsts, ["w1", "w2"])
         .filter((F.col("n_occ") > 1) & (F.col("pos") != F.col("first_pos")))
         .select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
     )
