@@ -47,6 +47,10 @@ AB_ALWAYS = (
 )
 MOVER_RATIO = 1.2
 MAX_AB_QUERIES = 10
+# the N most expensive queries this round are ALWAYS A/B'd (VERDICT r12
+# #3: r12's biggest absolute cost, a 15 s query at raw 1.3×, was crowded
+# out of the fill by sub-second 1.6× movers)
+TOP_COST_AB = 3
 _PKG = "data_pipeline_with_big_data_stack_spark"
 
 
@@ -91,9 +95,12 @@ def previous_round_baseline() -> tuple[int, str, dict] | None:
 
 
 def pick_movers(current: dict, baseline: dict) -> list[str]:
-    """Queries whose raw round-over-round ratio moved more than
-    MOVER_RATIO in either direction, plus the always-A/B family,
-    largest |log ratio| first, capped at MAX_AB_QUERIES."""
+    """Queries to A/B, capped at MAX_AB_QUERIES: the always-A/B family,
+    then the TOP_COST_AB most expensive queries this round (the biggest
+    absolute cost must never escape attribution), then raw movers past
+    MOVER_RATIO ranked by ``|log ratio| × old_sec`` — ratio-weighted
+    absolute seconds, so a 15 s query at raw 1.3× outranks a 0.4 s
+    query at raw 1.6×."""
     import math
 
     scored = []
@@ -103,9 +110,11 @@ def pick_movers(current: dict, baseline: dict) -> list[str]:
             continue
         r = new / old
         if r > MOVER_RATIO or r < 1.0 / MOVER_RATIO:
-            scored.append((abs(math.log(r)), q))
+            scored.append((abs(math.log(r)) * old, q))
     movers = [q for _s, q in sorted(scored, reverse=True)]
+    top_cost = sorted(current, key=lambda q: current[q] or 0.0, reverse=True)
     out = [q for q in AB_ALWAYS if q in current]
+    out += [q for q in top_cost[:TOP_COST_AB] if q not in out]
     out += [q for q in movers if q not in out]
     return out[:MAX_AB_QUERIES]
 
