@@ -465,3 +465,56 @@ def test_cms_estimate_geometry_mismatch_raises(spark):
     wrong = cms_estimate(sk, df.select("item").distinct(), "item", depth=8, width=128)
     with pytest.raises(Exception, match="built with d=4"):
         wrong.collect()
+
+
+def test_sketch_bounds_hold_at_bench_scale(spark):
+    """VERDICT r12 #6: the four rows-only sketch queries (no SQL oracle
+    is possible for approximate aggregates) get their error bounds
+    pinned at BENCH scale (sf0.1), not just the sf0.01 gate scale, so
+    driver-gate rotation staleness is covered by the suite itself."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.queries.sketches import (
+        q_kll_quantile_sketch,
+    )
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    # HLL++ grouped distincts within the configured rsd
+    for r in q_approx_distinct_users(spark, sf).collect():
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel < 0.10, (r["event_type"], rel)
+    # mergeable HLL union vs global exact
+    exact = load_table(spark, sf, "events").select("user_id").distinct().count()
+    got = q_hll_sketch_mergeable(spark, sf).collect()[0]
+    assert abs(got["approx_total_users"] - exact) / max(exact, 1) < 0.10
+    # approx percentiles ordered and near exact p50
+    for r in q_approx_percentiles_value(spark, sf).collect():
+        assert r["approx_p50"] <= r["approx_p95"] <= r["approx_p99"]
+        assert (
+            abs(r["approx_p50"] - r["exact_p50"])
+            / max(abs(r["exact_p50"]), 1e-9)
+            < 0.05
+        )
+    # KLL quantiles within a ±6% rank window (same contract as the
+    # sf0.01 test — randomized compaction, so rank-window not value)
+    rows = {r.event_type: r for r in q_kll_quantile_sketch(spark, sf).collect()}
+    eps = 0.06
+    ex = {
+        r.event_type: r
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5 - eps)).alias("p50_lo"),
+            F.percentile("value", F.lit(0.5 + eps)).alias("p50_hi"),
+            F.percentile("value", F.lit(0.95 - eps)).alias("p95_lo"),
+            F.percentile("value", F.lit(min(0.95 + eps, 1.0))).alias("p95_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert rows["__all__"].sketch_n == sum(x.n for x in ex.values())
+    for t, x in ex.items():
+        assert rows[t].sketch_n == x.n
+        assert x.p50_lo - 1e-9 <= rows[t].kll_p50 <= x.p50_hi + 1e-9, t
+        assert x.p95_lo - 1e-9 <= rows[t].kll_p95 <= x.p95_hi + 1e-9, t
