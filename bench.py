@@ -105,6 +105,9 @@ HEADLINE = [
     # suffix-array dedup re-expressed relationally; any-offset
     # duplicated spans, merged-interval removal accounting)
     "q_doc_exact_substring_dedup",
+    # round-13 addition: its continuous-ingest twin (crawl shards vs
+    # the accumulated window-fingerprint index, exactly-once epochs)
+    "q_stream_exact_substring_dedup",
 ]
 
 

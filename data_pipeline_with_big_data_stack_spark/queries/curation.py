@@ -788,10 +788,12 @@ def repeated_chunk_removal(d: DataFrame, chunk_tokens: int = _CHUNK) -> DataFram
 # --------------------------------------------------------------------------
 _SUB_K = 8
 
-
-@query(
-    "q_doc_exact_substring_dedup",
-    oracle=f"""
+# Shared by the batch op below and its streaming twin
+# (q_stream_exact_substring_dedup): the drained incremental result is
+# batch-boundary independent (doc ids arrive monotone, and keep-first
+# decisions depend only on lower-pos occurrences), so BOTH gate against
+# this one full-corpus replay.
+EXACT_SUBSTRING_ORACLE = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     base AS (SELECT doc_id, len(words)::BIGINT AS n_tok, words FROM w),
     ex AS (
@@ -839,8 +841,10 @@ _SUB_K = 8
     FROM base b
     LEFT JOIN nw USING (doc_id)
     LEFT JOIN rem USING (doc_id)
-    """,
-)
+    """
+
+
+@query("q_doc_exact_substring_dedup", oracle=EXACT_SUBSTRING_ORACLE)
 def q_doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per doc: sliding K-token windows duplicated elsewhere in the
     corpus (keeping the position-packed first occurrence), their merged
@@ -848,17 +852,23 @@ def q_doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(_docs(spark, sf_dir, rebalance=True))
 
 
-def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
-    """Sliding-window exact-substring dedup accounting over a
-    ``(doc_id, text)`` frame — see :func:`q_doc_exact_substring_dedup`.
-    Position packing is ``doc_id * 2**20 + offset``: documents up to
-    ~1M tokens (any realistic web/book document) and doc ids up to
-    ~2**43 pack into one orderable int64 — the canonical "first
-    occurrence" is just ``min(pos)``, an order-independent aggregate.
-    The packing is guarded in-plan (:func:`_packed_pos`): a document or
-    id past the bounds raises instead of silently colliding."""
-    from pyspark.sql.window import Window as W
+def substring_windows(d: DataFrame, k: int = _SUB_K) -> tuple[DataFrame, DataFrame]:
+    """Explode a ``(doc_id, text)`` frame into sliding K-token windows.
+    Returns ``(base, c)``: ``base = (doc_id, n_tok)`` for every doc
+    (sub-K docs included — they legitimately have zero windows) and
+    ``c = (doc_id, s, pos, w1, w2)`` — one row per window occurrence,
+    position-packed (:func:`_packed_pos`, guarded) and fingerprinted.
 
+    The (w1, w2) pair is a 128-bit window FINGERPRINT (two independent
+    xxhash64 lanes), not the raw K-token text: downstream wide ops
+    shuffle 16 bytes where the text would be ~6-8 bytes/token × K (a
+    ~5-10× shuffle-width cut at K=8 — at 100 TB the window-keyed
+    exchange is this op family's dominant cost). Collision bound: two
+    DIFFERENT windows must collide on BOTH lanes, P ≤ n²/2^129 — at
+    10^13 corpus windows that is ~4·10^-14, far below any hardware
+    error rate. The DuckDB oracles still group on the raw window text,
+    so the per-round value gate verifies the fingerprint path
+    end-to-end rather than assuming it."""
     d = d.withColumn("words", F.split("text", " "))
     base = d.select("doc_id", "words", F.size("words").cast("long").alias("n_tok"))
     # explode the start-offset expression INLINE (generator pitfall);
@@ -868,16 +878,6 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
         "words",
         F.explode(F.expr(f"sequence(0, size(words) - {k}, 1)")).alias("s"),
     )
-    # group/join on a 128-bit window FINGERPRINT (two independent
-    # xxhash64 lanes), not the raw K-token text: shuffle rows carry 16
-    # bytes where the text would be ~6-8 bytes/token × K (a ~5-10×
-    # shuffle-width cut at K=8 — at 100 TB the win-keyed exchange is
-    # this op's dominant cost). Collision bound: two DIFFERENT windows
-    # must collide on BOTH lanes, P ≤ n²/2^129 — at 10^13 corpus
-    # windows that is ~4·10^-14, far below any hardware error rate.
-    # The DuckDB oracle still groups on the raw window text, so the
-    # per-round value gate verifies the fingerprint path end-to-end
-    # rather than assuming it.
     win = F.concat_ws(" ", F.expr(f"slice(words, s + 1, {k})"))
     c = ex.select(
         "doc_id",
@@ -886,14 +886,19 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
         F.xxhash64(win).alias("w1"),
         F.xxhash64(F.lit(1), win).alias("w2"),
     )
-    firsts = c.groupBy("w1", "w2").agg(
-        F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("n_occ")
-    )
-    dup = (
-        c.join(firsts, ["w1", "w2"])
-        .filter((F.col("n_occ") > 1) & (F.col("pos") != F.col("first_pos")))
-        .select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
-    )
+    return base.select("doc_id", "n_tok"), c
+
+
+def substring_span_accounting(
+    base: DataFrame, c: DataFrame, dup: DataFrame, k: int = _SUB_K
+) -> DataFrame:
+    """Merge duplicated window occurrences into disjoint per-doc spans
+    (gaps-and-islands over ONE doc-partitioned window pass) and emit the
+    per-doc accounting frame. ``dup`` is ``(doc_id, s, e_pos)`` — the
+    occurrences NOT kept; ``base``/``c`` as from
+    :func:`substring_windows`."""
+    from pyspark.sql.window import Window as W
+
     prev = (
         W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
     )
@@ -924,8 +929,7 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
     )
     nw = c.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
     return (
-        base.select("doc_id", "n_tok")
-        .join(nw, "doc_id", "left")
+        base.join(nw, "doc_id", "left")
         .join(rem, "doc_id", "left")
         .select(
             "doc_id",
@@ -941,6 +945,27 @@ def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+def exact_substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
+    """Sliding-window exact-substring dedup accounting over a
+    ``(doc_id, text)`` frame — see :func:`q_doc_exact_substring_dedup`.
+    Position packing is ``doc_id * 2**20 + offset``: documents up to
+    ~1M tokens (any realistic web/book document) and doc ids up to
+    ~2**43 pack into one orderable int64 — the canonical "first
+    occurrence" is just ``min(pos)``, an order-independent aggregate.
+    The packing is guarded in-plan (:func:`_packed_pos`): a document or
+    id past the bounds raises instead of silently colliding."""
+    base, c = substring_windows(d, k)
+    firsts = c.groupBy("w1", "w2").agg(
+        F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("n_occ")
+    )
+    dup = (
+        c.join(firsts, ["w1", "w2"])
+        .filter((F.col("n_occ") > 1) & (F.col("pos") != F.col("first_pos")))
+        .select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
+    )
+    return substring_span_accounting(base, c, dup, k)
 
 
 # --------------------------------------------------------------------------

@@ -17,6 +17,7 @@ state, which IS deterministic, and keeps a full oracle too.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -634,4 +635,45 @@ def q_stream_dedup_ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFra
         spark, chunks, store, tau=_STREAM_DEDUP_TAU, max_bucket=_LSH_MAX_BUCKET
     )
     compact_dedup_ingest_store(spark, store)
+    return store.read(spark, "decisions").drop("batch_id")
+
+
+# --------------------------------------------------------------------------
+# Streaming exact-substring dedup (round 13): the continuous-ingest
+# twin of q_doc_exact_substring_dedup. Crawl shards arrive in doc-id
+# order; each micro-batch's windows are checked against the accumulated
+# window-fingerprint index (bucket-pruned prior reads, exactly-once
+# epoch partitions — operators/substring_ingest); only the index grows.
+# Decisions are batch-boundary independent (keep-first depends only on
+# lower positions, and ids arrive monotone), so the drained result
+# gates against the SAME full-corpus DuckDB replay as the batch op.
+# --------------------------------------------------------------------------
+
+
+from data_pipeline_with_big_data_stack_spark.queries.curation import (  # noqa: E402
+    EXACT_SUBSTRING_ORACLE as _EXACT_SUBSTRING_ORACLE,
+)
+
+
+@query("q_stream_exact_substring_dedup", oracle=_EXACT_SUBSTRING_ORACLE)
+def q_stream_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents table as 4 id-ordered crawl shards through
+    the incremental exact-substring dedup; serve the accumulated
+    per-doc span accounting. Value-gated against the batch operator's
+    full-corpus oracle — the strongest possible check that incremental
+    decisions match a from-scratch re-run."""
+    from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+        stage_ordered_chunks,
+    )
+    from data_pipeline_with_big_data_stack_spark.operators.substring_ingest import (
+        init_substring_store,
+        run_substring_ingest_stream,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.textops import _docs
+
+    prepare_session(spark)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base, chunks = stage_ordered_chunks(spark, d, n_chunks=4)
+    store = init_substring_store(spark, os.path.join(base, "store"))
+    run_substring_ingest_stream(spark, chunks, store)
     return store.read(spark, "decisions").drop("batch_id")
