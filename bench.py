@@ -396,13 +396,35 @@ def compact_line(payload: dict) -> str:
     if len(line) <= _LINE_CAP:
         return line
     names = list(payload.get("errors") or [])
-    payload["errors_n"] = len(names)
-    payload["errors"] = names
-    while names and len(json.dumps(payload)) > _LINE_CAP:
-        del names[-5:]
-    if not names:
-        payload.pop("errors", None)
-    return json.dumps(payload)
+    if names:
+        payload["errors_n"] = len(names)
+        payload["errors"] = names
+        while names and len(json.dumps(payload)) > _LINE_CAP:
+            del names[-5:]
+        if not names:
+            payload.pop("errors", None)
+        line = json.dumps(payload)
+        if len(line) <= _LINE_CAP:
+            return line
+    # final fallback (a wide no-errors payload, or one whose fixed
+    # fields alone exceed the cap): keep only the core totals — a
+    # mid-JSON tail truncation on the driver side is the one outcome
+    # this helper exists to prevent
+    core = {
+        k: payload[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "queries_count",
+            "calibration_sec",
+            "errors_n",
+            "detail_file",
+        )
+        if k in payload
+    }
+    return json.dumps(core)
 
 
 def main() -> None:

@@ -78,14 +78,17 @@ _META = "_meta.json"
 _TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
-class DedupIngestStore:
-    """Generation-versioned store root. Sink paths resolve the live
-    generation through the ``_CURRENT`` pointer at access time —
-    readers see a fully published generation or the grace predecessor,
-    never a half-compacted directory. The streaming checkpoint and the
-    writer lock live at the root, OUTSIDE generations (epoch ids are
-    monotonic across compactions, so a folded store keeps satisfying
-    every future ``batch_id < eid`` prior-read)."""
+class MetaStoreBase:
+    """Shared epoch-store-root plumbing: the cached Hadoop-FS handle
+    (resolved once — per-batch protocol reads must not re-resolve a
+    FileSystem) and the persisted ``n_bkt`` knob, which is NEVER
+    guessed: a wrong modulus silently misfiles every lookup (prior
+    state appears empty, duplicates slip in). Subclasses set ``_KIND``
+    (error-message prefix) and ``_INIT_FN`` (the initializer to name
+    in the error)."""
+
+    _KIND = "epoch store"
+    _INIT_FN = "its init function"
 
     def __init__(self, base: str, fs: fsio.Fs | None = None):
         self.base = base
@@ -94,8 +97,6 @@ class DedupIngestStore:
 
     @property
     def fs(self) -> fsio.Fs:
-        """Cached Hadoop-FS handle for the store root (resolved once —
-        per-batch protocol reads must not re-resolve a FileSystem)."""
         if self._fs is None:
             self._fs = fsio.default_fs(self.base)
         return self._fs
@@ -110,14 +111,25 @@ class DedupIngestStore:
                     ]
                 )
             except FileNotFoundError:
-                # NEVER guess: a wrong modulus silently misfiles every
-                # lookup (prior state appears empty, duplicates slip in)
                 raise RuntimeError(
-                    f"dedup-ingest store at {self.base!r} has no {_META} — "
-                    "not initialized (init_dedup_ingest_store) or moved "
+                    f"{self._KIND} at {self.base!r} has no {_META} — "
+                    f"not initialized ({self._INIT_FN}) or moved "
                     "without its root metadata; refusing to guess n_bkt"
                 ) from None
         return self._n_bkt
+
+
+class DedupIngestStore(MetaStoreBase):
+    """Generation-versioned store root. Sink paths resolve the live
+    generation through the ``_CURRENT`` pointer at access time —
+    readers see a fully published generation or the grace predecessor,
+    never a half-compacted directory. The streaming checkpoint and the
+    writer lock live at the root, OUTSIDE generations (epoch ids are
+    monotonic across compactions, so a folded store keeps satisfying
+    every future ``batch_id < eid`` prior-read)."""
+
+    _KIND = "dedup-ingest store"
+    _INIT_FN = "init_dedup_ingest_store"
 
     def current_generation(self) -> str:
         return G.read_current(

@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators import fsio, segman
 from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+    MetaStoreBase,
     _write_epoch,
 )
 
@@ -77,40 +78,13 @@ _DEFAULT_N_BKT = 16
 _META = "_meta.json"
 
 
-class SubstringIngestStore:
-    """Two-sink store root (decisions + windows index). ``n_bkt`` is
-    persisted at init and NEVER guessed: a wrong modulus silently
-    misfiles every index lookup (prior windows appear absent and
-    duplicates slip through)."""
+class SubstringIngestStore(MetaStoreBase):
+    """Two-sink store root (decisions + windows index). Shares the
+    cached-Fs and persisted-``n_bkt`` plumbing (never guessed — see
+    :class:`dedup_ingest.MetaStoreBase`)."""
 
-    def __init__(self, base: str, fs: fsio.Fs | None = None):
-        self.base = base
-        self._n_bkt: int | None = None
-        self._fs = fs
-
-    @property
-    def fs(self) -> fsio.Fs:
-        if self._fs is None:
-            self._fs = fsio.default_fs(self.base)
-        return self._fs
-
-    @property
-    def n_bkt(self) -> int:
-        if self._n_bkt is None:
-            try:
-                self._n_bkt = int(
-                    json.loads(
-                        self.fs.read_text(os.path.join(self.base, _META))
-                    )["n_bkt"]
-                )
-            except FileNotFoundError:
-                raise RuntimeError(
-                    f"substring-ingest store at {self.base!r} has no "
-                    f"{_META} — not initialized (init_substring_store) or "
-                    "moved without its root metadata; refusing to guess "
-                    "n_bkt"
-                ) from None
-        return self._n_bkt
+    _KIND = "substring-ingest store"
+    _INIT_FN = "init_substring_store"
 
     def sink(self, name: str) -> str:
         if name not in _SINKS:
@@ -171,38 +145,55 @@ def substring_ingest_batch(
     spark = batch.sparkSession
     n_bkt = store.n_bkt
     base, c = substring_windows(batch.select("doc_id", "text"), k)
+    # PERSIST the exploded/fingerprinted windows and the index-joined
+    # firsts: the epoch runs three separate actions (touched-bucket
+    # collect, decisions write, index write) and without caching each
+    # would re-run the explode + double-xxhash64 over the whole batch
+    # and re-scan/re-join the prior index — the per-epoch hot path this
+    # module exists for (same pattern as dedup_ingest_batch)
     c = c.withColumn(
         "bkt", F.pmod(F.hash("w1"), F.lit(int(n_bkt))).cast("int")
-    )
-    # bounded driver collect: <= n_bkt values, the partition-prune key
-    # set for the prior index read (same contract as dedup_ingest)
-    touched = [int(r["bkt"]) for r in c.select("bkt").distinct().collect()]
-    prior = (
-        store.read(spark, "windows_idx")
-        .filter(F.col("batch_id") < F.lit(int(eid)))
-        .filter(
-            F.col("bkt").isin(touched) if touched else F.lit(False)
+    ).persist()
+    persisted = [c]
+    try:
+        # bounded driver collect: <= n_bkt values, the partition-prune
+        # key set for the prior index read (same contract as
+        # dedup_ingest)
+        touched = [
+            int(r["bkt"]) for r in c.select("bkt").distinct().collect()
+        ]
+        prior = (
+            store.read(spark, "windows_idx")
+            .filter(F.col("batch_id") < F.lit(int(eid)))
+            .filter(
+                F.col("bkt").isin(touched) if touched else F.lit(False)
+            )
+            .select("w1", "w2")
         )
-        .select("w1", "w2")
-    )
-    firsts = c.groupBy("w1", "w2", "bkt").agg(
-        F.min("pos").alias("first_pos")
-    )
-    firsts = firsts.join(
-        prior.withColumn("seen", F.lit(True)), ["w1", "w2"], "left"
-    )
-    marked = c.join(
-        firsts.select("w1", "w2", "first_pos", "seen"), ["w1", "w2"]
-    )
-    dup = marked.filter(
-        F.col("seen").isNotNull() | (F.col("pos") != F.col("first_pos"))
-    ).select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
-    decisions = substring_span_accounting(base, c, dup, k)
-    _write_epoch(decisions, store.sink("decisions"), eid, None)
-    if fail_after == "decisions":
-        raise RuntimeError("injected crash after decisions publish")
-    new_wins = firsts.filter(F.col("seen").isNull()).select("w1", "w2", "bkt")
-    _write_epoch(new_wins, store.sink("windows_idx"), eid, "bkt", n_bkt)
+        firsts = (
+            c.groupBy("w1", "w2", "bkt")
+            .agg(F.min("pos").alias("first_pos"))
+            .join(prior.withColumn("seen", F.lit(True)), ["w1", "w2"], "left")
+            .persist()
+        )
+        persisted.append(firsts)
+        marked = c.join(
+            firsts.select("w1", "w2", "first_pos", "seen"), ["w1", "w2"]
+        )
+        dup = marked.filter(
+            F.col("seen").isNotNull() | (F.col("pos") != F.col("first_pos"))
+        ).select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
+        decisions = substring_span_accounting(base, c, dup, k)
+        _write_epoch(decisions, store.sink("decisions"), eid, None)
+        if fail_after == "decisions":
+            raise RuntimeError("injected crash after decisions publish")
+        new_wins = firsts.filter(F.col("seen").isNull()).select(
+            "w1", "w2", "bkt"
+        )
+        _write_epoch(new_wins, store.sink("windows_idx"), eid, "bkt", n_bkt)
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def run_substring_ingest_stream(

@@ -37,12 +37,29 @@ def test_top_cost_queries_always_selected():
 
 
 def test_fill_ranks_by_ratio_weighted_seconds():
-    current = {"q_big": 19.5, "q_small": 0.64}
-    baseline = {"q_big": 15.0, "q_small": 0.4}  # 1.3x vs 1.6x
+    """The mover fill itself must rank by |log ratio| x old_sec — so
+    the top-cost rule alone cannot make this pass: q_big is kept OUT of
+    the top-cost slots (three more expensive non-movers occupy them)
+    and must win its fill slot against five cheap 1.6x movers, which
+    all outrank it under unweighted |log ratio|."""
+    current = {q: 0.5 for q in AB_ALWAYS}  # 5 always-A/B slots
+    baseline = {q: 0.5 for q in AB_ALWAYS}
+    for i, sec in enumerate((30.0, 29.0, 28.0)):  # top-cost, ratio 1.0
+        current[f"q_huge_{i}"] = sec
+        baseline[f"q_huge_{i}"] = sec
+    current["q_big"] = 19.5  # raw 1.3x, weighted score |log1.3|*15=3.9
+    baseline["q_big"] = 15.0
+    for i in range(5):  # raw 1.6x, weighted score |log1.6|*0.4=0.19
+        current[f"q_small_{i}"] = 0.64
+        baseline[f"q_small_{i}"] = 0.4
     picked = pick_movers(current, baseline)
-    # both fit, but the big mover must rank first (after top-cost, which
-    # it also is) — |log 1.3| * 15 = 3.9 >> |log 1.6| * 0.4 = 0.19
-    assert picked.index("q_big") < picked.index("q_small")
+    assert len(picked) == MAX_AB_QUERIES
+    # 5 always + 3 top-cost leave 2 fill slots: q_big must take one
+    # (unweighted |log ratio| would rank all five smalls above it)
+    assert "q_big" in picked
+    assert picked.index("q_big") < min(
+        picked.index(q) for q in picked if q.startswith("q_small_")
+    )
 
 
 def test_top_cost_cap_respected():

@@ -71,6 +71,20 @@ def test_compact_line_is_identity_when_small():
     assert bench.compact_line(p) == json.dumps(p)
 
 
+def test_compact_line_survives_wide_payload_without_errors():
+    """A payload whose non-queries fields alone exceed the cap (and
+    with NO errors list to trim) must still come back under the cap via
+    the core-totals fallback — and must not grow a spurious errors_n."""
+    p = _worst_case_payload()
+    for i in range(60):  # future wide serve/ab fields
+        p[f"some_future_metric_with_a_long_name_{i:02d}"] = 99999.999
+    line = bench.compact_line(p)
+    assert len(line) < 1900
+    out = json.loads(line)
+    assert out["value"] == p["value"]
+    assert "errors_n" not in out
+
+
 def test_headline_names_resolve_in_registry():
     from data_pipeline_with_big_data_stack_spark.queries import QUERIES
 

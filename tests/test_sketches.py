@@ -479,7 +479,9 @@ def test_sketch_bounds_hold_at_bench_scale(spark):
     )
     from data_pipeline_with_big_data_stack_spark.tables import load_table
 
-    sf = "/root/testdata/sf0.1"
+    from tests.conftest import SF_BENCH
+
+    sf = SF_BENCH
     # HLL++ grouped distincts within the configured rsd
     for r in q_approx_distinct_users(spark, sf).collect():
         rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
