@@ -377,15 +377,25 @@ def ingest_throughput(spark, n_rows: int = 1_000_000) -> float:
 _LINE_CAP = 1900  # the driver tail-captures ~2,000 chars; keep margin
 
 
+def bench_sf_dir() -> str:
+    """The scale dir this bench runs at — the ONE definition; scale-
+    pinned tests (tests/conftest.SF_BENCH) import it so they track the
+    bench if the default ever moves."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
 def compact_line(payload: dict) -> str:
     """Render the driver-facing JSON line, guaranteed under ``_LINE_CAP``.
 
-    Last-resort truncation order when the line runs long: drop ``queries``
-    (the per-query timings live in BENCH_DETAIL.json), then bound the
-    ``errors`` name list to a prefix plus an ``errors_n`` total (full
-    messages also live in BENCH_DETAIL.json). Totals always survive —
-    this is the invariant ``tests/test_bench_contract.py`` pins, and it
-    must hold even when every headline query errors at once.
+    Last-resort truncation order when the line runs long: (1) drop
+    ``queries`` (the per-query timings live in BENCH_DETAIL.json), then
+    (2) bound the ``errors`` name list to a prefix plus an ``errors_n``
+    total (full messages also live in BENCH_DETAIL.json), then (3) keep
+    only the core totals (value / cold / ingest / calibration / counts).
+    The invariant ``tests/test_bench_contract.py`` pins: the line is
+    ALWAYS parseable under the cap and the core totals always survive —
+    even when every headline query errors at once or future fields
+    bloat the payload.
     """
     line = json.dumps(payload)
     if len(line) <= _LINE_CAP:
@@ -417,6 +427,8 @@ def compact_line(payload: dict) -> str:
             "value",
             "unit",
             "sf",
+            "cold_total_sec",
+            "ingest_rows_per_sec",
             "queries_count",
             "calibration_sec",
             "errors_n",
@@ -428,7 +440,7 @@ def compact_line(payload: dict) -> str:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = bench_sf_dir()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:

@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators import fsio, segman
 from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+    _META,
     MetaStoreBase,
     _write_epoch,
 )
@@ -75,7 +76,6 @@ _SINK_SCHEMAS = {
     "windows_idx": "w1 long, w2 long",
 }
 _DEFAULT_N_BKT = 16
-_META = "_meta.json"
 
 
 class SubstringIngestStore(MetaStoreBase):

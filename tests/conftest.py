@@ -11,9 +11,11 @@ from data_pipeline_with_big_data_stack_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
-# the scale bench.py actually runs at (same env override + default),
-# so bench-scale test pins track the bench if it ever moves
-SF_BENCH = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# the scale bench.py actually runs at — imported from bench so the pin
+# tracks the bench's own default if it ever moves, not a copy of it
+from bench import bench_sf_dir  # noqa: E402
+
+SF_BENCH = bench_sf_dir()
 
 
 @pytest.fixture(scope="session")

@@ -57,9 +57,11 @@ def test_fill_ranks_by_ratio_weighted_seconds():
     # 5 always + 3 top-cost leave 2 fill slots: q_big must take one
     # (unweighted |log ratio| would rank all five smalls above it)
     assert "q_big" in picked
-    assert picked.index("q_big") < min(
+    small_idx = [
         picked.index(q) for q in picked if q.startswith("q_small_")
-    )
+    ]
+    assert small_idx, f"no small mover survived the fill at all: {picked}"
+    assert picked.index("q_big") < min(small_idx)
 
 
 def test_top_cost_cap_respected():
