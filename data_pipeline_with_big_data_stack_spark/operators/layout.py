@@ -143,23 +143,34 @@ _Z_BITS = 8  # per-column buckets = 2^8; z-value fits in a long for ≤4 cols
 
 
 def zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Append ``__zval``: interleaved bucket bits of ``cols``."""
+    """Append ``__zval``: interleaved EQUAL-FREQUENCY bucket bits of
+    ``cols``. Buckets come from approximate quantiles (one broadcast
+    agg), not min/max linear scaling: on a skewed column — web document
+    lengths, prices, event values — linear scaling collapses nearly
+    every row into the lowest buckets, degenerating the z-curve to
+    lexicographic order on the remaining columns and losing the
+    data-skipping payoff entirely. Equal-frequency bins keep every
+    interleaved bit informative on ANY distribution (the same choice
+    production z-order implementations make), at the same one-pass
+    pre-aggregation cost."""
+    nb = 1 << _Z_BITS
+    probs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
     bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
+        *[
+            F.percentile_approx(F.col(c).cast("double"), probs, 10_000).alias(
+                f"__qs_{c}"
+            )
+            for c in cols
+        ]
     )
     out = df.join(F.broadcast(bounds))
-    nb = 1 << _Z_BITS
     buckets = []
     for c in cols:
-        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
-        b = F.when(hi == lo, F.lit(0)).otherwise(
-            F.least(
-                F.lit(nb - 1),
-                F.floor((F.col(c).cast("double") - lo) / (hi - lo) * nb).cast(
-                    "int"
-                ),
-            )
+        qs, v = F.col(f"__qs_{c}"), F.col(c).cast("double")
+        # bucket = number of quantile boundaries at or below the value
+        # (0..nb-1); nulls sort into bucket 0
+        b = F.when(v.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(qs, lambda q: q <= v))
         )
         buckets.append(b)
     # interleave: bit i of column j lands at position i*len(cols)+j
