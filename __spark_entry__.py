@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_pipeline_with_big_data_stack_spark.queries import ORACLES, QUERIES  # noqa: E402
 
+# a rows-only (no-oracle) green this many rounds old resurfaces into
+# the gate rotation for one refresh (see _coverage_rotation_order)
+_ROWS_ONLY_REFRESH_AGE = 4
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -38,13 +42,17 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
     checked, stable by name within a tier.
 
     Queries WITHOUT an oracle sort behind every oracled query once
-    they have a rows-only green: a no-oracle row can never upgrade to
-    hash-green, so re-gating it every few rounds spends a bounded gate
-    slot to re-learn the same rows-only fact while a hash-verifiable
-    query goes stale (r8 verdict: the 4 sketch rows crowded
-    q_ann_lsh_bucketed_topk out of the window for 3 rounds). A BRAND
-    NEW no-oracle query still gates once (never-green tier) for its
-    first rows-only check."""
+    they have a RECENT rows-only green: a no-oracle row can never
+    upgrade to hash-green, so re-gating it every round spends a bounded
+    gate slot to re-learn the same rows-only fact while a
+    hash-verifiable query goes stale (r8 verdict: the 4 sketch rows
+    crowded q_ann_lsh_bucketed_topk out of the window for 3 rounds).
+    But the parking is not permanent (r13 verdict #6): once a rows-only
+    green is ≥ _ROWS_ONLY_REFRESH_AGE rounds old it resurfaces into the
+    main rotation for one refreshing gate, keeping the driver-side
+    rows/schema fact current on a bounded cadence. A BRAND NEW
+    no-oracle query still gates once (never-green tier) for its first
+    rows-only check."""
     import glob
     import json
     import re
@@ -73,11 +81,27 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
                         last_green[name] = max(last_green.get(name, 0), rnum)
         except Exception:
             continue
+    cur_round = max(
+        [
+            int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        ],
+        default=0,
+    )
+
+    def parked(n: str) -> int:
+        # rows-only rows park behind oracled rows ONLY while their
+        # last rows-green is fresh; a stale one resurfaces for a refresh
+        return int(
+            n not in ORACLES
+            and cur_round - last_green.get(n, 0) < _ROWS_ONLY_REFRESH_AGE
+        )
+
     return sorted(
         names,
         key=lambda n: (
             min(green.get(n, 0), 1),  # never-green strictly first
-            0 if n in ORACLES else 1,  # rows-only greens rotate last
+            parked(n),
             last_green.get(n, 0),
             green.get(n, 0),
             seen.get(n, 0),

@@ -108,6 +108,10 @@ HEADLINE = [
     # round-13 addition: its continuous-ingest twin (crawl shards vs
     # the accumulated window-fingerprint index, exactly-once epochs)
     "q_stream_exact_substring_dedup",
+    # round-14 addition: the exact re-rank stage that closes the IVF-PQ
+    # serving loop (ADC shortlist → exact cosine on shortlist rows only
+    # → top-k by true similarity)
+    "q_ann_ivfpq_rerank_topk",
 ]
 
 
@@ -339,6 +343,44 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
             # already in `out` (the round-2 "one crasher erased the
             # whole block" class)
             out["fold_carry_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+        # --- substring-ingest store maintenance (VERDICT r13 #1 done
+        # criterion: the bench's fold metrics cover BOTH epoch-store
+        # layouts). Same shape as the dedup probes above: accumulate 3
+        # of the 4 id-ordered chunks into the window-fingerprint index
+        # (untimed), time ONE incremental micro-batch (idempotent
+        # same-eid replay for best-of-3), then a full fold, one trickle
+        # epoch, and the INCREMENTAL fold — the carried-bytes metric
+        # measures that fold partitions move by manifest reference on
+        # this layout too. ---
+        try:
+            from data_pipeline_with_big_data_stack_spark.operators import fsio
+            from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+                _compact_into_new_generation,
+            )
+            from data_pipeline_with_big_data_stack_spark.operators.substring_ingest import (
+                init_substring_store,
+                substring_ingest_batch,
+            )
+
+            sstore = init_substring_store(spark, base + "/substr")
+            for i in range(3):
+                substring_ingest_batch(chunks[i], i, sstore)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                substring_ingest_batch(chunks[3], 3, sstore)
+                best = min(best, time.perf_counter() - t0)
+            out["substring_ingest_batch_sec"] = round(best, 3)
+            _compact_into_new_generation(spark, sstore, 1 << 30)  # full base
+            substring_ingest_batch(trickle, 4, sstore)
+            cloned0 = fsio.BYTES_CLONED
+            t0 = time.perf_counter()
+            _compact_into_new_generation(spark, sstore, 1 << 30, full=False)
+            out["substring_incr_fold_sec"] = round(time.perf_counter() - t0, 3)
+            out["substring_fold_carry_bytes_moved"] = fsio.BYTES_CLONED - cloned0
+        except Exception as exc:  # noqa: BLE001 - isolated, as above
+            out["substring_fold_error"] = f"{type(exc).__name__}: {exc}"[:200]
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
@@ -493,12 +535,27 @@ def main() -> None:
     # instead of three more rounds of drift ambiguity.
     ab: dict = {}
     try:
-        from tools.bench_ab import pick_movers, previous_round_baseline, run_ab
+        from tools.bench_ab import (
+            pick_movers,
+            previous_round_baseline,
+            run_ab,
+            touched_queries,
+        )
 
         baseline = previous_round_baseline()
         if baseline is not None:
-            ab_names = pick_movers(times, baseline[2])
+            # queries whose defining module changed since the baseline
+            # commit get guaranteed A/B slots (VERDICT r13 #3)
+            touched = touched_queries(
+                baseline[1],
+                {q: fn.__module__ for q, fn in QUERIES.items() if q in times},
+            )
+            ab_names = pick_movers(times, baseline[2], touched=touched)
             ab = run_ab(spark, sf_dir, ab_names, baseline=baseline)
+            if isinstance(ab, dict) and "ratios" in ab:
+                ab["touched_movers"] = sorted(
+                    q for q in touched if q in ab["ratios"]
+                )
         else:
             ab = {"skipped": "no previous bench snapshot"}
     except Exception as exc:  # noqa: BLE001

@@ -70,12 +70,27 @@ from data_pipeline_with_big_data_stack_spark.operators import fsio
 from data_pipeline_with_big_data_stack_spark.operators import generations as G
 from data_pipeline_with_big_data_stack_spark.operators import segman
 
-_SINKS = ("decisions", "bands_idx", "counts", "docstore")
-# lookup-key bucket column per sink (None = no pruned lookups)
-_SINK_BKT = {"bands_idx": "bkt", "counts": "bkt", "docstore": "dbkt"}
 _DEFAULT_N_BKT = 16
 _META = "_meta.json"
 _TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+# n_bkt SIZING RULE (both epoch-store layouts — this one and
+# operators/substring_ingest). The bucket count bounds the FRACTION of
+# the accumulated index a trickle batch's prior reads scan
+# (touched/n_bkt), so it must satisfy two ceilings at once:
+#   n_bkt >= expected_index_bytes / target_partition_bytes
+#     (each bucket of a FOLDED store is one ~target-sized partition —
+#      fewer buckets mean oversized partitions and coarse prunes), and
+#   n_bkt >> typical trickle batch's distinct lookup keys
+#     (a batch that touches every bucket prunes nothing).
+# Against that, every epoch pays ~50 ms per touched bucket of
+# commit/listing overhead (measured on local[32]), so n_bkt far above
+# both ceilings only adds per-epoch metadata cost. Production corpora:
+# thousands (e.g. a 1 TB index at 128 MB partitions → n_bkt ≈ 8192).
+# The local gate fixtures keep the default 16 — their batches touch
+# every bucket regardless, so they pay for prunability without
+# exercising it; tests/test_dedup_index.py pins that prior-read file
+# counts actually DROP proportionally at higher n_bkt.
 
 
 class MetaStoreBase:
@@ -119,25 +134,86 @@ class MetaStoreBase:
         return self._n_bkt
 
 
-class DedupIngestStore(MetaStoreBase):
-    """Generation-versioned store root. Sink paths resolve the live
-    generation through the ``_CURRENT`` pointer at access time —
-    readers see a fully published generation or the grace predecessor,
-    never a half-compacted directory. The streaming checkpoint and the
-    writer lock live at the root, OUTSIDE generations (epoch ids are
-    monotonic across compactions, so a folded store keeps satisfying
-    every future ``batch_id < eid`` prior-read)."""
+class EpochStoreBase(MetaStoreBase):
+    """Generation-versioned epoch store root — the layer BOTH ingest
+    stores share (this module's four-sink MinHash store and
+    `operators/substring_ingest`'s two-sink window-fingerprint store).
+    Sink paths resolve the live generation through the ``_CURRENT``
+    pointer at access time — readers see a fully published generation
+    or the grace predecessor, never a half-compacted directory. The
+    streaming checkpoint and the writer lock live at the root, OUTSIDE
+    generations (epoch ids are monotonic across compactions, so a
+    folded store keeps satisfying every future ``batch_id < eid``
+    prior-read).
 
-    _KIND = "dedup-ingest store"
-    _INIT_FN = "init_dedup_ingest_store"
+    Subclasses declare their layout as class attributes — the shared
+    seeding, init and fold engine (:func:`_compact_into_new_generation`)
+    are entirely layout-driven:
+
+    - ``_SINKS``: sink names (tuple)
+    - ``_SINK_BKT``: sink → lookup-bucket partition column (absent =
+      the sink has no pruned lookups)
+    - ``_SINK_FOLD_SALT``: bucketed sink → second range-partition key
+      so one oversized bucket spreads across several size-bounded fold
+      files while each task still holds only 1-2 buckets
+    - ``_SINK_SCHEMAS``: sink → empty-seed DDL schema
+    - ``_REP_SINK``: the representative (largest) sink whose byte sizes
+      drive the incremental fold's LSM full-upgrade decision
+    - :meth:`_fold_collapse`: per-sink fold rewrite hook (identity by
+      default; the dedup store collapses its cumulative count sidecar)
+    """
+
+    _SINKS: tuple[str, ...] = ()
+    _SINK_BKT: dict[str, str] = {}
+    _SINK_FOLD_SALT: dict[str, str] = {}
+    _SINK_SCHEMAS: dict[str, str] = {}
+    _REP_SINK: str = ""
 
     def current_generation(self) -> str:
-        return G.read_current(
-            self.base, init_hint="init_dedup_ingest_store", fs=self.fs
-        )
+        return G.read_current(self.base, init_hint=self._INIT_FN, fs=self.fs)
 
     def _sink(self, name: str) -> str:
         return os.path.join(self.base, self.current_generation(), name)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Manifest-aware read of one sink's full accumulated state
+        (`operators/segman`): an incremental fold CARRIES earlier fold
+        partitions by reference instead of copying them, so any reader
+        of a sink path must resolve the generation's manifest — a plain
+        ``spark.read.parquet(store.decisions)`` sees only the
+        physically-present partitions."""
+        if name not in self._SINKS:
+            raise ValueError(f"unknown sink {name!r}; one of {self._SINKS}")
+        return segman.read_table(spark, self.fs, self._sink(name))
+
+    def _fold_collapse(self, sink: str, df: DataFrame) -> DataFrame:
+        """Fold-time rewrite hook for one sink's covered epoch range —
+        must be READ-EQUIVALENT for every consumer of the sink. The
+        default keeps rows as-is (a pure relayout)."""
+        return df
+
+
+class DedupIngestStore(EpochStoreBase):
+    """The four-sink MinHash ingest store (see module docstring)."""
+
+    _KIND = "dedup-ingest store"
+    _INIT_FN = "init_dedup_ingest_store"
+    _SINKS = ("decisions", "bands_idx", "counts", "docstore")
+    # lookup-key bucket column per sink (absent = no pruned lookups)
+    _SINK_BKT = {"bands_idx": "bkt", "counts": "bkt", "docstore": "dbkt"}
+    # range-partition salt per bucketed sink (see EpochStoreBase)
+    _SINK_FOLD_SALT = {
+        "bands_idx": "doc_id",
+        "counts": "band_key",
+        "docstore": "doc_id",
+    }
+    _SINK_SCHEMAS = {
+        "decisions": "doc_id long, dup_of long, jaccard double",
+        "bands_idx": "doc_id long, band int, band_key string, rk long",
+        "counts": "band int, band_key string, n long",
+        "docstore": "doc_id long, text string",
+    }
+    _REP_SINK = "bands_idx"
 
     @property
     def decisions(self) -> str:
@@ -155,45 +231,44 @@ class DedupIngestStore(MetaStoreBase):
     def docstore(self) -> str:
         return self._sink("docstore")
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        """Manifest-aware read of one sink's full accumulated state
-        (`operators/segman`): an incremental fold CARRIES earlier fold
-        partitions by reference instead of copying them, so any reader
-        of a sink path must resolve the generation's manifest — a plain
-        ``spark.read.parquet(store.decisions)`` sees only the
-        physically-present partitions."""
-        if name not in _SINKS:
-            raise ValueError(f"unknown sink {name!r}; one of {_SINKS}")
-        return segman.read_table(spark, self.fs, self._sink(name))
+    def _fold_collapse(self, sink: str, df: DataFrame) -> DataFrame:
+        if sink == "counts":
+            # the sidecar keeps one CUMULATIVE row per (band, band_key)
+            # per epoch; every reader only ever takes max(n) per key
+            # (``_prior`` → ``prior_counts``), so a fold may collapse
+            # its covered range to that max — read-equivalent (max of
+            # per-range maxes == max over the range), and without it
+            # even a fully compacted store's per-batch counts read
+            # grows O(epochs) per touched bucket on a long-running
+            # trickle (ADVICE r10)
+            return df.groupBy("band", "band_key", "bkt").agg(F.max("n").alias("n"))
+        return df
 
 
-_SINK_SCHEMAS = {
-    "decisions": "doc_id long, dup_of long, jaccard double",
-    "bands_idx": "doc_id long, band int, band_key string, rk long",
-    "counts": "band int, band_key string, n long",
-    "docstore": "doc_id long, text string",
-}
-
-
-def _seed_sink(spark: SparkSession, gen_dir: str, sink: str) -> None:
+def _seed_sink(
+    spark: SparkSession, gen_dir: str, sink: str, layout: type[EpochStoreBase]
+) -> None:
     """Seed a sink with an empty ``batch_id=-1`` partition (nested under
     a zero bucket for the bucketed sinks) so root reads discover the
     partition columns before the first epoch lands."""
     sub = os.path.join(gen_dir, sink, "batch_id=-1")
-    bkt_col = _SINK_BKT.get(sink)
+    bkt_col = layout._SINK_BKT.get(sink)
     if bkt_col:
         sub = os.path.join(sub, f"{bkt_col}=0")
-    spark.createDataFrame([], _SINK_SCHEMAS[sink]).write.mode("overwrite").parquet(sub)
+    spark.createDataFrame([], layout._SINK_SCHEMAS[sink]).write.mode(
+        "overwrite"
+    ).parquet(sub)
 
 
-def init_dedup_ingest_store(
-    spark: SparkSession, base: str, n_bkt: int = _DEFAULT_N_BKT
-) -> DedupIngestStore:
-    """Create generation 1 with seeded sinks and publish it. Refuses an
-    already-initialized base: re-seeding would publish an EMPTY
-    generation over the accumulated store (orphaning every committed
-    epoch while the old checkpoint blocks re-ingestion) and could
-    silently rewrite n_bkt under data bucketed with the old value."""
+def _init_epoch_store(
+    spark: SparkSession, base: str, n_bkt: int, cls: type[EpochStoreBase]
+) -> EpochStoreBase:
+    """Shared store initializer: create generation 1 with seeded sinks
+    and publish it. Refuses an already-initialized base: re-seeding
+    would publish an EMPTY generation over the accumulated store
+    (orphaning every committed epoch while the old checkpoint blocks
+    re-ingestion) and could silently rewrite n_bkt under data bucketed
+    with the old value."""
     fs = fsio.Fs(spark, base)
     fs.mkdirs(base)
     meta = os.path.join(base, _META)
@@ -206,20 +281,28 @@ def init_dedup_ingest_store(
         or fs.exists(meta)
     ):
         raise FileExistsError(
-            f"dedup-ingest store at {base!r} is already initialized (or "
-            "holds a damaged store's remains) — open it with "
-            "DedupIngestStore(base), repair the _CURRENT pointer, or "
+            f"{cls._KIND} at {base!r} is already initialized (or "
+            f"holds a damaged store's remains) — open it with "
+            f"{cls.__name__}(base), repair the _CURRENT pointer, or "
             "delete the base directory to start over"
         )
     fs.write_text_atomic(meta, json.dumps({"n_bkt": int(n_bkt)}))
     gen = G.next_gen(base, fs=fs)
     gen_dir = os.path.join(base, gen)
-    for sink in _SINKS:
-        _seed_sink(spark, gen_dir, sink)
+    for sink in cls._SINKS:
+        _seed_sink(spark, gen_dir, sink, cls)
     G.publish(base, gen, fs=fs)
-    st = DedupIngestStore(base, fs=fs)
+    st = cls(base, fs=fs)
     st._n_bkt = int(n_bkt)
     return st
+
+
+def init_dedup_ingest_store(
+    spark: SparkSession, base: str, n_bkt: int = _DEFAULT_N_BKT
+) -> DedupIngestStore:
+    """Create generation 1 with seeded sinks and publish it (see
+    :func:`_init_epoch_store` for the refusal contract)."""
+    return _init_epoch_store(spark, base, n_bkt, DedupIngestStore)
 
 
 def _prior(
@@ -371,6 +454,45 @@ def dedup_ingest_batch(
             lease.release()
 
 
+def _direct_epoch_checks(
+    store: EpochStoreBase, eid: int, allow_refolded_replay: bool
+) -> str:
+    """Refusal checks for a DIRECT (checkpoint-less) epoch write against
+    any generation-versioned epoch store; returns the resolved
+    generation directory so the caller's sink accesses land in the same
+    tree the checks inspected (ADVICE r10 TOCTOU — the caller must hold
+    the store's writer lock). A direct epoch on a STREAM-driven store
+    either collides with the stream's numbering (a resumed drain reuses
+    the id and its static overwrite destroys the direct epoch) or sits
+    above every future stream eid (invisible to all ``batch_id < eid``
+    prior reads). A direct epoch at or below the FOLD frontier would
+    overwrite the folded partition (eid == frontier) or re-materialize
+    rows the fold already carries (eid < frontier); same-id replay is
+    only idempotent ABOVE the frontier. Both are silent data loss."""
+    gen_dir = os.path.join(store.base, store.current_generation())
+    if _committed_hi(store) is not None:
+        raise RuntimeError(
+            f"{store._KIND} at {store.base!r} is stream-driven (a "
+            "checkpoint exists) — direct per-batch epochs would "
+            "collide with or be invisible to the stream's epoch "
+            "numbering; feed new documents through the stream source "
+            "instead"
+        )
+    folded_hi, _full = _read_fold_marker(gen_dir, store.fs)
+    if int(eid) <= folded_hi and not allow_refolded_replay:
+        raise RuntimeError(
+            f"{store._KIND} at {store.base!r} has folded epochs "
+            f"through batch_id={folded_hi}; a direct epoch {int(eid)} at or "
+            "below that frontier would overwrite the folded partition "
+            "(eid == frontier: every folded epoch is destroyed) or "
+            "duplicate rows the fold already carries (eid < frontier). "
+            "Use a fresh epoch id above the frontier, or pass "
+            "allow_refolded_replay=True for a deliberate "
+            "rebuild-from-source replay"
+        )
+    return gen_dir
+
+
 def _dedup_ingest_batch_locked(
     batch: DataFrame,
     eid: int,
@@ -397,33 +519,13 @@ def _dedup_ingest_batch_locked(
     # an empty micro-batch costs zero pointer reads
     gen_dir = None
     if not _stream_epoch:
-        gen_dir = os.path.join(store.base, store.current_generation())
-        if _committed_hi(store) is not None:
-            raise RuntimeError(
-                f"dedup-ingest store at {store.base!r} is stream-driven (a "
-                "checkpoint exists) — direct dedup_ingest_batch epochs would "
-                "collide with or be invisible to the stream's epoch "
-                "numbering; feed new documents through the stream source "
-                "instead"
-            )
-        folded_hi, _full = _read_fold_marker(gen_dir, store.fs)
-        if eid <= folded_hi and not allow_refolded_replay:
-            raise RuntimeError(
-                f"dedup-ingest store at {store.base!r} has folded epochs "
-                f"through batch_id={folded_hi}; a direct epoch {eid} at or "
-                "below that frontier would overwrite the folded partition "
-                "(eid == frontier: every folded epoch is destroyed) or "
-                "duplicate rows the fold already carries (eid < frontier). "
-                "Use a fresh epoch id above the frontier, or pass "
-                "allow_refolded_replay=True for a deliberate "
-                "rebuild-from-source replay"
-            )
+        gen_dir = _direct_epoch_checks(store, eid, allow_refolded_replay)
     if batch.isEmpty():
         return
     n_bkt = store.n_bkt
     if gen_dir is None:
         gen_dir = os.path.join(store.base, store.current_generation())
-    sink = {name: os.path.join(gen_dir, name) for name in _SINKS}
+    sink = {name: os.path.join(gen_dir, name) for name in store._SINKS}
 
     bands = minhash_signatures(batch).select(
         "doc_id",
@@ -626,28 +728,7 @@ def run_dedup_ingest_stream(
 
     lease = _index_write_lock(spark, store.base)
     try:
-        if _committed_hi(store) is None:
-            # check EVERY sink: decisions is written first, so a direct
-            # epoch that crashed mid-batch can exist there alone
-            fs = store.fs
-            gen_dir = os.path.join(store.base, store.current_generation())
-            stray = sorted(
-                {
-                    int(d.split("=", 1)[1])
-                    for s in _SINKS
-                    for d in segman.resolve_all(fs, os.path.join(gen_dir, s))
-                    if d.startswith("batch_id=")
-                    and int(d.split("=", 1)[1]) >= 0
-                }
-            )
-            if stray:
-                raise RuntimeError(
-                    f"dedup-ingest store at {store.base!r} is "
-                    f"direct-driven (epochs {stray} exist with no "
-                    "checkpoint) — a fresh drain would renumber from "
-                    "epoch 0 and overwrite them; use a new store for "
-                    "streaming ingestion"
-                )
+        _refuse_direct_driven(store)
         st = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -664,13 +745,49 @@ def run_dedup_ingest_stream(
         lease.release()
 
 
+def _refuse_direct_driven(store: EpochStoreBase) -> None:
+    """A fresh drain against a DIRECT-driven store (epochs on disk but
+    no checkpoint) must refuse — the mirror of
+    :func:`_direct_epoch_checks`: a fresh checkpoint numbers epochs
+    from 0, so the drain's static overwrites would wipe the direct
+    epochs one id at a time while any above its progress stay invisible
+    to ``batch_id < eid`` prior reads. Checks EVERY sink: the first
+    sink is written first, so a direct epoch that crashed mid-batch can
+    exist there alone. The caller must hold the store's writer lock
+    with the generation resolved after acquisition (ADVICE r10)."""
+    if _committed_hi(store) is not None:
+        return
+    fs = store.fs
+    gen_dir = os.path.join(store.base, store.current_generation())
+    stray = sorted(
+        {
+            int(d.split("=", 1)[1])
+            for s in store._SINKS
+            for d in segman.resolve_all(fs, os.path.join(gen_dir, s))
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) >= 0
+        }
+    )
+    if stray:
+        raise RuntimeError(
+            f"{store._KIND} at {store.base!r} is "
+            f"direct-driven (epochs {stray} exist with no "
+            "checkpoint) — a fresh drain would renumber from "
+            "epoch 0 and overwrite them; use a new store for "
+            "streaming ingestion"
+        )
+
+
 def compact_dedup_ingest_store(
     spark: SparkSession,
-    store: DedupIngestStore,
+    store: EpochStoreBase,
     target_file_bytes: int = _TARGET_FILE_BYTES,
     reader_grace_seconds: float = 0.0,
 ) -> dict[str, int]:
-    """Small-file hygiene for a long-running ingest: every epoch appends
+    """Small-file hygiene for a long-running ingest — layout-driven, so
+    it folds ANY :class:`EpochStoreBase` store (this module's four-sink
+    MinHash store; `operators/substring_ingest`'s two-sink store via
+    its :func:`substring_ingest.compact_substring_ingest_store` entry
+    point): every epoch appends
     ~1 file per sink per touched bucket, so thousands of micro-batches
     accumulate thousands of tiny files. Fold all COMMITTED epochs of
     each sink into the single highest committed ``batch_id`` partition
@@ -720,7 +837,7 @@ def compact_dedup_ingest_store(
         lease.release()
 
 
-def _committed_hi(store: DedupIngestStore) -> int | None:
+def _committed_hi(store: EpochStoreBase) -> int | None:
     """Highest epoch the streaming CHECKPOINT has committed — the only
     authority on which on-disk epoch directories are final. None when
     the store has no checkpoint (driven by direct ``dedup_ingest_batch``
@@ -733,11 +850,6 @@ def _committed_hi(store: DedupIngestStore) -> int | None:
     return max(ids, default=-1)
 
 
-# range-partition salt per bucketed sink: a second sort key lets one
-# oversized bucket spread across several size-bounded files while each
-# task still holds only 1-2 buckets (hash-salting would instead give
-# every task a slice of every bucket — tasks × buckets files)
-_SINK_FOLD_SALT = {"bands_idx": "doc_id", "counts": "band_key", "docstore": "doc_id"}
 # generation-local marker (dot-prefixed — invisible to Spark's file
 # index): two frontiers, the epoch id incremental folds have folded
 # through and the id the last FULL fold collapsed through — the
@@ -767,7 +879,7 @@ _FULL_FOLD_MAX_PARTS = 16
 
 def _compact_into_new_generation(
     spark: SparkSession,
-    store: DedupIngestStore,
+    store: EpochStoreBase,
     target_file_bytes: int,
     full: bool = True,
     report: bool | None = None,
@@ -812,10 +924,12 @@ def _compact_into_new_generation(
         return sum(fs.dir_bytes(d) for d in entries.get(f"batch_id={e}", []))
 
     if not full and lo >= 0:
-        # upgrade decision on the representative bands sink: compare
+        # upgrade decision on the layout's representative sink: compare
         # what accumulated since the last FULL fold (prior incremental
         # fold partitions + new epochs) against that fold's base
-        bands_entries = segman.resolve_all(fs, os.path.join(cur_dir, "bands_idx"))
+        bands_entries = segman.resolve_all(
+            fs, os.path.join(cur_dir, store._REP_SINK)
+        )
         ids = [_eid(d) for d in bands_entries if d.startswith("batch_id=")]
         committed = [
             e for e in ids if e >= 0 and (ckpt_hi is None or e <= ckpt_hi)
@@ -831,7 +945,7 @@ def _compact_into_new_generation(
             full, lo = True, -1
     marker = lo
     out: dict[str, int] = {}
-    for sink in _SINKS:
+    for sink in store._SINKS:
         src = os.path.join(store.base, cur, sink)
         entries = segman.resolve_all(fs, src)
         on_disk = [_eid(d) for d in entries if d.startswith("batch_id=")]
@@ -842,7 +956,7 @@ def _compact_into_new_generation(
         fold_ids = [e for e in committed if lo < e <= hi]
         dst = os.path.join(gen_dir, sink)
         if fold_ids and hi >= 0:
-            bkt_col = _SINK_BKT.get(sink)
+            bkt_col = store._SINK_BKT.get(sink)
             df = (
                 segman.read_table(spark, fs, src)
                 .filter(
@@ -851,18 +965,10 @@ def _compact_into_new_generation(
                 )
                 .drop("batch_id")
             )
-            if sink == "counts":
-                # the sidecar keeps one CUMULATIVE row per (band,
-                # band_key) per epoch; every reader only ever takes
-                # max(n) per key (``_prior`` → ``prior_counts``), so a
-                # fold may collapse its covered range to that max —
-                # read-equivalent (max of per-range maxes == max over
-                # the range), and without it even a fully compacted
-                # store's per-batch counts read grows O(epochs) per
-                # touched bucket on a long-running trickle (ADVICE r10)
-                df = df.groupBy("band", "band_key", "bkt").agg(
-                    F.max("n").alias("n")
-                )
+            # layout hook: a read-equivalent collapse of the covered
+            # range (the dedup store's cumulative count sidecar folds
+            # to its per-key max; identity for pure-relayout sinks)
+            df = store._fold_collapse(sink, df)
             total = max(1, sum(_part_bytes(entries, e) for e in fold_ids))
             n_out = max(1, -(-total // target_file_bytes))
             if bkt_col is None:
@@ -875,10 +981,10 @@ def _compact_into_new_generation(
                 # fold to one file each
                 n_tasks = max(int(n_out), store.n_bkt)
                 df = df.repartitionByRange(
-                    n_tasks, F.col(bkt_col), F.col(_SINK_FOLD_SALT[sink])
+                    n_tasks, F.col(bkt_col), F.col(store._SINK_FOLD_SALT[sink])
                 )
                 _write_epoch(df, dst, hi, bkt_col, n_bkt=0)
-        _seed_sink(spark, gen_dir, sink)
+        _seed_sink(spark, gen_dir, sink, type(store))
         # prior incremental-fold partitions (ids <= lo; this fold covers
         # only (lo, hi]) and crashed in-flight epochs above the
         # committed high-water carry BY REFERENCE — the replay's static

@@ -35,7 +35,9 @@ only on already-arrived data. The drained decisions therefore equal the
 batch operator's full-corpus result for ANY chunking of the stream, and
 the registry twin (``q_stream_exact_substring_dedup``) gates against
 the SAME full-corpus DuckDB replay
-(:data:`queries.curation.EXACT_SUBSTRING_ORACLE`).
+(:data:`queries.curation.EXACT_SUBSTRING_ORACLE`) — through an
+in-drain incremental fold and a final full compaction, so the gate also
+pins that folding never changes a decision or an index row.
 
 **Exactly-once under foreachBatch retry.** Both sinks are per-epoch
 ``batch_id=<eid>`` static-overwrite partitions and every prior read
@@ -43,86 +45,88 @@ filters ``batch_id < eid`` — a replayed epoch sees exactly the prior
 state the first attempt saw (its own half-written partition is excluded
 then overwritten), the identical argument to `operators/dedup_ingest`.
 
+**Single writer.** Writers — the drain and the compactor — serialize on
+the store root's writer lock (the shared `operators/ann_index` lease
+machinery, stale-holder reclaim included): two concurrent drains would
+otherwise interleave epoch publishes and index appends. Direct
+:func:`substring_ingest_batch` calls self-acquire the same lock and
+refuse stream-driven stores and folded-over epoch ids
+(`dedup_ingest._direct_epoch_checks`). Readers take no lock.
+
 **Index size and lifecycle.** The index holds 16 bytes + bucket per
 DISTINCT corpus window — the suffix-array-equivalent state, linear in
 corpus tokens and hash-bucket-partitioned (``bkt = pmod(hash(w1),
-n_bkt)``). An unbounded ingest accretes one small partition per epoch;
-the epoch-fold/compaction/generation lifecycle of
-`operators/dedup_ingest` applies to this two-sink layout unchanged and
-is deliberately not duplicated here.
+n_bkt)``; size ``n_bkt`` per the rule in `operators/dedup_ingest` —
+index bytes / target partition bytes, and ≫ a trickle batch's distinct
+window fingerprints). Both sinks live inside generation directories
+behind the root's atomic ``_CURRENT`` pointer
+(:class:`dedup_ingest.EpochStoreBase`), so an unbounded ingest does NOT
+accrete one partition per epoch forever: the drain's ``compact_every``
+folds committed epochs in place through the SHARED layout-driven fold
+engine (`dedup_ingest._compact_into_new_generation` — incremental
+folds carry prior fold partitions by manifest reference, LSM size-ratio
+upgrade to full folds), and
+:func:`compact_substring_ingest_store` is the manual entry point.
+Post-fold, per-batch prior reads list O(buckets) files instead of
+O(epochs) (pinned in tests/test_substring_ingest.py and the per-epoch
+flatness test in tests/test_scale_ratios.py).
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_with_big_data_stack_spark.operators import fsio, segman
 from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
-    _META,
-    MetaStoreBase,
+    _DEFAULT_N_BKT,
+    _TARGET_FILE_BYTES,
+    EpochStoreBase,
+    _compact_into_new_generation,
+    _direct_epoch_checks,
+    _init_epoch_store,
+    _prior,
+    _refuse_direct_driven,
     _write_epoch,
 )
 
-_SINKS = ("decisions", "windows_idx")
-_SINK_SCHEMAS = {
-    "decisions": (
-        "doc_id long, n_windows long, n_dup_windows long, "
-        "removed_tokens long, kept_tokens long"
-    ),
-    "windows_idx": "w1 long, w2 long",
-}
-_DEFAULT_N_BKT = 16
 
-
-class SubstringIngestStore(MetaStoreBase):
-    """Two-sink store root (decisions + windows index). Shares the
-    cached-Fs and persisted-``n_bkt`` plumbing (never guessed — see
-    :class:`dedup_ingest.MetaStoreBase`)."""
+class SubstringIngestStore(EpochStoreBase):
+    """Two-sink generation-versioned store (per-doc span DECISIONS +
+    the accumulated window-fingerprint index). Layout drives the shared
+    seed/init/fold engine — see :class:`dedup_ingest.EpochStoreBase`."""
 
     _KIND = "substring-ingest store"
     _INIT_FN = "init_substring_store"
+    _SINKS = ("decisions", "windows_idx")
+    _SINK_BKT = {"windows_idx": "bkt"}
+    # second fold range-key: the independent second hash lane spreads
+    # an oversized bucket across size-bounded files uniformly
+    _SINK_FOLD_SALT = {"windows_idx": "w2"}
+    _SINK_SCHEMAS = {
+        "decisions": (
+            "doc_id long, n_windows long, n_dup_windows long, "
+            "removed_tokens long, kept_tokens long"
+        ),
+        "windows_idx": "w1 long, w2 long",
+    }
+    _REP_SINK = "windows_idx"
 
     def sink(self, name: str) -> str:
-        if name not in _SINKS:
-            raise ValueError(f"unknown sink {name!r}; one of {_SINKS}")
-        return os.path.join(self.base, name)
-
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        """Manifest-aware full read of one sink (committed seed epoch
-        ``batch_id=-1`` is empty by construction, so no filter is
-        needed for values — callers drop ``batch_id`` themselves)."""
-        return segman.read_table(spark, self.fs, self.sink(name))
+        if name not in self._SINKS:
+            raise ValueError(f"unknown sink {name!r}; one of {self._SINKS}")
+        return self._sink(name)
 
 
 def init_substring_store(
     spark: SparkSession, base: str, n_bkt: int = _DEFAULT_N_BKT
 ) -> SubstringIngestStore:
-    """Create the store with seeded empty sinks. Refuses an existing
-    store: re-seeding would reset the index under a checkpoint that
-    keeps numbering epochs, silently re-admitting every known window."""
-    fs = fsio.Fs(spark, base)
-    meta = os.path.join(base, _META)
-    if fs.exists(meta) or any(fs.exists(os.path.join(base, s)) for s in _SINKS):
-        raise FileExistsError(
-            f"substring-ingest store at {base!r} is already initialized — "
-            "open it with SubstringIngestStore(base) or delete the base "
-            "directory to start over"
-        )
-    fs.mkdirs(base)
-    fs.write_text_atomic(meta, json.dumps({"n_bkt": int(n_bkt)}))
-    # seed empty partitions so root reads discover the partition columns
-    # before the first epoch lands
-    for s, sub in (("decisions", "batch_id=-1"), ("windows_idx", "batch_id=-1/bkt=0")):
-        spark.createDataFrame([], _SINK_SCHEMAS[s]).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, s, sub))
-    st = SubstringIngestStore(base, fs=fs)
-    st._n_bkt = int(n_bkt)
-    return st
+    """Create generation 1 with seeded empty sinks and publish it.
+    Refuses an existing store (see `dedup_ingest._init_epoch_store`):
+    re-seeding would reset the index under a checkpoint that keeps
+    numbering epochs, silently re-admitting every known window."""
+    return _init_epoch_store(spark, base, n_bkt, SubstringIngestStore)
 
 
 def substring_ingest_batch(
@@ -131,19 +135,75 @@ def substring_ingest_batch(
     store: SubstringIngestStore,
     k: int = 8,
     fail_after: str | None = None,
+    *,
+    allow_refolded_replay: bool = False,
+    _stream_epoch: bool = False,
 ) -> None:
     """Process one micro-batch (the foreachBatch body). Deterministic
     given (batch contents, prior committed epochs); idempotent under
-    retry — see module docstring. ``fail_after='decisions'`` is the
+    retry — see module docstring. A DIRECT call self-acquires the
+    store's non-reentrant writer lock and refuses stream-driven stores
+    and epoch ids at or below the fold frontier
+    (`dedup_ingest._direct_epoch_checks` — both are silent data loss);
+    the stream runner passes ``_stream_epoch=True`` and owns the lock
+    for the whole drain. ``fail_after='decisions'`` is the
     crash-injection hook: raises after the decisions publish, before
     the index publish, simulating a crash mid-epoch."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _index_write_lock,
+    )
+
+    lease = (
+        _index_write_lock(batch.sparkSession, store.base)
+        if not _stream_epoch
+        else None
+    )
+    try:
+        _substring_ingest_batch_locked(
+            batch,
+            eid,
+            store,
+            k=k,
+            fail_after=fail_after,
+            allow_refolded_replay=allow_refolded_replay,
+            _stream_epoch=_stream_epoch,
+        )
+    finally:
+        if lease is not None:
+            lease.release()
+
+
+def _substring_ingest_batch_locked(
+    batch: DataFrame,
+    eid: int,
+    store: SubstringIngestStore,
+    *,
+    k: int,
+    fail_after: str | None,
+    allow_refolded_replay: bool,
+    _stream_epoch: bool,
+) -> None:
     from data_pipeline_with_big_data_stack_spark.queries.curation import (
         substring_span_accounting,
         substring_windows,
     )
 
     spark = batch.sparkSession
+    eid = int(eid)
+    # the generation is resolved ONCE (under the writer lock the caller
+    # holds), so the prior reads and both epoch publishes land in the
+    # same tree even if a pointer flip happened just before the batch.
+    # Stream epochs defer resolution past the isEmpty early-return so
+    # an empty micro-batch costs zero pointer reads
+    gen_dir = None
+    if not _stream_epoch:
+        gen_dir = _direct_epoch_checks(store, eid, allow_refolded_replay)
+    if batch.isEmpty():
+        return
     n_bkt = store.n_bkt
+    if gen_dir is None:
+        gen_dir = os.path.join(store.base, store.current_generation())
+    sink = {name: os.path.join(gen_dir, name) for name in store._SINKS}
     base, c = substring_windows(batch.select("doc_id", "text"), k)
     # PERSIST the exploded/fingerprinted windows and the index-joined
     # firsts: the epoch runs three separate actions (touched-bucket
@@ -162,13 +222,8 @@ def substring_ingest_batch(
         touched = [
             int(r["bkt"]) for r in c.select("bkt").distinct().collect()
         ]
-        prior = (
-            store.read(spark, "windows_idx")
-            .filter(F.col("batch_id") < F.lit(int(eid)))
-            .filter(
-                F.col("bkt").isin(touched) if touched else F.lit(False)
-            )
-            .select("w1", "w2")
+        prior = _prior(
+            spark, sink["windows_idx"], eid, "bkt", touched, fs=store.fs
         )
         firsts = (
             c.groupBy("w1", "w2", "bkt")
@@ -184,13 +239,13 @@ def substring_ingest_batch(
             F.col("seen").isNotNull() | (F.col("pos") != F.col("first_pos"))
         ).select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
         decisions = substring_span_accounting(base, c, dup, k)
-        _write_epoch(decisions, store.sink("decisions"), eid, None)
+        _write_epoch(decisions, sink["decisions"], eid, None)
         if fail_after == "decisions":
             raise RuntimeError("injected crash after decisions publish")
         new_wins = firsts.filter(F.col("seen").isNull()).select(
             "w1", "w2", "bkt"
         )
-        _write_epoch(new_wins, store.sink("windows_idx"), eid, "bkt", n_bkt)
+        _write_epoch(new_wins, sink["windows_idx"], eid, "bkt", n_bkt)
     finally:
         for df in persisted:
             df.unpersist()
@@ -205,12 +260,24 @@ def run_substring_ingest_stream(
     fail_epoch: int | None = None,
     fail_after: str | None = None,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
+    target_file_bytes: int = _TARGET_FILE_BYTES,
+    reader_grace_seconds: float = 0.0,
 ) -> None:
     """Drain ``src`` (a parquet file-source dir of (doc_id, text)
     chunks, streamed in id order) through :func:`substring_ingest_batch`
-    with availableNow. ``fail_epoch``/``fail_after`` inject one crash
-    for recovery tests; restarting without them resumes from the
-    checkpoint and replays the crashed epoch idempotently."""
+    with availableNow, holding the store's single-writer lock for the
+    whole drain (see module docstring). ``fail_epoch``/``fail_after``
+    inject one crash for recovery tests; restarting without them
+    resumes from the checkpoint and replays the crashed epoch
+    idempotently. ``compact_every=N`` makes a long-running ingest
+    SELF-MAINTAINING exactly as `dedup_ingest.run_dedup_ingest_stream`:
+    after every Nth epoch the drain incrementally folds the store in
+    place (prior fold partitions carry by manifest reference; LSM
+    size-ratio upgrade to full), keeping per-batch prior-read listings
+    O(buckets) instead of O(epochs). Refuses a DIRECT-driven store
+    (epochs on disk but no checkpoint — a fresh drain would renumber
+    from 0 and overwrite them, `dedup_ingest._refuse_direct_driven`)."""
 
     def process(b: DataFrame, eid: int) -> None:
         substring_ingest_batch(
@@ -219,17 +286,70 @@ def run_substring_ingest_stream(
             store,
             k=k,
             fail_after=fail_after if eid == fail_epoch else None,
+            _stream_epoch=True,
         )
+        if compact_every and eid > 0 and eid % compact_every == 0:
+            # drain holds the writer lock — INCREMENTAL fold in place
+            # (only epochs past the previous fold marker are rewritten;
+            # this epoch is not yet committed, so its dirs are carried
+            # verbatim and its replay overwrites them)
+            _compact_into_new_generation(
+                spark,
+                store,
+                target_file_bytes,
+                full=False,
+                grace_seconds=reader_grace_seconds,
+            )
+            if fail_after == "compact" and eid == fail_epoch:
+                raise RuntimeError("injected crash after in-drain fold")
 
-    st = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(src)
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _index_write_lock,
     )
-    q = (
-        st.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(store.base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+
+    lease = _index_write_lock(spark, store.base)
+    try:
+        _refuse_direct_driven(store)
+        st = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(src)
+        )
+        q = (
+            st.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(store.base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        lease.release()
+
+
+def compact_substring_ingest_store(
+    spark: SparkSession,
+    store: SubstringIngestStore,
+    target_file_bytes: int = _TARGET_FILE_BYTES,
+    reader_grace_seconds: float = 0.0,
+) -> dict[str, int]:
+    """Manual full fold of the two-sink substring store — the identical
+    reader-safe protocol as `dedup_ingest.compact_dedup_ingest_store`
+    (the shared layout-driven engine): fold all CHECKPOINT-committed
+    epochs of each sink into the highest committed ``batch_id``
+    partition of a NEW generation (windows_idx keeps its bucket
+    partitioning — the fold must stay prunable — split into
+    ~``target_file_bytes`` range-partitioned files), carry crashed
+    in-flight epochs by manifest reference, publish with one atomic
+    pointer flip, GC with one grace predecessor. Holds the store's
+    writer lock. Returns the new per-sink logical file counts."""
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _index_write_lock,
     )
-    q.awaitTermination()
+
+    lease = _index_write_lock(spark, store.base)
+    try:
+        return _compact_into_new_generation(
+            spark, store, target_file_bytes, grace_seconds=reader_grace_seconds
+        )
+    finally:
+        lease.release()

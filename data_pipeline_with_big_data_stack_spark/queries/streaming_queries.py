@@ -658,14 +658,19 @@ from data_pipeline_with_big_data_stack_spark.queries.curation import (  # noqa: 
 @query("q_stream_exact_substring_dedup", oracle=_EXACT_SUBSTRING_ORACLE)
 def q_stream_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the documents table as 4 id-ordered crawl shards through
-    the incremental exact-substring dedup; serve the accumulated
-    per-doc span accounting. Value-gated against the batch operator's
-    full-corpus oracle — the strongest possible check that incremental
-    decisions match a from-scratch re-run."""
+    the incremental exact-substring dedup — WITH the maintenance
+    lifecycle in the loop (an in-drain incremental fold after epoch 2
+    and a final full compaction, round 14): epochs past the fold read
+    folded prior state, so the gate also pins that folding never
+    changes a decision. Serve the accumulated per-doc span accounting,
+    value-gated against the batch operator's full-corpus oracle — the
+    strongest possible check that incremental decisions match a
+    from-scratch re-run."""
     from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
         stage_ordered_chunks,
     )
     from data_pipeline_with_big_data_stack_spark.operators.substring_ingest import (
+        compact_substring_ingest_store,
         init_substring_store,
         run_substring_ingest_stream,
     )
@@ -675,5 +680,6 @@ def q_stream_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     d = _docs(spark, sf_dir).select("doc_id", "text")
     base, chunks = stage_ordered_chunks(spark, d, n_chunks=4)
     store = init_substring_store(spark, os.path.join(base, "store"))
-    run_substring_ingest_stream(spark, chunks, store)
+    run_substring_ingest_stream(spark, chunks, store, compact_every=2)
+    compact_substring_ingest_store(spark, store)
     return store.read(spark, "decisions").drop("batch_id")

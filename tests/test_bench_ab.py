@@ -69,3 +69,33 @@ def test_top_cost_cap_respected():
     picked = pick_movers(current, {})  # no baseline ratios at all
     assert len(picked) == TOP_COST_AB
     assert set(picked) == {"q_19", "q_18", "q_17"}
+
+
+def test_touched_movers_get_guaranteed_slots():
+    """VERDICT r13 #3: a query whose module changed since the baseline
+    commit AND whose raw ratio crossed the mover threshold must never
+    be crowded out of the block by bigger untouched movers (r13's
+    q_doc_repeated_chunk_removal escape). The touched mover here is the
+    WEAKEST-scored mover in the pool — without the touched set it loses
+    the fill; with it, it outranks every untouched mover."""
+    current = {q: 0.5 for q in AB_ALWAYS}
+    baseline = {q: 0.5 for q in AB_ALWAYS}
+    for i, sec in enumerate((30.0, 29.0, 28.0)):  # top-cost, ratio 1.0
+        current[f"q_huge_{i}"] = sec
+        baseline[f"q_huge_{i}"] = sec
+    # the touched-but-small mover: raw 1.24x on 0.6 s
+    current["q_touched_small"] = 0.71
+    baseline["q_touched_small"] = 0.58
+    # enough big untouched movers to flood every fill slot
+    for i in range(8):
+        current[f"q_big_mover_{i}"] = 13.0
+        baseline[f"q_big_mover_{i}"] = 10.0
+    without = pick_movers(current, baseline)
+    assert "q_touched_small" not in without, (
+        "fixture no longer reproduces the crowd-out; strengthen the pool"
+    )
+    with_touched = pick_movers(
+        current, baseline, touched={"q_touched_small"}
+    )
+    assert "q_touched_small" in with_touched
+    assert len(with_touched) <= MAX_AB_QUERIES

@@ -43,7 +43,7 @@ def _worst_case_payload() -> dict:
 
 def test_compact_line_fits_tail_capture():
     line = json.dumps(_worst_case_payload())
-    assert len(line) < 1900, (
+    assert len(line) <= bench._LINE_CAP, (
         f"compact bench line is {len(line)} chars — the driver captures "
         "only ~2000; trim the top-N or field set"
     )
@@ -56,7 +56,7 @@ def test_compact_line_fits_even_with_full_error_list():
     p = _worst_case_payload()
     p["errors"] = sorted(bench.HEADLINE)  # names only, by design
     line = bench.compact_line(p)
-    assert len(line) < 1900
+    assert len(line) <= bench._LINE_CAP
     out = json.loads(line)
     # totals always survive truncation
     assert out["value"] == p["value"]
@@ -79,7 +79,7 @@ def test_compact_line_survives_wide_payload_without_errors():
     for i in range(60):  # future wide serve/ab fields
         p[f"some_future_metric_with_a_long_name_{i:02d}"] = 99999.999
     line = bench.compact_line(p)
-    assert len(line) < 1900
+    assert len(line) <= bench._LINE_CAP
     out = json.loads(line)
     assert out["value"] == p["value"]
     assert "errors_n" not in out

@@ -156,3 +156,148 @@ def test_dedup_ingest_per_batch_cost_sublinear_in_accumulated_state(spark, tmp_p
         f"wall-clock ({t1:.2f}s -> {tN:.2f}s) — prior reads are scanning "
         "the store instead of pruning to touched buckets (re-measured)"
     )
+
+
+def test_substring_ingest_per_batch_cost_sublinear_in_accumulated_state(
+    spark, tmp_path
+):
+    """Round 14 (VERDICT r13 #1 done-criterion b): one identical tiny
+    micro-batch against 4x the ACCUMULATED window-fingerprint index
+    must not cost 4x — the prior index read partition-prunes to the
+    batch's touched buckets (<= 3 of 64 here), so per-batch cost tracks
+    the batch, not the store. Mirrors the dedup_ingest twin above."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import (
+        substring_ingest as SI,
+    )
+
+    words = [f"w{i:04d}" for i in range(3000)]
+
+    def corpus(n, start=0):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (start + i, " ".join(rng.choice(words) for _ in range(40)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def build_store(n_docs, name):
+        store = SI.init_substring_store(
+            spark, str(tmp_path / name), n_bkt=64
+        )
+        docs = corpus(n_docs)
+        for e in range(4):
+            chunk = docs.filter(
+                (F.col("doc_id") >= n_docs * e // 4)
+                & (F.col("doc_id") < n_docs * (e + 1) // 4)
+            )
+            SI.substring_ingest_batch(chunk, e, store)
+        return store
+
+    n1 = 1_000
+    s1 = build_store(n1, "sub_x1")
+    sN = build_store(n1 * FACTOR, f"sub_x{FACTOR}")
+    # 1 doc, 10 novel tokens -> 3 windows -> <= 3 of 64 buckets touched
+    trickle = spark.createDataFrame(
+        [(10_000_000, " ".join(f"zz{j}" for j in range(10)))],
+        "doc_id long, text string",
+    )
+
+    def measure():
+        def one(store):
+            t0 = time.perf_counter()
+            SI.substring_ingest_batch(trickle, 4, store)
+            return time.perf_counter() - t0
+
+        t1, tN = one(s1), one(sN)
+        return t1, tN, tN / t1
+
+    t1, tN, ratio = measure()
+    if ratio >= FACTOR:
+        t1, tN, ratio = measure()  # re-measure once (shared-host noise)
+    assert ratio < FACTOR, (
+        f"per-batch substring ingest: {FACTOR}x accumulated index took "
+        f"{ratio:.1f}x wall-clock ({t1:.2f}s -> {tN:.2f}s) — the prior "
+        "read is scanning the index instead of pruning to touched "
+        "buckets (re-measured)"
+    )
+
+
+def test_substring_ingest_per_epoch_listing_stays_flat_with_folds(
+    spark, tmp_path, monkeypatch
+):
+    """Round 14 (VERDICT r13 #5): per-epoch flatness evidence on a
+    DETERMINISTIC metric, not wall-clock — with in-drain folds
+    (compact_every=2) a later epoch's prior-read file LISTING stays
+    O(buckets) as the index grows; without folds it grows O(epochs).
+    This is the 100 TB steady-state claim of operators/substring_ingest
+    measured, not argued from plan shape."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators import (
+        dedup_ingest as DI,
+    )
+    from data_pipeline_with_big_data_stack_spark.operators import (
+        substring_ingest as SI,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.curation import (
+        substring_windows,
+    )
+    from data_pipeline_with_big_data_stack_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.test_substring_ingest import _prior_idx_files
+
+    n_bkt, n_chunks = 8, 8
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 240)
+    )
+
+    counts: dict[int, int] = {}
+    orig = SI.substring_ingest_batch
+
+    def spy(batch, eid, store, k=8, fail_after=None, **kw):
+        if eid > 0:
+            _b, c = substring_windows(batch.select("doc_id", "text"), k)
+            touched = {
+                int(r[0])
+                for r in c.select(
+                    F.pmod(F.hash("w1"), F.lit(store.n_bkt)).cast("int")
+                )
+                .distinct()
+                .collect()
+            }
+            counts[eid] = _prior_idx_files(store, eid, touched)
+        return orig(batch, eid, store, k=k, fail_after=fail_after, **kw)
+
+    monkeypatch.setattr(SI, "substring_ingest_batch", spy)
+
+    def drain(**kw):
+        counts.clear()
+        base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=n_chunks)
+        store = SI.init_substring_store(
+            spark, os.path.join(base, "store"), n_bkt=n_bkt
+        )
+        SI.run_substring_ingest_stream(spark, src, store, **kw)
+        return dict(counts)
+
+    unfolded = drain()
+    folded = drain(compact_every=2)
+    last = n_chunks - 1
+    assert unfolded[last] >= last, (
+        "unfolded drains must list at least one file per prior epoch — "
+        "the fixture no longer exercises O(epochs) accretion"
+    )
+    assert folded[last] < unfolded[last]
+    assert folded[last] <= 4 * n_bkt, (
+        f"folded epoch {last} listed {folded[last]} prior files — the "
+        f"in-drain fold is not holding the listing at O(buckets~{n_bkt})"
+    )

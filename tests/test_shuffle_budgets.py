@@ -68,6 +68,12 @@ BUDGETS = {
     # join; the dup-window count rides the island aggregation, so
     # 3 is the whole op
     "q_doc_exact_substring_dedup": 3,
+    # round 14: the exact re-rank over the ADC shortlist — the RETURNED
+    # plan is scan(In-pushed shortlist ids) + two broadcasts + the
+    # per-probe window, so one hash exchange is the whole stage (the
+    # index build/search exchanges run at construction time and are
+    # budgeted via q_ann_ivfpq_index_search)
+    "q_ann_ivfpq_rerank_topk": 1,
 }
 
 

@@ -46,12 +46,41 @@ AB_ALWAYS = (
     "q_ann_ivfpq_index_expire",
 )
 MOVER_RATIO = 1.2
-MAX_AB_QUERIES = 10
+MAX_AB_QUERIES = 12
 # the N most expensive queries this round are ALWAYS A/B'd (VERDICT r12
 # #3: r12's biggest absolute cost, a 15 s query at raw 1.3×, was crowded
 # out of the fill by sub-second 1.6× movers)
 TOP_COST_AB = 3
 _PKG = "data_pipeline_with_big_data_stack_spark"
+
+
+def touched_queries(sha: str, modules: dict[str, str]) -> set[str]:
+    """Queries whose DEFINING module changed between the baseline commit
+    and the working tree (VERDICT r13 #3: a touched-this-round query
+    deserves a guaranteed A/B slot — r13's `q_doc_repeated_chunk_removal`
+    moved 1.24× raw after a code change but was crowded out of the fill
+    by bigger absolute movers, so the regression escaped attribution).
+    ``modules`` maps query name → defining module (the registry
+    callable's ``__module__``). Module-granular by design: the diff
+    can't see which function inside a changed file moved, and the
+    mover filter below keeps the set from flooding the block when a
+    wide module changes."""
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", sha, "--", _PKG],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    except Exception:  # noqa: BLE001 - no git → no touched set
+        return set()
+    changed = set(diff)
+    return {
+        q
+        for q, mod in modules.items()
+        if mod.replace(".", "/") + ".py" in changed
+    }
 
 
 def previous_round_baseline() -> tuple[int, str, dict] | None:
@@ -94,15 +123,21 @@ def previous_round_baseline() -> tuple[int, str, dict] | None:
     return (n, sha, times) if sha else None
 
 
-def pick_movers(current: dict, baseline: dict) -> list[str]:
+def pick_movers(
+    current: dict, baseline: dict, touched: set[str] | None = None
+) -> list[str]:
     """Queries to A/B, capped at MAX_AB_QUERIES: the always-A/B family,
     then the TOP_COST_AB most expensive queries this round (the biggest
-    absolute cost must never escape attribution), then raw movers past
-    MOVER_RATIO ranked by ``|log ratio| × old_sec`` — ratio-weighted
-    absolute seconds, so a 15 s query at raw 1.3× outranks a 0.4 s
-    query at raw 1.6×."""
+    absolute cost must never escape attribution), then TOUCHED movers —
+    queries whose module changed since the baseline AND whose raw ratio
+    crossed MOVER_RATIO get guaranteed slots ahead of the weighted fill
+    (VERDICT r13 #3: a code-touched mover must never be crowded out by
+    bigger untouched movers) — then remaining raw movers ranked by
+    ``|log ratio| × old_sec`` — ratio-weighted absolute seconds, so a
+    15 s query at raw 1.3× outranks a 0.4 s query at raw 1.6×."""
     import math
 
+    touched = touched or set()
     scored = []
     for q, new in current.items():
         old = baseline.get(q)
@@ -115,6 +150,7 @@ def pick_movers(current: dict, baseline: dict) -> list[str]:
     top_cost = sorted(current, key=lambda q: current[q] or 0.0, reverse=True)
     out = [q for q in AB_ALWAYS if q in current]
     out += [q for q in top_cost[:TOP_COST_AB] if q not in out]
+    out += [q for q in movers if q in touched and q not in out]
     out += [q for q in movers if q not in out]
     return out[:MAX_AB_QUERIES]
 
