@@ -61,9 +61,11 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
     seen: dict[str, int] = {}
     green: dict[str, int] = {}
     last_green: dict[str, int] = {}
+    cur_round = 0
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", os.path.basename(path))
         rnum = int(m.group(1)) if m else 0
+        cur_round = max(cur_round, rnum)
         try:
             with open(path) as f:
                 for name, row in json.load(f).items():
@@ -81,14 +83,6 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
                         last_green[name] = max(last_green.get(name, 0), rnum)
         except Exception:
             continue
-    cur_round = max(
-        [
-            int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
-            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        ],
-        default=0,
-    )
-
     def parked(n: str) -> int:
         # rows-only rows park behind oracled rows ONLY while their
         # last rows-green is fresh; a stale one resurfaces for a refresh

@@ -560,6 +560,19 @@ def main() -> None:
             ab = {"skipped": "no previous bench snapshot"}
     except Exception as exc:  # noqa: BLE001
         errors["__ab__"] = f"{type(exc).__name__}: {exc}"[:500]
+    # Opt-in order-of-magnitude probe (VERDICT r13 #8): generate an
+    # ~sf1-equivalent corpus (10x the sf0.1 docs) and run the heavy
+    # curation/dedup family once, recording wall secs + shuffle bytes.
+    # Env-gated — it adds minutes, so it runs when a round wants the
+    # anchor refreshed, not on every bench.
+    scale_probe: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE"):
+        try:
+            from tools.scale_probe import run_probe
+
+            scale_probe = run_probe(spark)
+        except Exception as exc:  # noqa: BLE001
+            errors["__scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     # The driver captures only the process tail (~2000 chars): round 5's
     # full per-query line outgrew it and the driver recorded parsed=null
     # (VERDICT r5 #1). The LAST stdout line is now a compact summary —
@@ -581,6 +594,8 @@ def main() -> None:
     }
     if ab:
         detail["ab"] = ab
+    if scale_probe:
+        detail["scale_probe"] = scale_probe
     if errors:
         detail["errors"] = errors
     detail_path = os.path.join(

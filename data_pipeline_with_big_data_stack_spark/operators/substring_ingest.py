@@ -68,8 +68,10 @@ folds carry prior fold partitions by manifest reference, LSM size-ratio
 upgrade to full folds), and
 :func:`compact_substring_ingest_store` is the manual entry point.
 Post-fold, per-batch prior reads list O(buckets) files instead of
-O(epochs) (pinned in tests/test_substring_ingest.py and the per-epoch
-flatness test in tests/test_scale_ratios.py).
+O(epochs): the per-epoch listing is a bounded LSM sawtooth — floor
+O(n_bkt) after every size-ratio full upgrade, ceiling capped by the
+incremental-fold chain — pinned in tests/test_substring_ingest.py and
+the per-epoch listing test in tests/test_scale_ratios.py.
 """
 
 from __future__ import annotations

@@ -99,3 +99,25 @@ def test_touched_movers_get_guaranteed_slots():
     )
     assert "q_touched_small" in with_touched
     assert len(with_touched) <= MAX_AB_QUERIES
+
+
+def test_reference_closure_follows_import_edges_only():
+    """An operators/ change must reach the query modules that import it
+    (directly or through an operator chain), WITHOUT flooding: docstring
+    citations and __init__ re-export hubs must not propagate, or every
+    seed marks ~every query module and 'touched' stops discriminating."""
+    from tools.bench_ab import _PKG, _reference_closure
+
+    seed = f"{_PKG}/operators/substring_ingest.py"
+    c = _reference_closure({seed})
+    assert seed in c
+    # streaming_queries lazily imports substring_ingest inside the gate
+    # query — the exact operator→query edge the closure exists for
+    assert f"{_PKG}/queries/streaming_queries.py" in c
+    # no flood: this repo cross-cites module names in prose everywhere;
+    # a text-match closure saturates to ~every query module (measured
+    # 42 files in round 14) while the import-edge closure stays small
+    assert len(c) <= 6, sorted(c)
+    # dedup_ingest MENTIONS substring_ingest in its docstring but does
+    # not import it — must not join
+    assert f"{_PKG}/operators/dedup_ingest.py" not in c

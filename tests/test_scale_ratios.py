@@ -228,15 +228,20 @@ def test_substring_ingest_per_batch_cost_sublinear_in_accumulated_state(
     )
 
 
-def test_substring_ingest_per_epoch_listing_stays_flat_with_folds(
+def test_substring_ingest_per_epoch_listing_stays_bounded_with_folds(
     spark, tmp_path, monkeypatch
 ):
-    """Round 14 (VERDICT r13 #5): per-epoch flatness evidence on a
-    DETERMINISTIC metric, not wall-clock — with in-drain folds
-    (compact_every=2) a later epoch's prior-read file LISTING stays
-    O(buckets) as the index grows; without folds it grows O(epochs).
-    This is the 100 TB steady-state claim of operators/substring_ingest
-    measured, not argued from plan shape."""
+    """Round 14 (VERDICT r13 #5): per-epoch evidence on a DETERMINISTIC
+    metric, not wall-clock — each epoch's prior-read file LISTING.
+    Without folds it grows O(epochs) (exactly n_bkt new files per epoch
+    at this fixture: every epoch touches every bucket). With in-drain
+    folds (compact_every=2) the listing is a bounded LSM sawtooth: the
+    incremental-fold chain grows the listing ~log-fashion between full
+    upgrades, and every size-ratio full upgrade resets it to the
+    O(buckets) floor — so later epochs list strictly less than the
+    unfolded drain and keep returning to the floor as the index grows.
+    A regression to no-op folds makes the folded drain track the
+    unfolded one's linear growth and fails both asserts."""
     import os
 
     from pyspark.sql import functions as F
@@ -254,7 +259,7 @@ def test_substring_ingest_per_epoch_listing_stays_flat_with_folds(
     from tests.conftest import SF_SMOKE
     from tests.test_substring_ingest import _prior_idx_files
 
-    n_bkt, n_chunks = 8, 8
+    n_bkt, n_chunks = 8, 12
     docs = (
         load_table(spark, SF_SMOKE, "documents")
         .select("doc_id", "text")
@@ -292,12 +297,22 @@ def test_substring_ingest_per_epoch_listing_stays_flat_with_folds(
     unfolded = drain()
     folded = drain(compact_every=2)
     last = n_chunks - 1
-    assert unfolded[last] >= last, (
-        "unfolded drains must list at least one file per prior epoch — "
-        "the fixture no longer exercises O(epochs) accretion"
+    # O(epochs) accretion without folds: ~n_bkt new index files per epoch
+    assert unfolded[last] >= n_bkt * (last - 1), (
+        "unfolded drains must accrete ~n_bkt files per epoch — the "
+        "fixture no longer exercises O(epochs) growth"
     )
-    assert folded[last] < unfolded[last]
-    assert folded[last] <= 4 * n_bkt, (
-        f"folded epoch {last} listed {folded[last]} prior files — the "
-        f"in-drain fold is not holding the listing at O(buckets~{n_bkt})"
+    # folds must have collapsed at least two epochs' worth of files by
+    # the last epoch (a no-op fold tracks the unfolded line exactly)
+    assert folded[last] <= unfolded[last] - 2 * n_bkt, (
+        f"folded drain listed {folded[last]} files at epoch {last} vs "
+        f"{unfolded[last]} unfolded — the in-drain folds are not "
+        "collapsing the listing"
+    )
+    # every LSM full upgrade resets the listing to the O(buckets)
+    # floor: some later epoch lists ~(1 fold partition + 1 in-flight
+    # epoch) x n_bkt files even though 4x the corpus has accumulated
+    assert min(folded[e] for e in range(4, n_chunks)) <= 3 * n_bkt, (
+        f"folded listings never returned to the O(buckets) floor: "
+        f"{folded} — the size-ratio full upgrade is not firing"
     )

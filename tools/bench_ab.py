@@ -54,9 +54,81 @@ TOP_COST_AB = 3
 _PKG = "data_pipeline_with_big_data_stack_spark"
 
 
+def _imported_modules(src: str) -> set[str]:
+    """Every dotted module name ``src`` imports — AST-walked, so lazy
+    in-function imports count and docstring citations (this repo
+    cross-cites module names liberally in prose) do NOT. A ``from X
+    import y`` records both X and X.y: y may be a module or a symbol,
+    and the ambiguity only ever ADDS an edge."""
+    import ast
+
+    out: set[str] = set()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return out
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            out.add(node.module)
+            for a in node.names:
+                out.add(node.module + "." + a.name)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                out.add(a.name)
+    return out
+
+
+def _reference_closure(changed_files: set[str]) -> set[str]:
+    """Expand a changed-file set along IMPORT edges: a module joins
+    when it imports a changed module. Queries import their operators
+    lazily by dotted name, so an operator-module change must mark the
+    query modules that use it. Two phases: a fixpoint over non-query
+    infra modules (operator→operator deps like substring_ingest →
+    dedup_ingest chain), then ONE hop to importers anywhere in the
+    package — query modules and ``__init__`` re-export hubs must not
+    propagate further or one seed transitively marks everything and
+    "touched" stops discriminating (``__init__.py`` files are excluded
+    outright for the same reason)."""
+    pkg_root = os.path.join(REPO, _PKG)
+    imports: dict[str, set[str]] = {}
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for f in files:
+            if f.endswith(".py") and f != "__init__.py":
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, REPO)
+                try:
+                    with open(p) as fh:
+                        imports[rel] = _imported_modules(fh.read())
+                except OSError:
+                    continue
+    changed = {f for f in changed_files if f in imports}
+
+    def _dotted(files: set[str]) -> set[str]:
+        return {f[: -len(".py")].replace("/", ".") for f in files}
+
+    infra = {
+        rel for rel in imports if not rel.startswith(f"{_PKG}/queries/")
+    }
+    while True:
+        names = _dotted(changed)
+        grown = changed | {
+            rel
+            for rel in infra
+            if rel not in changed and imports[rel] & names
+        }
+        if grown == changed:
+            break
+        changed = grown
+    names = _dotted(changed)
+    return changed | {
+        rel for rel, imp in imports.items() if rel not in changed and imp & names
+    }
+
+
 def touched_queries(sha: str, modules: dict[str, str]) -> set[str]:
-    """Queries whose DEFINING module changed between the baseline commit
-    and the working tree (VERDICT r13 #3: a touched-this-round query
+    """Queries whose defining module — or any package module it
+    (transitively) references — changed between the baseline commit and
+    the working tree (VERDICT r13 #3: a touched-this-round query
     deserves a guaranteed A/B slot — r13's `q_doc_repeated_chunk_removal`
     moved 1.24× raw after a code change but was crowded out of the fill
     by bigger absolute movers, so the regression escaped attribution).
@@ -75,7 +147,7 @@ def touched_queries(sha: str, modules: dict[str, str]) -> set[str]:
         ).stdout.split()
     except Exception:  # noqa: BLE001 - no git → no touched set
         return set()
-    changed = set(diff)
+    changed = _reference_closure(set(diff))
     return {
         q
         for q, mod in modules.items()
