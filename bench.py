@@ -328,14 +328,14 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
         try:
             from data_pipeline_with_big_data_stack_spark.operators import fsio
             from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
-                _compact_into_new_generation,
+                compact_dedup_ingest_store,
             )
 
-            _compact_into_new_generation(spark, st4, 1 << 30)  # full fold base
+            compact_dedup_ingest_store(spark, st4, 1 << 30)  # full fold base
             dedup_ingest_batch(trickle, 2, st4, max_bucket=_LSH_MAX_BUCKET)
             cloned0 = fsio.BYTES_CLONED
             t0 = time.perf_counter()
-            _compact_into_new_generation(spark, st4, 1 << 30, full=False)
+            compact_dedup_ingest_store(spark, st4, 1 << 30, full=False)
             out["dedup_incr_fold_sec"] = round(time.perf_counter() - t0, 3)
             out["fold_carry_bytes_moved"] = fsio.BYTES_CLONED - cloned0
         except Exception as exc:  # noqa: BLE001 - isolated: a fold-probe
@@ -355,10 +355,8 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
         # this layout too. ---
         try:
             from data_pipeline_with_big_data_stack_spark.operators import fsio
-            from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
-                _compact_into_new_generation,
-            )
             from data_pipeline_with_big_data_stack_spark.operators.substring_ingest import (
+                compact_substring_ingest_store,
                 init_substring_store,
                 substring_ingest_batch,
             )
@@ -372,11 +370,11 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
                 substring_ingest_batch(chunks[3], 3, sstore)
                 best = min(best, time.perf_counter() - t0)
             out["substring_ingest_batch_sec"] = round(best, 3)
-            _compact_into_new_generation(spark, sstore, 1 << 30)  # full base
+            compact_substring_ingest_store(spark, sstore, 1 << 30)  # full base
             substring_ingest_batch(trickle, 4, sstore)
             cloned0 = fsio.BYTES_CLONED
             t0 = time.perf_counter()
-            _compact_into_new_generation(spark, sstore, 1 << 30, full=False)
+            compact_substring_ingest_store(spark, sstore, 1 << 30, full=False)
             out["substring_incr_fold_sec"] = round(time.perf_counter() - t0, 3)
             out["substring_fold_carry_bytes_moved"] = fsio.BYTES_CLONED - cloned0
         except Exception as exc:  # noqa: BLE001 - isolated, as above

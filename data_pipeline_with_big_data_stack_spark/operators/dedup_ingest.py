@@ -782,6 +782,7 @@ def compact_dedup_ingest_store(
     store: EpochStoreBase,
     target_file_bytes: int = _TARGET_FILE_BYTES,
     reader_grace_seconds: float = 0.0,
+    full: bool = True,
 ) -> dict[str, int]:
     """Small-file hygiene for a long-running ingest — layout-driven, so
     it folds ANY :class:`EpochStoreBase` store (this module's four-sink
@@ -823,7 +824,16 @@ def compact_dedup_ingest_store(
     :func:`run_dedup_ingest_stream`'s drain) so a compaction can never
     supersede a generation a live micro-batch is writing into. A crash
     mid-compaction leaves an unpublished orphan generation, GC'd on the
-    next publish. Returns the new per-sink file counts."""
+    next publish. Returns the new per-sink file counts.
+
+    ``full=False`` runs one INCREMENTAL fold instead — the same step
+    the self-maintaining drain takes (only epochs past the previous
+    fold marker are rewritten; earlier fold partitions carry by
+    manifest reference; self-upgrades to full on the LSM size-ratio
+    trigger) — for out-of-drain maintenance cadences and the bench's
+    fold-carry probe, under the same writer lock; incremental folds
+    skip the file-count walk (a recursive listing the maintenance hot
+    path must not pay) and return {}."""
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         _index_write_lock,
     )
@@ -831,7 +841,11 @@ def compact_dedup_ingest_store(
     lease = _index_write_lock(spark, store.base)
     try:
         return _compact_into_new_generation(
-            spark, store, target_file_bytes, grace_seconds=reader_grace_seconds
+            spark,
+            store,
+            target_file_bytes,
+            full=full,
+            grace_seconds=reader_grace_seconds,
         )
     finally:
         lease.release()

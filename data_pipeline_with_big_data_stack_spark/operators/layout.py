@@ -134,12 +134,13 @@ def skew_salt(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
 #
 # Scale shape: per-column bucket boundaries come from ONE global
 # percentile_approx aggregate (a scalar row of 255-quantile arrays,
-# broadcast-joined to every row); bucketing is a pure projection — an
-# unrolled 8-step binary search over each sorted boundary array (8
-# element_at probes per row per column, not a 255-element array scan);
-# the only shuffle is the final repartitionByRange on the z-value —
-# exactly the exchange any layout rewrite needs. No collect beyond the
-# 1-row bounds.
+# broadcast-joined to every row); bucketing is a pure projection — one
+# codegen'd pass over each 255-element boundary array per row per
+# column (measured ~µs/row; see the in-function note for why the
+# "cheaper" binary search is a measured 250x regression in Column
+# algebra); the only shuffle is the final repartitionByRange on the
+# z-value — exactly the exchange any layout rewrite needs. No collect
+# beyond the 1-row bounds.
 # ---------------------------------------------------------------------
 
 _Z_BITS = 8  # per-column buckets = 2^8; z-value fits in a long for ≤4 cols
@@ -155,10 +156,11 @@ def zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
     data-skipping payoff entirely. Equal-frequency bins keep every
     interleaved bit informative on ANY distribution (the same choice
     production z-order implementations make), at the same one-pass
-    pre-aggregation cost; the per-row bucket lookup is an unrolled
-    binary search over the sorted boundary array (_Z_BITS element_at
-    probes per column), so the projection on the layout-rewrite hot
-    path costs O(log buckets) comparisons per row, not O(buckets)."""
+    pre-aggregation cost; the per-row bucket lookup is one codegen'd
+    O(buckets) scan of the sorted 255-boundary array — measured ~µs/row
+    on the layout-rewrite hot path, and measured 250x FASTER than the
+    log-probe alternative (see the in-function note: Column algebra
+    inlines a binary search's accumulator exponentially)."""
     nb = 1 << _Z_BITS
     probs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
     bounds = df.agg(
@@ -174,19 +176,20 @@ def zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         qs, v = F.col(f"__qs_{c}"), F.col(c).cast("double")
         # bucket = number of quantile boundaries at or below the value
-        # (0..nb-1), found by unrolled binary search over the sorted
-        # 1-indexed boundary array: after probing steps 2^(_Z_BITS-1)..1
-        # b is the largest index with qs[b] <= v, which equals the
-        # <=-count (duplicates included — everything left of b is <= v)
-        b = F.lit(0)
-        for bit in range(_Z_BITS - 1, -1, -1):
-            step = 1 << bit
-            probe = F.element_at(qs, (b + F.lit(step)).cast("int"))
-            b = F.when(probe <= v, b + F.lit(step)).otherwise(b)
-        # nulls sort into bucket 0 (a null v makes every probe
-        # comparison null → otherwise-branch → b stays 0, but keep the
-        # explicit guard so the contract doesn't lean on null-semantics)
-        buckets.append(F.when(v.isNull(), F.lit(0)).otherwise(b))
+        # (0..nb-1); nulls sort into bucket 0. The O(buckets) array
+        # filter is DELIBERATE: it is one tight whole-stage-codegen loop
+        # over a 255-element double array (~µs/row measured). The
+        # "cheaper" unrolled binary search is not expressible in Column
+        # algebra — each step's accumulator is INLINED three times
+        # (probe, then, else), so 8 steps build a ~3^8-path expression
+        # tree per column; measured ~50x plan-build and ~250x execution
+        # REGRESSION vs this form (round-14 A/B on 10k rows x 2 cols:
+        # 0.39 s -> 97+ s). log-probes only win where the accumulator
+        # can be materialized per step, which a projection can't do.
+        b = F.when(v.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(qs, lambda q: q <= v))
+        )
+        buckets.append(b)
     # interleave: bit i of column j lands at position i*len(cols)+j
     z = F.lit(0).cast("long")
     for bit in range(_Z_BITS):

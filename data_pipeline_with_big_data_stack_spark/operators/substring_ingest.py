@@ -333,8 +333,9 @@ def compact_substring_ingest_store(
     store: SubstringIngestStore,
     target_file_bytes: int = _TARGET_FILE_BYTES,
     reader_grace_seconds: float = 0.0,
+    full: bool = True,
 ) -> dict[str, int]:
-    """Manual full fold of the two-sink substring store — the identical
+    """Manual fold of the two-sink substring store — the identical
     reader-safe protocol as `dedup_ingest.compact_dedup_ingest_store`
     (the shared layout-driven engine): fold all CHECKPOINT-committed
     epochs of each sink into the highest committed ``batch_id``
@@ -343,7 +344,10 @@ def compact_substring_ingest_store(
     ~``target_file_bytes`` range-partitioned files), carry crashed
     in-flight epochs by manifest reference, publish with one atomic
     pointer flip, GC with one grace predecessor. Holds the store's
-    writer lock. Returns the new per-sink logical file counts."""
+    writer lock. ``full=False`` runs one incremental fold (the drain's
+    self-maintenance step) instead. Returns the new per-sink logical
+    file counts ({} for incremental folds, which skip the listing
+    walk)."""
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         _index_write_lock,
     )
@@ -351,7 +355,11 @@ def compact_substring_ingest_store(
     lease = _index_write_lock(spark, store.base)
     try:
         return _compact_into_new_generation(
-            spark, store, target_file_bytes, grace_seconds=reader_grace_seconds
+            spark,
+            store,
+            target_file_bytes,
+            full=full,
+            grace_seconds=reader_grace_seconds,
         )
     finally:
         lease.release()

@@ -79,16 +79,19 @@ def _imported_modules(src: str) -> set[str]:
 
 
 def _reference_closure(changed_files: set[str]) -> set[str]:
-    """Expand a changed-file set along IMPORT edges: a module joins
-    when it imports a changed module. Queries import their operators
-    lazily by dotted name, so an operator-module change must mark the
-    query modules that use it. Two phases: a fixpoint over non-query
-    infra modules (operator→operator deps like substring_ingest →
-    dedup_ingest chain), then ONE hop to importers anywhere in the
-    package — query modules and ``__init__`` re-export hubs must not
-    propagate further or one seed transitively marks everything and
-    "touched" stops discriminating (``__init__.py`` files are excluded
-    outright for the same reason)."""
+    """Expand a changed-file set along IMPORT edges to a fixpoint: a
+    module joins when it imports a changed (or already-joined) module.
+    Queries import their operators lazily by dotted name, so an
+    operator-module change must mark the query modules that use it —
+    transitively (operators → operators → queries → queries: e.g. a
+    rollup_maintenance change reaches streaming_queries through
+    curation, one import level past a single hop). Import edges are
+    PRECISE, so the fixpoint stays small — the flood risk belonged to
+    text matching (this repo cross-cites module names in prose
+    everywhere, which saturated a basename closure at ~every module).
+    ``__init__.py`` re-export hubs are excluded: everything imports the
+    registry, so letting ``queries/__init__`` join-and-propagate would
+    mark every module whenever any query module changes."""
     pkg_root = os.path.join(REPO, _PKG)
     imports: dict[str, set[str]] = {}
     for dirpath, _dirs, files in os.walk(pkg_root):
@@ -102,27 +105,16 @@ def _reference_closure(changed_files: set[str]) -> set[str]:
                 except OSError:
                     continue
     changed = {f for f in changed_files if f in imports}
-
-    def _dotted(files: set[str]) -> set[str]:
-        return {f[: -len(".py")].replace("/", ".") for f in files}
-
-    infra = {
-        rel for rel in imports if not rel.startswith(f"{_PKG}/queries/")
-    }
     while True:
-        names = _dotted(changed)
+        names = {f[: -len(".py")].replace("/", ".") for f in changed}
         grown = changed | {
             rel
-            for rel in infra
-            if rel not in changed and imports[rel] & names
+            for rel, imp in imports.items()
+            if rel not in changed and imp & names
         }
         if grown == changed:
-            break
+            return changed
         changed = grown
-    names = _dotted(changed)
-    return changed | {
-        rel for rel, imp in imports.items() if rel not in changed and imp & names
-    }
 
 
 def touched_queries(sha: str, modules: dict[str, str]) -> set[str]:
