@@ -267,9 +267,10 @@ def _time_query(spark, queries: dict, name: str, sf_dir: str) -> float | None:
 
 def _host_probe(spark, sf_dir: str) -> float:
     """Tiny fixed host-speed probe (best-of-3 constant scan+aggregate),
-    recorded once per A/B PHASE: the two phases run minutes apart, so a
-    load spike overlapping only one of them would bias every ab_ratio
-    the same way — the pair of probe values makes that visible."""
+    recorded at both ends of the A/B block: a load ramp across the
+    block would stretch late pairs' measurements — the probe pair makes
+    that visible (each ratio's own exposure is only its interleaved
+    old→new window)."""
     li = os.path.join(sf_dir, "lineitem.parquet")
     best = float("inf")
     for _ in range(3):
@@ -312,25 +313,32 @@ def run_ab(
     probe_old = probe_new = None
     err = None
     try:
-        # phase 1: the OLD tree times every query, then phase 2 re-times
-        # them on the CURRENT tree — both phases inside one session,
-        # minutes apart. A per-phase host probe makes a one-sided load
-        # spike (which would bias every ratio the same way) visible.
-        old_q = _load_queries(wt)
+        # INTERLEAVED per query (round 14): the original two-phase
+        # design (old tree times everything, then the new tree) left
+        # each ratio exposed to the minutes of host/JVM drift between
+        # its two measurements — r14's run read a phantom 1.21-1.26 on
+        # the untouched IVF-PQ trio while raw round-over-round showed
+        # 0.88-0.99. Re-importing the tree per measurement costs a few
+        # seconds per query and shrinks each ratio's drift window to
+        # its own old→new pair, with the tree order alternating per
+        # query so any residual monotone drift cancels across the block
+        # instead of biasing every ratio the same way. The per-phase
+        # host probes bracket the whole block as before.
         probe_old = _host_probe(spark, sf_dir)
-        old_t = {q: _time_query(spark, old_q, q, sf_dir) for q in names}
-        new_q = _load_queries(REPO)
-        probe_new = _host_probe(spark, sf_dir)
-        for q in names:
-            new = _time_query(spark, new_q, q, sf_dir)
-            old = old_t.get(q)
-            if new is None or old is None:
+        for i, q in enumerate(names):
+            pair = {}
+            order = ("old", "new") if i % 2 == 0 else ("new", "old")
+            for tree in order:
+                qs = _load_queries(wt if tree == "old" else REPO)
+                pair[tree] = _time_query(spark, qs, q, sf_dir)
+            if pair.get("old") is None or pair.get("new") is None:
                 continue
             out[q] = {
-                "old_sec": round(old, 3),
-                "new_sec": round(new, 3),
-                "ab_ratio": round(new / old, 3),
+                "old_sec": round(pair["old"], 3),
+                "new_sec": round(pair["new"], 3),
+                "ab_ratio": round(pair["new"] / pair["old"], 3),
             }
+        probe_new = _host_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 - never fail the bench over A/B
         err = f"{type(exc).__name__}: {exc}"[:200]
     finally:
