@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_druid_hourly_dashboard(spark, "/root/testdata/sf0.001")
 
 
-def _coverage_rotation_order(names: list[str]) -> list[str]:
+def _coverage_rotation_order(names: list[str], art_dir: str | None = None) -> list[str]:
     """Order queries so the driver's bounded gate window (≈50 per
     round) lands on the rows that most need a driver-verified green:
     first queries NEVER green in any past CORRECTNESS_r*.json (new this
@@ -57,7 +57,8 @@ def _coverage_rotation_order(names: list[str]) -> list[str]:
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    # art_dir overrides the artifact directory for tests only
+    here = art_dir or os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
     green: dict[str, int] = {}
     last_green: dict[str, int] = {}

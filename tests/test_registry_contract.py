@@ -124,3 +124,40 @@ def test_oracle_emits_no_hugeint(duck, name):
     cols = duck.sql(f"DESCRIBE {ORACLES[name]}").fetchall()
     huge = [(c[0], c[1]) for c in cols if "HUGEINT" in c[1].upper()]
     assert not huge, f"{name}: oracle emits HUGEINT columns {huge} — cast to BIGINT"
+
+
+def test_gate_rotation_resurfaces_stale_rows_only_greens(tmp_path):
+    """Round 14 (VERDICT r13 #6): the rotation's no-oracle parking is a
+    staleness cadence, not permanent — a rows-only green older than
+    _ROWS_ONLY_REFRESH_AGE rounds re-enters the main rotation for a
+    refresh; a fresh rows-only green stays parked behind oracled rows;
+    never-green queries always lead."""
+    import json
+
+    import __spark_entry__ as E
+
+    oracled = sorted(ORACLES)[:4]
+    no_oracle = sorted(n for n in QUERIES if n not in ORACLES)
+    assert len(no_oracle) >= 2, "fixture needs two rows-only queries"
+    stale, fresh = no_oracle[0], no_oracle[1]
+    names = oracled + [stale, fresh, "q_never_green_fake"]
+
+    def row(name, rnd):
+        if name in ORACLES:
+            return {"hash_match": True, "spark_rows": 1, "err": None}
+        return {"hash_match": None, "spark_rows": 1, "err": "no_oracle"}
+
+    # history: everything green in round 2; fresh rows-only re-greened
+    # in round 9; current round is 10 → stale's age 8 >= AGE, fresh's 1
+    for rnd, greens in ((2, oracled + [stale, fresh]), (9, oracled + [fresh]), (10, oracled)):
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps({n: row(n, rnd) for n in greens})
+        )
+    order = E._coverage_rotation_order(names, art_dir=str(tmp_path))
+    # never-green strictly first
+    assert order[0] == "q_never_green_fake"
+    # the stale rows-only green resurfaces into the main rotation —
+    # with last_green=2 it outranks every r9/r10-green oracled row
+    assert order[1] == stale
+    # the freshly-refreshed rows-only row stays parked at the back
+    assert order[-1] == fresh
