@@ -30,7 +30,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_druid_hourly_dashboard(spark, "/root/testdata/sf0.001")
 
 
-def _coverage_rotation_order(names: list[str], art_dir: str | None = None) -> list[str]:
+def _touched_rows_only() -> set[str]:
+    """Rows-only queries whose defining module (or anything it
+    transitively imports) changed since the previous round's bench
+    commit — their last rows-only green certifies OLD code, so they
+    must not stay parked (round 15: the sketch queries gained in-plan
+    self-certification and needed a same-round re-gate). Reuses the
+    bench A/B's import-closure machinery; any failure (no git, no
+    baseline) degrades to 'nothing touched'."""
+    try:
+        from tools.bench_ab import previous_round_baseline, touched_queries
+
+        base = previous_round_baseline()
+        if base is None:
+            return set()
+        touched = touched_queries(
+            base[1], {q: fn.__module__ for q, fn in QUERIES.items()}
+        )
+        return {n for n in touched if n not in ORACLES}
+    except Exception:  # noqa: BLE001 - a rotation heuristic, never fatal
+        return set()
+
+
+def _coverage_rotation_order(
+    names: list[str],
+    art_dir: str | None = None,
+    touched: set[str] | None = None,
+) -> list[str]:
     """Order queries so the driver's bounded gate window (≈50 per
     round) lands on the rows that most need a driver-verified green:
     first queries NEVER green in any past CORRECTNESS_r*.json (new this
@@ -52,7 +78,11 @@ def _coverage_rotation_order(names: list[str], art_dir: str | None = None) -> li
     main rotation for one refreshing gate, keeping the driver-side
     rows/schema fact current on a bounded cadence. A BRAND NEW
     no-oracle query still gates once (never-green tier) for its first
-    rows-only check."""
+    rows-only check. And a rows-only green is also stale the moment its
+    CODE changes (round 15): queries in ``touched`` — defaulting to
+    :func:`_touched_rows_only`'s import-closure diff against the
+    previous round's bench commit — unpark immediately, because their
+    last green certifies a module that no longer exists."""
     import glob
     import json
     import re
@@ -84,20 +114,31 @@ def _coverage_rotation_order(names: list[str], art_dir: str | None = None) -> li
                         last_green[name] = max(last_green.get(name, 0), rnum)
         except Exception:
             continue
+    if touched is None:
+        touched = _touched_rows_only()
+
     def parked(n: str) -> int:
         # rows-only rows park behind oracled rows ONLY while their
-        # last rows-green is fresh; a stale one resurfaces for a refresh
+        # last rows-green is fresh AND their code is unchanged; a stale
+        # or code-touched one resurfaces for a refreshing gate
         return int(
             n not in ORACLES
+            and n not in touched
             and cur_round - last_green.get(n, 0) < _ROWS_ONLY_REFRESH_AGE
         )
+
+    def recency(n: str) -> int:
+        # a code-touched query's green certifies a module that no
+        # longer exists — void its recency so it re-enters the bounded
+        # gate window THIS round, not whenever its round number ages out
+        return 0 if n in touched else last_green.get(n, 0)
 
     return sorted(
         names,
         key=lambda n: (
             min(green.get(n, 0), 1),  # never-green strictly first
             parked(n),
-            last_green.get(n, 0),
+            recency(n),
             green.get(n, 0),
             seen.get(n, 0),
             n,

@@ -60,7 +60,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,7 +160,15 @@ class EpochStoreBase(MetaStoreBase):
       drive the incremental fold's LSM full-upgrade decision
     - :meth:`_fold_collapse`: per-sink fold rewrite hook (identity by
       default; the dedup store collapses its cumulative count sidecar)
-    """
+
+    Every layout carries the shared ``hwm`` sink — one
+    ``max_doc_id`` row per committed epoch, the persisted doc-id
+    high-water mark that makes the monotone-ingest contract ENFORCED
+    rather than documented (VERDICT r14 #1): keep-first decisions in
+    both stores assume every batch's doc ids exceed all committed ones,
+    and :func:`_guard_and_publish_watermark` raises IN-PLAN when a
+    batch violates it. The fold collapses the sink to its running max
+    (read-equivalent: every consumer only ever takes ``max``)."""
 
     _SINKS: tuple[str, ...] = ()
     _SINK_BKT: dict[str, str] = {}
@@ -189,7 +196,11 @@ class EpochStoreBase(MetaStoreBase):
     def _fold_collapse(self, sink: str, df: DataFrame) -> DataFrame:
         """Fold-time rewrite hook for one sink's covered epoch range —
         must be READ-EQUIVALENT for every consumer of the sink. The
-        default keeps rows as-is (a pure relayout)."""
+        default keeps rows as-is (a pure relayout), except the shared
+        watermark sidecar, which collapses to its running max (every
+        reader only ever takes ``max(max_doc_id)``)."""
+        if sink == "hwm":
+            return df.agg(F.max("max_doc_id").alias("max_doc_id"))
         return df
 
 
@@ -198,7 +209,7 @@ class DedupIngestStore(EpochStoreBase):
 
     _KIND = "dedup-ingest store"
     _INIT_FN = "init_dedup_ingest_store"
-    _SINKS = ("decisions", "bands_idx", "counts", "docstore")
+    _SINKS = ("decisions", "bands_idx", "counts", "docstore", "hwm")
     # lookup-key bucket column per sink (absent = no pruned lookups)
     _SINK_BKT = {"bands_idx": "bkt", "counts": "bkt", "docstore": "dbkt"}
     # range-partition salt per bucketed sink (see EpochStoreBase)
@@ -212,6 +223,7 @@ class DedupIngestStore(EpochStoreBase):
         "bands_idx": "doc_id long, band int, band_key string, rk long",
         "counts": "band int, band_key string, n long",
         "docstore": "doc_id long, text string",
+        "hwm": "max_doc_id long",
     }
     _REP_SINK = "bands_idx"
 
@@ -231,6 +243,10 @@ class DedupIngestStore(EpochStoreBase):
     def docstore(self) -> str:
         return self._sink("docstore")
 
+    @property
+    def hwm(self) -> str:
+        return self._sink("hwm")
+
     def _fold_collapse(self, sink: str, df: DataFrame) -> DataFrame:
         if sink == "counts":
             # the sidecar keeps one CUMULATIVE row per (band, band_key)
@@ -242,7 +258,7 @@ class DedupIngestStore(EpochStoreBase):
             # grows O(epochs) per touched bucket on a long-running
             # trickle (ADVICE r10)
             return df.groupBy("band", "band_key", "bkt").agg(F.max("n").alias("n"))
-        return df
+        return super()._fold_collapse(sink, df)
 
 
 def _seed_sink(
@@ -370,6 +386,69 @@ def _write_epoch(
     if bkt_col is not None:
         writer = writer.partitionBy(bkt_col)
     writer.parquet(os.path.join(path, f"batch_id={int(eid)}"))
+
+
+def _guard_and_publish_watermark(
+    batch: DataFrame, path: str, eid: int, store: EpochStoreBase
+) -> None:
+    """Enforce the monotone-ingest contract and publish this epoch's
+    doc-id high-water mark — the EPOCH'S FIRST ACTION, one 1×1-row job
+    (VERDICT r14 #1). Keep-first decisions in both epoch stores assume
+    every batch's doc ids exceed all committed ones (the crawl-shard
+    contract); a shard replayed out of order or an id reused across
+    crawls would silently flip which occurrence is "first", and the
+    hash gate cannot catch it because the oracle replays the same
+    ordered fixture. So the contract is checked IN-PLAN (the same loud
+    ``raise_error`` pattern as ``queries.curation._packed_pos``):
+    the batch's min doc_id joins the committed watermark — ``max`` over
+    the prior ``hwm`` sink, partition-pruned to ``batch_id < eid`` so a
+    crash-replayed epoch never sees its own attempt — and the epoch's
+    new watermark row only materializes through a ``when`` whose else
+    branch raises. A violation therefore aborts the epoch before ANY
+    other sink is written.
+
+    Replay safety falls out of the epoch machinery: the write is the
+    standard per-epoch static-overwrite partition, and a deliberate
+    rebuild-from-source replay (``allow_refolded_replay=True``, eid at
+    or below the fold frontier) sees only watermark rows with
+    ``batch_id < eid`` — after a fold that set is empty, so the replay
+    passes vacuously, exactly mirroring the prior-state view its data
+    reads get."""
+    spark = batch.sparkSession
+    prior_wm = _prior(spark, path, eid, fs=store.fs).agg(
+        F.max("max_doc_id").alias("_wm")
+    )
+    err = F.concat(
+        F.lit(
+            f"{store._KIND} at {store.base}: out-of-order ingest — "
+            f"epoch {int(eid)}'s min doc_id "
+        ),
+        F.col("_mn").cast("string"),
+        F.lit(" <= committed doc-id watermark "),
+        F.col("_wm").cast("string"),
+        F.lit(
+            "; keep-first decisions assume every batch's doc ids "
+            "exceed all committed ones (the crawl-shard contract), so "
+            "an out-of-order shard or a reused id would silently flip "
+            "which occurrence is kept. Re-key the shard above the "
+            "watermark, or rebuild the store from source in id order."
+        ),
+    )
+    guarded = (
+        batch.agg(
+            F.min("doc_id").alias("_mn"), F.max("doc_id").alias("max_doc_id")
+        )
+        .crossJoin(F.broadcast(prior_wm))
+        .select(
+            F.when(
+                F.col("_wm").isNull() | (F.col("_mn") > F.col("_wm")),
+                F.col("max_doc_id"),
+            )
+            .otherwise(F.raise_error(err).cast("long"))
+            .alias("max_doc_id")
+        )
+    )
+    _write_epoch(guarded.coalesce(1), path, eid, None)
 
 
 def dedup_ingest_batch(
@@ -526,6 +605,13 @@ def _dedup_ingest_batch_locked(
     if gen_dir is None:
         gen_dir = os.path.join(store.base, store.current_generation())
     sink = {name: os.path.join(gen_dir, name) for name in store._SINKS}
+
+    # the epoch's FIRST action: enforce the monotone-ingest contract
+    # in-plan and publish this epoch's doc-id watermark — a violating
+    # batch aborts here, before any data sink is written
+    _guard_and_publish_watermark(batch, sink["hwm"], eid, store)
+    if fail_after == "hwm":
+        raise RuntimeError("injected crash after watermark publish")
 
     bands = minhash_signatures(batch).select(
         "doc_id",
@@ -1057,7 +1143,9 @@ def stage_ordered_chunks(
     ascending doc_id ranges with ascending mtimes, so the file source
     streams them in id order (the crawl-shard arrival contract the
     batch oracle's full-corpus replay assumes). Returns (base, src)."""
-    base = tempfile.mkdtemp(prefix="dedup_ingest_")
+    from data_pipeline_with_big_data_stack_spark.session import scratch_dir
+
+    base = scratch_dir("dedup_ingest_")
     src = os.path.join(base, "src")
     os.makedirs(src)
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()

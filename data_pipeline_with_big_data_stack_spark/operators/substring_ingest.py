@@ -31,7 +31,12 @@ only the index grows. Every micro-batch:
 **Batch-boundary independence (the correctness contract).** A window's
 global first occurrence is its min packed position; positions grow with
 doc id and ids arrive monotone, so every keep/remove decision depends
-only on already-arrived data. The drained decisions therefore equal the
+only on already-arrived data. Monotonicity is ENFORCED, not assumed
+(VERDICT r14 #1): every epoch's first action checks the batch's min
+doc id against the store's persisted per-epoch doc-id watermark (the
+shared ``hwm`` sink) and raises in-plan on violation — an out-of-order
+crawl shard aborts loudly instead of silently flipping keep-first
+decisions (`dedup_ingest._guard_and_publish_watermark`). The drained decisions therefore equal the
 batch operator's full-corpus result for ANY chunking of the stream, and
 the registry twin (``q_stream_exact_substring_dedup``) gates against
 the SAME full-corpus DuckDB replay
@@ -87,6 +92,7 @@ from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
     EpochStoreBase,
     _compact_into_new_generation,
     _direct_epoch_checks,
+    _guard_and_publish_watermark,
     _init_epoch_store,
     _prior,
     _refuse_direct_driven,
@@ -95,13 +101,14 @@ from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
 
 
 class SubstringIngestStore(EpochStoreBase):
-    """Two-sink generation-versioned store (per-doc span DECISIONS +
-    the accumulated window-fingerprint index). Layout drives the shared
-    seed/init/fold engine — see :class:`dedup_ingest.EpochStoreBase`."""
+    """Generation-versioned store: per-doc span DECISIONS, the
+    accumulated window-fingerprint index, and the shared doc-id
+    watermark sidecar. Layout drives the shared seed/init/fold engine —
+    see :class:`dedup_ingest.EpochStoreBase`."""
 
     _KIND = "substring-ingest store"
     _INIT_FN = "init_substring_store"
-    _SINKS = ("decisions", "windows_idx")
+    _SINKS = ("decisions", "windows_idx", "hwm")
     _SINK_BKT = {"windows_idx": "bkt"}
     # second fold range-key: the independent second hash lane spreads
     # an oversized bucket across size-bounded files uniformly
@@ -112,6 +119,7 @@ class SubstringIngestStore(EpochStoreBase):
             "removed_tokens long, kept_tokens long"
         ),
         "windows_idx": "w1 long, w2 long",
+        "hwm": "max_doc_id long",
     }
     _REP_SINK = "windows_idx"
 
@@ -206,6 +214,13 @@ def _substring_ingest_batch_locked(
     if gen_dir is None:
         gen_dir = os.path.join(store.base, store.current_generation())
     sink = {name: os.path.join(gen_dir, name) for name in store._SINKS}
+    # the epoch's FIRST action: enforce the monotone-ingest contract
+    # in-plan and publish this epoch's doc-id watermark — a violating
+    # batch aborts here, before any data sink is written
+    # (`dedup_ingest._guard_and_publish_watermark`, VERDICT r14 #1)
+    _guard_and_publish_watermark(batch, sink["hwm"], eid, store)
+    if fail_after == "hwm":
+        raise RuntimeError("injected crash after watermark publish")
     base, c = substring_windows(batch.select("doc_id", "text"), k)
     # PERSIST the exploded/fingerprinted windows and the index-joined
     # firsts: the epoch runs three separate actions (touched-bucket

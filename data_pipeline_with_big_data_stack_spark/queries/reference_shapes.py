@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.plans.sql_shim import druid_sql
 from data_pipeline_with_big_data_stack_spark.queries import query
-from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.session import prepare_session, scratch_dir
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 
@@ -199,12 +199,11 @@ def q_druid_search_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_druid_topn_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
 
     e = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="rollup_topn_") + "/store"
+    path = scratch_dir("rollup_topn_") + "/store"
     RM.build_rollup(e, path)
     r = spark.read.parquet(path)
     return (

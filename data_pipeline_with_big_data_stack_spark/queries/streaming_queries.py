@@ -18,14 +18,13 @@ state, which IS deterministic, and keeps a full oracle too.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark import streaming
 from data_pipeline_with_big_data_stack_spark.queries import query
-from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.session import prepare_session, scratch_dir
 
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +76,7 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming.run_available_now(
         agg,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_hourly_"),
+        checkpoint=scratch_dir("ckpt_hourly_"),
         output_mode="complete",
     )
     return out.select("window_start", "event_type", "n_events", "total_value")
@@ -99,7 +98,7 @@ def q_stream_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame
     run = streaming.running_totals(st, "user_id", "value")
     drained = streaming.run_available_now(
         run,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_run_"),
+        checkpoint=scratch_dir("ckpt_run_"),
         output_mode="update",
     )
     # update-mode emissions are cumulative per key; the final state per
@@ -152,7 +151,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming.run_available_now(
         agg,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_sess_"),
+        checkpoint=scratch_dir("ckpt_sess_"),
         output_mode="complete",
     )
     return out.select("user_id", "session_start", "session_end", "n_events")
@@ -197,7 +196,7 @@ def q_stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming.run_available_now(
         agg,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_slide_"),
+        checkpoint=scratch_dir("ckpt_slide_"),
         output_mode="complete",
     )
     return out.select("window_start", "window_end", "n_events", "total_value")
@@ -224,7 +223,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
                                    watermark="1 hour")
     out = streaming.run_available_now(
         dedup,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_dedup_"),
+        checkpoint=scratch_dir("ckpt_dedup_"),
         output_mode="append",
     )
     return out.select("event_id", "event_type", F.round("value", 4).alias("value"))
@@ -278,7 +277,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming.run_available_now(
         joined,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_ssj_"),
+        checkpoint=scratch_dir("ckpt_ssj_"),
         output_mode="append",
     )
     return out.select(
@@ -320,7 +319,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("user_nation"),
             F.round("value", 4).alias("value"),
         ),
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_ss_"),
+        checkpoint=scratch_dir("ckpt_ss_"),
         output_mode="append",
     )
     return out
@@ -350,7 +349,7 @@ def q_stream_user_profile_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof = streaming.user_profile_stats(st, "user_id", "value", "event_type")
         drained = streaming.run_available_now(
             prof,
-            checkpoint=tempfile.mkdtemp(prefix="ckpt_twstate_"),
+            checkpoint=scratch_dir("ckpt_twstate_"),
             output_mode="update",
         )
     finally:
@@ -402,7 +401,7 @@ def q_stream_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     mg = streaming.stream_frequent_items(st, "event_type", "user_id", k=4096)
     drained = streaming.run_available_now(
         mg,
-        checkpoint=tempfile.mkdtemp(prefix="ckpt_freq_"),
+        checkpoint=scratch_dir("ckpt_freq_"),
         output_mode="update",
     )
     # update-mode emissions are cumulative; n_seen is monotone per key,
@@ -457,8 +456,8 @@ def q_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
 
     st = _events_stream_dir(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="rollup_stream_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_stream_")
+    path = scratch_dir("rollup_stream_")
+    ckpt = scratch_dir("ckpt_rollup_stream_")
     q = (
         st.writeStream.foreachBatch(
             # epoch id as batch_id → the staged-publish exactly-once
@@ -507,7 +506,7 @@ def q_stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir, rebalance=True)
     model = nb_train_quality_model(d)  # frozen before the stream starts
-    base = tempfile.mkdtemp(prefix="nb_stream_")
+    base = scratch_dir("nb_stream_")
     src = base + "/src"
     d.select("doc_id", "text").repartition(4).write.parquet(src)
     sink = base + "/scored"

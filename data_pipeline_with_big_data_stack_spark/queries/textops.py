@@ -23,7 +23,7 @@ from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import
     round4_ratio as _r4,
 )
 from data_pipeline_with_big_data_stack_spark.queries import query
-from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.session import prepare_session, scratch_dir
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 # Tiny in-query stopword sets for the language-ID heuristic. Real corpora
@@ -730,7 +730,6 @@ def q_doc_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from data_pipeline_with_big_data_stack_spark.operators.dedup_index import (
@@ -741,7 +740,7 @@ def q_dedup_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir, rebalance=True)
     tbl = f"dedup_idx_{uuid.uuid4().hex[:12]}"
-    out = tempfile.mkdtemp(prefix="dedup_index_") + "/pairs"
+    out = scratch_dir("dedup_index_") + "/pairs"
     build_minhash_index(d, tbl)
     try:
         ver = verify_jaccard(candidate_pairs(spark.table(tbl)), d, threshold=0.8)

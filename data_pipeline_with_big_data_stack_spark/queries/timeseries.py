@@ -25,7 +25,7 @@ from data_pipeline_with_big_data_stack_spark.operators.rollup_maintenance import
     round_ratio as _RM_rr,
 )
 from data_pipeline_with_big_data_stack_spark.queries import query
-from data_pipeline_with_big_data_stack_spark.session import prepare_session
+from data_pipeline_with_big_data_stack_spark.session import prepare_session, scratch_dir
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 
@@ -668,7 +668,6 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
 
@@ -684,7 +683,7 @@ def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     inc_b = e.filter(
         (F.to_date("ts") >= F.date_add(cutoff, 5)) | late_held_back
     )
-    path = tempfile.mkdtemp(prefix="rollup_maint_")
+    path = scratch_dir("rollup_maint_")
     RM.build_rollup(initial, path)
     RM.apply_increment(spark, path, inc_a)
     RM.apply_increment(spark, path, inc_b)
@@ -722,12 +721,11 @@ def q_rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     """,
 )
 def q_rollup_served_daily_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
 
     e = _events(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="rollup_serve_")
+    path = scratch_dir("rollup_serve_")
     RM.build_rollup(e, path)
     return RM.serve_rollup(spark, path, grain="day", dims=("event_type",))
 
@@ -754,12 +752,11 @@ def q_rollup_served_daily_dashboard(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def q_rollup_served_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
 
     e = _events(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="rollup_serve_hll_")
+    path = scratch_dir("rollup_serve_hll_")
     RM.build_rollup(e, path)
     served = RM.serve_rollup(
         spark, path, grain="day", dims=("event_type",), with_distinct=True
@@ -798,7 +795,6 @@ def q_rollup_served_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def q_rollup_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators import rollup_maintenance as RM
 
@@ -806,7 +802,7 @@ def q_rollup_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_cohort", (F.col("user_id") % 5).cast("long")
     )
     cutoff = F.col("ts") >= F.lit("2024-01-15").cast("timestamp")
-    path = tempfile.mkdtemp(prefix="rollup_evolve_") + "/store"
+    path = scratch_dir("rollup_evolve_") + "/store"
     RM.build_rollup(e.filter(~cutoff), path, dims=("event_type",))
     RM.apply_increment(
         spark,

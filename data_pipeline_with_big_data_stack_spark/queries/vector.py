@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_big_data_stack_spark.operators.bucketing import capped_buckets
 from data_pipeline_with_big_data_stack_spark.queries import query
-from data_pipeline_with_big_data_stack_spark.session import materialize, prepare_session
+from data_pipeline_with_big_data_stack_spark.session import materialize, prepare_session, scratch_dir
 from data_pipeline_with_big_data_stack_spark.tables import load_table
 
 N_QUERY_VECS = 5  # vec_id < 5 are the probe vectors
@@ -998,7 +998,6 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("q_ann_ivfpq_index_search", oracle=_IVFPQ_ORACLE)
 def q_ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         build_ivfpq_index,
@@ -1008,7 +1007,7 @@ def q_ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
     coarse = _km_demo_init(e, _K_CELLS)
-    path = tempfile.mkdtemp(prefix="ivfpq_index_") + "/index"
+    path = scratch_dir("ivfpq_index_") + "/index"
     build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
     probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
@@ -1029,6 +1028,11 @@ def q_ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replay kept to rn <= m, exact-cosined on the raw vectors, re-ranked.
 # --------------------------------------------------------------------------
 _RERANK_M = 4 * TOP_K  # ADC shortlist size per probe
+# above this many distinct shortlist ids the exact stage switches from
+# a pushed In-filter scan to a broadcast LeftSemi join (see the
+# switchover comment in q_ann_ivfpq_rerank_topk); ~1k In-list terms is
+# where parquet predicate evaluation and plan size start to dominate
+_RERANK_IN_MAX = 1000
 _IVFPQ_FINAL_SELECT = "SELECT q_id, vec_id, cell_id, adc_dist FROM ("
 assert _IVFPQ_FINAL_SELECT in _IVFPQ_ORACLE
 _IVFPQ_RERANK_ORACLE = (
@@ -1063,7 +1067,6 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-probe-batch serving working set) — so the exact stage's
     embeddings scan carries a pushed ``In(vec_id, ...)`` filter and the
     shortlist/probe joins are broadcasts: no corpus rescan, no shuffle."""
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         build_ivfpq_index,
@@ -1073,7 +1076,7 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
     coarse = _km_demo_init(e, _K_CELLS)
-    path = tempfile.mkdtemp(prefix="ivfpq_rerank_") + "/index"
+    path = scratch_dir("ivfpq_rerank_") + "/index"
     build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
     probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
@@ -1092,9 +1095,26 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r.q_id), int(r.vec_id)) for r in short_rows],
         "q_id long, vec_id long",
     )
+    # In-list → broadcast-semi-join switchover (VERDICT r14 #8): a
+    # pushed In(vec_id, ...) filter reaches parquet row-group stats and
+    # is the fastest path for a small shortlist, but the predicate
+    # itself is O(ids) per row-group evaluation and bloats the plan at
+    # production m·k (thousands of probes per batch). Above the
+    # threshold the scan filters via LeftSemi against the broadcast
+    # shortlist instead — same rows read per partition-pruned file,
+    # O(1) hash probe per row, no plan-size blowup. The gate fixture
+    # (100 ids) exercises the In branch; the semi branch carries the
+    # same result contract (tests/test_ann_index.py pins equality).
+    if len(ids) <= _RERANK_IN_MAX:
+        scanned = e.filter(F.col("vec_id").isin(ids))  # pushed In filter
+    else:
+        scanned = e.join(
+            F.broadcast(short.select("vec_id").distinct()),
+            "vec_id",
+            "left_semi",
+        )
     exact = (
-        e.filter(F.col("vec_id").isin(ids))  # pushed In → shortlist rows only
-        .join(F.broadcast(short), "vec_id")
+        scanned.join(F.broadcast(short), "vec_id")
         .join(F.broadcast(probes), "q_id")
         .select(
             "q_id",
@@ -1134,7 +1154,6 @@ _IVFPQ_EXPIRE_ORACLE = _IVFPQ_ORACLE.replace(
 
 @query("q_ann_ivfpq_index_expire", oracle=_IVFPQ_EXPIRE_ORACLE)
 def q_ann_ivfpq_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         build_ivfpq_index,
@@ -1145,7 +1164,7 @@ def q_ann_ivfpq_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
     coarse = _km_demo_init(e, _K_CELLS)
-    path = tempfile.mkdtemp(prefix="ivfpq_expire_") + "/index"
+    path = scratch_dir("ivfpq_expire_") + "/index"
     build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
     expire_vectors(
         spark, path, predicate=(F.col("vec_id") % _EXPIRE_MOD) == _EXPIRE_RES
@@ -1171,7 +1190,6 @@ def q_ann_ivfpq_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("q_stream_ann_ivfpq_ingest", oracle=_IVFPQ_ORACLE)
 def q_stream_ann_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         append_to_ivfpq_index,
@@ -1182,7 +1200,7 @@ def q_stream_ann_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
     coarse = _km_demo_init(e, _K_CELLS)
-    base = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    base = scratch_dir("ivfpq_stream_")
     path = base + "/index"
     # empty build = codebook sidecars + partition root; data arrives via
     # the stream
@@ -1383,7 +1401,6 @@ _IVFPQ_RETRAIN_ORACLE = f"""
 
 @query("q_ann_ivfpq_index_retrain", oracle=_IVFPQ_RETRAIN_ORACLE)
 def q_ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         build_ivfpq_index,
@@ -1401,7 +1418,7 @@ def q_ann_ivfpq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", F.slice("emb", _PQ_SUB + 1, _PQ_SUB).alias("emb")),
         _PQ_K,
     ).withColumnRenamed("cb", "cb1")
-    path = tempfile.mkdtemp(prefix="ivfpq_retrain_") + "/index"
+    path = scratch_dir("ivfpq_retrain_") + "/index"
     build_ivfpq_index(e, path, _km_demo_init(e, _K_CELLS), [cb0, cb1], sub_dim=_PQ_SUB)
     retrain_ivfpq_index(spark, path, e, k_coarse=_K_CELLS, k_pq=_PQ_K)
     probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -1440,7 +1457,6 @@ def q_ann_ivfpq_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
     wholesale by the retrain (a fresh deterministic build over the live
     = surviving ids), so the DuckDB oracle is the in-place twin's
     full-trajectory replay restricted to the survivors."""
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index_versioned import (
         append_ivfpq_versioned,
@@ -1461,7 +1477,7 @@ def q_ann_ivfpq_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
         e.select("vec_id", F.slice("emb", _PQ_SUB + 1, _PQ_SUB).alias("emb")),
         _PQ_K,
     ).withColumnRenamed("cb", "cb1")
-    root = tempfile.mkdtemp(prefix="ivfpq_versioned_") + "/root"
+    root = scratch_dir("ivfpq_versioned_") + "/root"
     build_ivfpq_versioned(
         half, root, _km_demo_init(e, _K_CELLS), [cb0, cb1], sub_dim=_PQ_SUB
     )
@@ -1577,7 +1593,6 @@ _IVFPQ_RECALL_ORACLE = f"""
 
 @query("q_ann_ivfpq_recall_monitor", oracle=_IVFPQ_RECALL_ORACLE)
 def q_ann_ivfpq_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         build_ivfpq_index,
@@ -1587,7 +1602,7 @@ def q_ann_ivfpq_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cb0, cb1 = _pq_train_codebooks(e)
     coarse = _km_demo_init(e, _K_CELLS)
-    path = tempfile.mkdtemp(prefix="ivfpq_recall_") + "/index"
+    path = scratch_dir("ivfpq_recall_") + "/index"
     build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
     rec = estimate_ivfpq_recall(
         spark, path, e, n_probes=_RECALL_N_PROBES, k=TOP_K, nprobe=_NPROBE

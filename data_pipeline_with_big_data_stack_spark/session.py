@@ -9,9 +9,31 @@ session time so event-time semantics are engine-independent.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Session-scoped scratch directory for queries that materialize a
+    store/index/checkpoint as part of their oracle-replay shape. All
+    scratch lands under ONE per-process root removed at interpreter
+    exit (ADVICE r14: per-invocation ``tempfile.mkdtemp`` leaked an
+    ivfpq_rerank_* dir into /tmp on every gate/bench run, and the same
+    accretion pattern ran across the whole IVF-PQ / rollup / streaming
+    query family). Cleanup is at EXIT, not per query, because callers
+    return lazy DataFrames that read the directory only when the
+    harness collects them."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 # Runtime-settable confs we also re-assert on externally provided sessions
 # (the driver harness hands us its own SparkSession).

@@ -961,3 +961,21 @@ def test_rerank_exact_stage_reads_shortlist_rows_only(spark):
     # cosine among its shortlist) is value-gated by the DuckDB oracle;
     # here pin only the shape the gate can't see: the pushed filter
     # above and the per-probe k bound
+
+
+def test_rerank_semi_join_branch_equals_in_list_branch(spark, monkeypatch):
+    """Round 15 (VERDICT r14 #8): above _RERANK_IN_MAX distinct
+    shortlist ids the exact re-rank stage switches from the pushed
+    In-filter scan to a broadcast LeftSemi join (an In predicate is
+    O(ids) per row-group at production m·k). Forcing the switchover at
+    the fixture scale must yield the identical result set, and the
+    semi-branch plan must carry a broadcast join, not a shuffle."""
+    from data_pipeline_with_big_data_stack_spark.queries import vector as V
+    from tests.conftest import SF_SMOKE
+
+    base = sorted(map(tuple, V.q_ann_ivfpq_rerank_topk(spark, SF_SMOKE).collect()))
+    monkeypatch.setattr(V, "_RERANK_IN_MAX", 0)  # force the semi branch
+    df = V.q_ann_ivfpq_rerank_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert sorted(map(tuple, df.collect())) == base

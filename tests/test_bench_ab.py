@@ -121,3 +121,80 @@ def test_reference_closure_follows_import_edges_only():
     # dedup_ingest MENTIONS substring_ingest in its docstring but does
     # not import it — must not join
     assert f"{_PKG}/operators/dedup_ingest.py" not in c
+
+
+def test_soft_cap_never_drops_touched_movers():
+    """ADVICE r14: with 5+ touched movers the old hard cap silently
+    dropped the overflow. The cap now bounds only the weighted fill —
+    every touched mover keeps its slot even when the block grows past
+    MAX_AB_QUERIES."""
+    current = {q: 0.5 for q in AB_ALWAYS}
+    baseline = {q: 0.5 for q in AB_ALWAYS}
+    for i, sec in enumerate((30.0, 29.0, 28.0)):  # top-cost, ratio 1.0
+        current[f"q_huge_{i}"] = sec
+        baseline[f"q_huge_{i}"] = sec
+    touched = set()
+    for i in range(6):  # 6 touched movers > the 4 slots the cap left
+        current[f"q_touched_{i}"] = 0.71
+        baseline[f"q_touched_{i}"] = 0.58
+        touched.add(f"q_touched_{i}")
+    for i in range(8):  # big untouched movers flooding the fill
+        current[f"q_big_mover_{i}"] = 13.0
+        baseline[f"q_big_mover_{i}"] = 10.0
+    picked = pick_movers(current, baseline, touched=touched)
+    for q in touched:
+        assert q in picked, f"touched mover {q} dropped by the cap"
+    # the fill itself still respects the cap: total = mandatory + fill
+    mandatory = len(AB_ALWAYS) + 3 + len(touched)
+    assert len(picked) <= max(mandatory, MAX_AB_QUERIES) + 0
+
+
+def test_phantom_single_pair_hiccup_suppressed_by_median():
+    """VERDICT r14 #2 reproduction: r14's kmeans phantom was ONE
+    old/new pair landing on a GC/JIT hiccup (1.845 s -> 4.949 s,
+    "2.682x") while the tree's true ratio was ~1.05. With 3 alternating
+    pairs the median ignores the hiccup pair entirely."""
+    from tools.bench_ab import inconsistency, summarize_pairs
+
+    pairs = [(1.845, 4.949), (1.9, 2.0), (1.85, 1.93)]  # pair 1 = hiccup
+    entry = summarize_pairs(pairs)
+    assert entry["pairs"] == 3
+    assert entry["ab_ratio"] < 1.3, entry  # median, not the 2.68 hiccup
+    # and even the hiccup-dominated entry self-reports: the pair spread
+    # exceeds the consistency bar
+    flag = inconsistency(entry, cold_sec=None)
+    assert flag is not None and "spread" in flag
+
+
+def test_phantom_flagged_against_same_session_cold():
+    """The r14 driver-run shape: a 1-pair heavy query whose new-tree
+    warm time (4.949 s) exceeded the same session's cold time (2.474 s)
+    — caching cannot explain warm > cold, so the entry must be marked
+    inconsistent rather than read as a 2.68x mover."""
+    from tools.bench_ab import inconsistency, summarize_pairs
+
+    entry = summarize_pairs([(1.845, 4.949)])
+    assert entry["ab_ratio"] > 2.6  # the phantom the raw pair reads
+    flag = inconsistency(entry, cold_sec=2.474)
+    assert flag is not None and "cold" in flag
+    # the normal case stays unflagged: warm below cold, stable pairs
+    ok = summarize_pairs([(1.9, 2.0), (1.85, 1.93), (1.95, 2.02)])
+    assert inconsistency(ok, cold_sec=2.474) is None
+
+
+def test_pair_count_tiers():
+    from tools.bench_ab import HEAVY_AB_SEC, MID_AB_SEC, n_pairs_for
+
+    assert n_pairs_for(0.4) == 3
+    assert n_pairs_for(None) == 3
+    assert n_pairs_for(MID_AB_SEC + 0.1) == 2
+    assert n_pairs_for(HEAVY_AB_SEC + 1) == 1
+
+
+def test_registry_change_detection_no_git_is_false():
+    """registry_changed degrades to False (unknown) when git diff
+    fails; with a real sha it reports __init__.py changes only. Here we
+    only pin the no-crash path against a bogus sha."""
+    from tools.bench_ab import registry_changed
+
+    assert registry_changed("not-a-sha") is False

@@ -530,8 +530,11 @@ def test_compact_folds_everything_on_direct_driven_store(spark, tmp_path):
     compactor must fold ALL of them into one partition and lose
     nothing."""
     store = DI.init_dedup_ingest_store(spark, str(tmp_path / "direct"))
-    docs = _small_docs(spark).collect()
-    quarters = [docs[i::4] for i in range(4)]
+    # contiguous id-range quarters: direct epochs honor the enforced
+    # monotone-ingest contract (the persisted doc-id watermark)
+    docs = sorted(_small_docs(spark).collect(), key=lambda r: r.doc_id)
+    n = len(docs)
+    quarters = [docs[n * i // 4 : n * (i + 1) // 4] for i in range(4)]
     for e, rows in enumerate(quarters):
         DI.dedup_ingest_batch(
             spark.createDataFrame(rows, "doc_id long, text string"), e, store
@@ -806,4 +809,43 @@ def test_prior_read_scan_drops_with_higher_n_bkt(spark, tmp_path):
     assert scanned[4] >= 4 * scanned[64], (
         f"bands-index prior-read rows did not drop with n_bkt: "
         f"4 buckets -> {scanned[4]} rows, 64 buckets -> {scanned[64]} rows"
+    )
+
+
+def test_monotone_ingest_watermark_enforced_on_dedup_store(spark, tmp_path):
+    """Round 15 (VERDICT r14 #1): the MinHash ingest store shares the
+    persisted doc-id watermark — a batch whose min id is at or below
+    the committed max raises in-plan as the epoch's FIRST action, so an
+    out-of-order crawl shard can never silently flip which doc a
+    keep-first decision points at. The refusal leaves every data sink
+    untouched, and the watermark survives a fold."""
+    store = DI.init_dedup_ingest_store(spark, str(tmp_path / "st"))
+    b0 = _tiny_batch(
+        spark, [(i, f"alpha beta gamma delta epsilon w{i}") for i in (5, 9)]
+    )
+    DI.dedup_ingest_batch(b0, 0, store)
+    for bad_id in (3, 9):  # strictly below, and equal (a reused id)
+        bad = _tiny_batch(spark, [(bad_id, "zeta eta theta iota kappa")])
+        with pytest.raises(Exception, match="out-of-order ingest"):
+            DI.dedup_ingest_batch(bad, 1, store)
+        for s in ("decisions", "bands_idx", "counts", "docstore"):
+            n = spark.read.parquet(getattr(store, s)).filter("batch_id = 1").count()
+            assert n == 0, f"aborted epoch leaked {n} rows into {s}"
+    DI.compact_dedup_ingest_store(spark, store)
+    assert (
+        spark.read.parquet(store.hwm).agg(_F.max("max_doc_id")).head()[0] == 9
+    )
+    # post-fold epochs use ids ABOVE the fold frontier (the aborted
+    # epoch's partial dir advanced it to 1 — the frontier refusal is a
+    # separate, earlier guard); the watermark still enforces through
+    # the folded hwm partition
+    with pytest.raises(Exception, match="out-of-order ingest"):
+        DI.dedup_ingest_batch(
+            _tiny_batch(spark, [(2, "mu nu xi omicron pi")]), 2, store
+        )
+    DI.dedup_ingest_batch(
+        _tiny_batch(spark, [(10, "rho sigma tau upsilon phi")]), 2, store
+    )
+    assert (
+        spark.read.parquet(store.hwm).agg(_F.max("max_doc_id")).head()[0] == 10
     )

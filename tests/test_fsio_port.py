@@ -30,13 +30,18 @@ def _docs(spark, n=60, start=0):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _epoch_chunk(docs, e):
+    # contiguous 20-id ranges of the 60-doc fixture: direct epochs
+    # honor the enforced monotone-ingest contract (doc-id watermark)
+    return docs.filter(
+        (F.col("doc_id") >= 20 * e) & (F.col("doc_id") < 20 * (e + 1))
+    )
+
+
 def _ingest_three_epochs(spark, base, docs):
     store = DI.init_dedup_ingest_store(spark, base, n_bkt=4)
     for e in range(3):
-        chunk = docs.filter(
-            (F.col("doc_id") % 3 == e)
-        )
-        DI.dedup_ingest_batch(chunk, e, store)
+        DI.dedup_ingest_batch(_epoch_chunk(docs, e), e, store)
     return store
 
 
@@ -80,7 +85,7 @@ def test_direct_epoch_at_or_below_fold_frontier_refused(spark, tmp_path):
     store = _ingest_three_epochs(spark, str(tmp_path / "st"), docs)
     # pre-fold: same-id replay of a standing epoch is the blessed
     # idempotent pattern (the bench re-times eid with overwrite)
-    DI.dedup_ingest_batch(docs.filter(F.col("doc_id") % 3 == 2), 2, store)
+    DI.dedup_ingest_batch(_epoch_chunk(docs, 2), 2, store)
     DI.compact_dedup_ingest_store(spark, store)  # folds 0..2 into batch_id=2
     before = sorted(
         map(tuple, spark.read.parquet(store.docstore).drop("batch_id").collect())
@@ -97,7 +102,7 @@ def test_direct_epoch_at_or_below_fold_frontier_refused(spark, tmp_path):
     DI.dedup_ingest_batch(_docs(spark, n=2, start=900), 3, store)
     # explicit opt-out for a deliberate pre-fold replay
     DI.dedup_ingest_batch(
-        docs.filter(F.col("doc_id") % 3 == 2), 2, store, allow_refolded_replay=True
+        _epoch_chunk(docs, 2), 2, store, allow_refolded_replay=True
     )
 
 

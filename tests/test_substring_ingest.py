@@ -359,3 +359,116 @@ def test_direct_epoch_refusals_on_substring_store(spark, tmp_path):
     _b2, src2 = stage_ordered_chunks(spark, docs, n_chunks=2)
     with pytest.raises(RuntimeError, match="direct-driven"):
         SI.run_substring_ingest_stream(spark, src2, direct)
+
+
+# --------------------------------------------------------------------------
+# Monotone-ingest watermark (round 15, VERDICT r14 #1): keep-first
+# decisions assume every batch's doc ids exceed all committed ones, and
+# the hash gate cannot catch a violation because the oracle replays the
+# same ordered fixture. The store persists a per-epoch max-doc-id
+# watermark (the shared `hwm` sink) and every epoch's FIRST action
+# checks the batch's min id against it IN-PLAN — an out-of-order crawl
+# shard aborts loudly before any data sink is written.
+# --------------------------------------------------------------------------
+
+
+def test_out_of_order_direct_epoch_raises_before_any_sink_write(spark, tmp_path):
+    """Red path: a batch whose min doc id is at or below the committed
+    watermark must raise in-plan, and the aborted epoch must leave NO
+    rows in either data sink (the guard is the epoch's first action)."""
+    store = SI.init_substring_store(spark, str(tmp_path / "st"), n_bkt=4)
+    good = spark.createDataFrame(
+        [(i, f"a b c d e f g h tail{i}") for i in range(10, 14)],
+        "doc_id long, text string",
+    )
+    SI.substring_ingest_batch(good, 0, store)
+    for bad_id in (7, 13):  # strictly below, and equal (a reused id)
+        bad = spark.createDataFrame(
+            [(bad_id, "q w e r t y u i o")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="out-of-order ingest"):
+            SI.substring_ingest_batch(bad, 1, store)
+        for s in ("decisions", "windows_idx"):
+            n = store.read(spark, s).filter("batch_id = 1").count()
+            assert n == 0, f"aborted epoch leaked {n} rows into {s}"
+    # monotone ingest continues normally after the refusal
+    SI.substring_ingest_batch(
+        spark.createDataFrame([(20, "n m b v c x z l k")], "doc_id long, text string"),
+        1,
+        store,
+    )
+    wm = store.read(spark, "hwm").agg(F.max("max_doc_id")).head()[0]
+    assert wm == 20
+
+
+def test_watermark_survives_fold(spark, tmp_path):
+    """The fold collapses the hwm sink to its running max (read-
+    equivalent), so the guard keeps enforcing across compactions."""
+    store = SI.init_substring_store(spark, str(tmp_path / "st"), n_bkt=4)
+    docs = spark.createDataFrame(
+        [(i, f"a b c d e f g h tail{i}") for i in range(10, 14)],
+        "doc_id long, text string",
+    )
+    SI.substring_ingest_batch(docs, 0, store)
+    SI.compact_substring_ingest_store(spark, store)
+    assert store.read(spark, "hwm").agg(F.max("max_doc_id")).head()[0] == 13
+    with pytest.raises(Exception, match="out-of-order ingest"):
+        SI.substring_ingest_batch(
+            spark.createDataFrame([(5, "z x c v b n m k j")],
+                                  "doc_id long, text string"),
+            1,
+            store,
+        )
+    SI.substring_ingest_batch(
+        spark.createDataFrame([(30, "p o i u y t r e w")],
+                              "doc_id long, text string"),
+        1,
+        store,
+    )
+    assert store.read(spark, "hwm").agg(F.max("max_doc_id")).head()[0] == 30
+
+
+def test_out_of_order_stream_shard_aborts_the_drain(spark, tmp_path):
+    """The streaming red path: chunk files staged with REVERSED
+    mtimes stream highest-ids-first, so the second micro-batch violates
+    the watermark — the drain must abort with the out-of-order error,
+    never silently flip keep-first decisions."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs = _small_docs(spark).filter(F.col("doc_id") < 40)
+    base, src = stage_ordered_chunks(spark, docs, n_chunks=2)
+    # invert arrival order: later-id chunk gets the OLDER mtime
+    chunks = sorted(os.listdir(src))
+    for i, name in enumerate(chunks):
+        t = 1_700_000_000 + (len(chunks) - 1 - i)
+        os.utime(os.path.join(src, name), (t, t))
+    store = SI.init_substring_store(spark, os.path.join(base, "store"))
+    with pytest.raises(StreamingQueryException, match="out-of-order ingest"):
+        SI.run_substring_ingest_stream(spark, src, store)
+
+
+def test_watermark_crash_replay_equals_single_run(spark, tmp_path):
+    """Crash injected right after the watermark publish (before any
+    data sink): the restart must replay the epoch idempotently and ALL
+    sinks — including the per-epoch watermark rows — must equal a
+    crash-free run's."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs = _small_docs(spark)
+    ref_store = _drain(spark, docs, tmp_path)
+    ref = {
+        s: sorted(tuple(r) for r in ref_store.read(spark, s).collect())
+        for s in ("decisions", "windows_idx", "hwm")
+    }
+    base, src = stage_ordered_chunks(spark, docs, n_chunks=4)
+    store = SI.init_substring_store(spark, os.path.join(base, "store"))
+    with pytest.raises(StreamingQueryException):
+        SI.run_substring_ingest_stream(
+            spark, src, store, fail_epoch=1, fail_after="hwm"
+        )
+    SI.run_substring_ingest_stream(spark, src, store)
+    got = {
+        s: sorted(tuple(r) for r in store.read(spark, s).collect())
+        for s in ("decisions", "windows_idx", "hwm")
+    }
+    assert got == ref

@@ -47,6 +47,18 @@ AB_ALWAYS = (
 )
 MOVER_RATIO = 1.2
 MAX_AB_QUERIES = 12
+# pair-count tiers (VERDICT r14 #2: a single alternating pair is still
+# a one-sample measurement — r14's driver run read a phantom 2.68× on
+# kmeans from one GC/JIT hiccup): cheap queries take the median of 3
+# alternating old/new pairs, mid-cost 2, and only the heavy family
+# keeps 1 pair (disclosed per-entry via "pairs")
+MID_AB_SEC = 2.0
+HEAVY_AB_SEC = 6.0
+# self-consistency bar: an ab new-tree time that exceeds the SAME
+# session's cold time by >1.3× cannot be a code property (warm ≤ cold
+# is the only direction caching explains) — flag, don't report as a
+# mover; same bar for the spread between a query's own pair ratios
+CONSISTENCY_RATIO = 1.3
 # the N most expensive queries this round are ALWAYS A/B'd (VERDICT r12
 # #3: r12's biggest absolute cost, a 15 s query at raw 1.3×, was crowded
 # out of the fill by sub-second 1.6× movers)
@@ -115,6 +127,28 @@ def _reference_closure(changed_files: set[str]) -> set[str]:
         if grown == changed:
             return changed
         changed = grown
+
+
+def registry_changed(sha: str) -> bool:
+    """True when a package ``__init__.py`` changed since ``sha`` —
+    registry-level files (the ``@query`` decorator and re-export hubs in
+    ``queries/__init__.py``) are deliberately EXCLUDED from the import
+    closure (everything imports the registry, so letting them propagate
+    would mark every query), which means a registry change used to
+    yield a silently empty touched set (ADVICE r14). The flag is
+    recorded in the ab block instead: "every query is potentially
+    touched this round"."""
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", sha, "--", _PKG],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    except Exception:  # noqa: BLE001 - no git → unknown, report False
+        return False
+    return any(f.endswith("__init__.py") for f in diff)
 
 
 def touched_queries(sha: str, modules: dict[str, str]) -> set[str]:
@@ -190,15 +224,20 @@ def previous_round_baseline() -> tuple[int, str, dict] | None:
 def pick_movers(
     current: dict, baseline: dict, touched: set[str] | None = None
 ) -> list[str]:
-    """Queries to A/B, capped at MAX_AB_QUERIES: the always-A/B family,
-    then the TOP_COST_AB most expensive queries this round (the biggest
-    absolute cost must never escape attribution), then TOUCHED movers —
-    queries whose module changed since the baseline AND whose raw ratio
-    crossed MOVER_RATIO get guaranteed slots ahead of the weighted fill
+    """Queries to A/B: the always-A/B family, then the TOP_COST_AB most
+    expensive queries this round (the biggest absolute cost must never
+    escape attribution), then TOUCHED movers — queries whose module
+    changed since the baseline AND whose raw ratio crossed MOVER_RATIO
     (VERDICT r13 #3: a code-touched mover must never be crowded out by
     bigger untouched movers) — then remaining raw movers ranked by
     ``|log ratio| × old_sec`` — ratio-weighted absolute seconds, so a
-    15 s query at raw 1.3× outranks a 0.4 s query at raw 1.6×."""
+    15 s query at raw 1.3× outranks a 0.4 s query at raw 1.6×.
+
+    MAX_AB_QUERIES caps only the weighted FILL: the three mandatory
+    tiers (always family, top-cost, touched movers) are exempt, so a
+    round with 5+ touched movers grows the block instead of silently
+    dropping the overflow (ADVICE r14 — the hard cap contradicted the
+    'never crowded out' guarantee)."""
     import math
 
     touched = touched or set()
@@ -215,8 +254,9 @@ def pick_movers(
     out = [q for q in AB_ALWAYS if q in current]
     out += [q for q in top_cost[:TOP_COST_AB] if q not in out]
     out += [q for q in movers if q in touched and q not in out]
-    out += [q for q in movers if q not in out]
-    return out[:MAX_AB_QUERIES]
+    fill = [q for q in movers if q not in out]
+    out += fill[: max(0, MAX_AB_QUERIES - len(out))]
+    return out
 
 
 def _purge_pkg() -> None:
@@ -240,19 +280,22 @@ def _load_queries(tree_root: str) -> dict:
         sys.path.remove(tree_root)
 
 
-def _time_query(spark, queries: dict, name: str, sf_dir: str) -> float | None:
-    """Warmup + best-of-2 warm executions via the noop sink (the same
-    semantics as bench.run_query's best-of-3, one run cheaper — the A/B
-    compares two numbers taken seconds apart on one host, so two warm
-    runs bound the noise that matters). None: missing from this tree's
-    registry, or errored (an old-tree query can legitimately fail under
-    the new session/fixtures — one such failure must not abort the
-    whole A/B)."""
+def _time_query(
+    spark, queries: dict, name: str, sf_dir: str, timed_runs: int = 2
+) -> float | None:
+    """Warmup + best-of-``timed_runs`` warm executions via the noop
+    sink (the same semantics as bench.run_query's best-of-3, cheaper —
+    the A/B compares numbers taken seconds apart on one host). Multi-
+    pair queries pass ``timed_runs=1``: the cross-pair median supplies
+    the robustness there, so each measurement stays cheap. None:
+    missing from this tree's registry, or errored (an old-tree query
+    can legitimately fail under the new session/fixtures — one such
+    failure must not abort the whole A/B)."""
     if name not in queries:
         return None
     best = None
     try:
-        for i in range(3):
+        for i in range(1 + timed_runs):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
@@ -263,6 +306,59 @@ def _time_query(spark, queries: dict, name: str, sf_dir: str) -> float | None:
     except Exception:  # noqa: BLE001 - isolate per query
         return None
     return best
+
+
+def n_pairs_for(cost_sec: float | None) -> int:
+    """Alternating old/new pair count by query cost: 3 for cheap, 2 for
+    mid, 1 for the heavy family (disclosed per-entry as "pairs" — the
+    single-pair exception VERDICT r14 #2 allows)."""
+    if cost_sec is None or cost_sec <= MID_AB_SEC:
+        return 3
+    if cost_sec <= HEAVY_AB_SEC:
+        return 2
+    return 1
+
+
+def summarize_pairs(pairs: list[tuple[float, float]]) -> dict:
+    """Fold a query's (old_sec, new_sec) pairs into the ab entry:
+    medians per tree, ab_ratio = MEDIAN of the per-pair ratios (a
+    single GC/JIT hiccup in one pair cannot move it), the pair count,
+    and the raw per-pair ratios for the spread check."""
+    import statistics
+
+    ratios = [n / o for o, n in pairs]
+    return {
+        "old_sec": round(statistics.median(o for o, _ in pairs), 3),
+        "new_sec": round(statistics.median(n for _, n in pairs), 3),
+        "ab_ratio": round(statistics.median(ratios), 3),
+        "pairs": len(pairs),
+        "pair_ratios": [round(r, 3) for r in ratios],
+    }
+
+
+def inconsistency(
+    entry: dict, cold_sec: float | None, threshold: float = CONSISTENCY_RATIO
+) -> str | None:
+    """Self-consistency check (VERDICT r14 #2): the reason string when
+    the entry's ab_ratio must NOT be read as a code mover, else None.
+    Two independent triggers: (a) the new-tree warm median exceeds the
+    SAME session's cold time by >threshold — warm ≤ cold is the only
+    direction caching explains, so the excess is a measurement hiccup,
+    not code (r14's kmeans "2.682×" read 4.949 s warm against a 2.474 s
+    same-session cold); (b) the query's own pair ratios disagree by
+    >threshold — the method is unstable on this query this session."""
+    if cold_sec and entry["new_sec"] > threshold * cold_sec:
+        return (
+            f"new_sec {entry['new_sec']} > {threshold}x same-session "
+            f"cold {cold_sec} — measurement hiccup, not code"
+        )
+    pr = entry.get("pair_ratios") or []
+    if len(pr) > 1 and min(pr) > 0 and max(pr) / min(pr) > threshold:
+        return (
+            f"pair ratios {min(pr)}..{max(pr)} spread >{threshold}x — "
+            "unstable measurement this session"
+        )
+    return None
 
 
 def _host_probe(spark, sf_dir: str) -> float:
@@ -285,13 +381,16 @@ def run_ab(
     sf_dir: str,
     names: list[str],
     baseline: tuple[int, str, dict] | None = None,
+    cold: dict | None = None,
 ) -> dict:
     """A/B the named queries against the previous round's tree inside
     THIS session. Returns the BENCH_DETAIL ``ab`` block. Never raises —
     an unresolvable baseline returns {"skipped": reason}; a query that
     errors on either tree is simply absent from ``ratios``. Pass the
     already-resolved ``baseline`` tuple (from
-    :func:`previous_round_baseline`) to avoid re-resolving it."""
+    :func:`previous_round_baseline`) to avoid re-resolving it, and the
+    same-session cold times (``cold``) so every entry is self-checked
+    against them (:func:`inconsistency`)."""
     base = baseline if baseline is not None else previous_round_baseline()
     if base is None:
         return {"skipped": "no previous bench snapshot or git history"}
@@ -313,31 +412,43 @@ def run_ab(
     probe_old = probe_new = None
     err = None
     try:
-        # INTERLEAVED per query (round 14): the original two-phase
-        # design (old tree times everything, then the new tree) left
-        # each ratio exposed to the minutes of host/JVM drift between
-        # its two measurements — r14's run read a phantom 1.21-1.26 on
-        # the untouched IVF-PQ trio while raw round-over-round showed
-        # 0.88-0.99. Re-importing the tree per measurement costs a few
-        # seconds per query and shrinks each ratio's drift window to
-        # its own old→new pair, with the tree order alternating per
-        # query so any residual monotone drift cancels across the block
-        # instead of biasing every ratio the same way. The per-phase
-        # host probes bracket the whole block as before.
+        # INTERLEAVED per query (round 14), MEDIAN OF PAIRS (round 15,
+        # VERDICT r14 #2): the original two-phase design left each
+        # ratio exposed to minutes of host/JVM drift; interleaving
+        # shrank the window to one old→new pair — but one pair is one
+        # sample, and r14's driver run landed a pair on a GC/JIT
+        # hiccup and read a phantom 2.68× on an untouched query. Now
+        # each query runs n_pairs_for(cost) alternating pairs (3 cheap
+        # / 2 mid / 1 heavy, pair count disclosed per entry) and
+        # ab_ratio is the MEDIAN of per-pair ratios; every entry is
+        # additionally self-checked against the same-session cold time
+        # and its own pair spread (`inconsistency`) so a phantom is
+        # marked instead of reported as a mover. The per-phase host
+        # probes bracket the whole block as before.
         probe_old = _host_probe(spark, sf_dir)
-        for i, q in enumerate(names):
-            pair = {}
-            order = ("old", "new") if i % 2 == 0 else ("new", "old")
-            for tree in order:
-                qs = _load_queries(wt if tree == "old" else REPO)
-                pair[tree] = _time_query(spark, qs, q, sf_dir)
-            if pair.get("old") is None or pair.get("new") is None:
+        alt = 0  # global alternation index across all measurements
+        for q in names:
+            cost = (cold or {}).get(q) or times.get(q)
+            k = n_pairs_for(cost)
+            pairs: list[tuple[float, float]] = []
+            for _p in range(k):
+                order = ("old", "new") if alt % 2 == 0 else ("new", "old")
+                alt += 1
+                m = {}
+                for tree in order:
+                    qs = _load_queries(wt if tree == "old" else REPO)
+                    m[tree] = _time_query(
+                        spark, qs, q, sf_dir, timed_runs=1 if k > 1 else 2
+                    )
+                if m.get("old") is not None and m.get("new") is not None:
+                    pairs.append((m["old"], m["new"]))
+            if not pairs:
                 continue
-            out[q] = {
-                "old_sec": round(pair["old"], 3),
-                "new_sec": round(pair["new"], 3),
-                "ab_ratio": round(pair["new"] / pair["old"], 3),
-            }
+            entry = summarize_pairs(pairs)
+            flag = inconsistency(entry, (cold or {}).get(q))
+            if flag:
+                entry["inconsistent"] = flag
+            out[q] = entry
         probe_new = _host_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 - never fail the bench over A/B
         err = f"{type(exc).__name__}: {exc}"[:200]
@@ -361,6 +472,9 @@ def run_ab(
         "baseline_query_coverage": len(times),
         "phase_probe_old_sec": probe_old,
         "phase_probe_new_sec": probe_new,
+        # queries whose ab_ratio failed the self-consistency check —
+        # read these as measurement artifacts, never as code movers
+        "inconsistent": sorted(q for q, e in out.items() if "inconsistent" in e),
         "ratios": out,
     }
     if err:

@@ -44,46 +44,59 @@ PROBE_QUERIES = [
 N_DOCS_SF1 = 50_000  # 10x the sf0.1 fixture's 5,000 docs
 
 
-def _stage_rows(spark) -> list[tuple[int, int, int]]:
+def _stage_rows(spark) -> list[tuple[int, int, int]] | None:
     """(stage_id, write_bytes, read_bytes) for every stage the
     AppStatusStore currently RETAINS — the store evicts old stages past
-    spark.ui.retainedStages, so whole-app sums are not delta-safe."""
-    sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    gw = sc._gateway
-    seq = store.stageList(
-        gw.jvm.java.util.ArrayList(),
-        False,
-        False,
-        gw.new_array(gw.jvm.double, 0),
-        gw.jvm.java.util.ArrayList(),
-    )
-    it = seq.iterator()
-    out = []
-    while it.hasNext():
-        s = it.next()
-        out.append(
-            (s.stageId(), s.shuffleWriteBytes(), s.shuffleReadBytes())
+    spark.ui.retainedStages, so whole-app sums are not delta-safe.
+    Reaches through py4j privates (the 5-arg ``stageList`` overload),
+    brittle across Spark minors — on ANY failure it degrades to None
+    and the probe reports wall-seconds with null shuffle bytes instead
+    of crashing (ADVICE r14)."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        seq = store.stageList(
+            gw.jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            gw.jvm.java.util.ArrayList(),
         )
-    return out
+        it = seq.iterator()
+        out = []
+        while it.hasNext():
+            s = it.next()
+            out.append(
+                (s.stageId(), s.shuffleWriteBytes(), s.shuffleReadBytes())
+            )
+        return out
+    except Exception:  # noqa: BLE001 - internal-API shift → degrade
+        return None
 
 
 def max_stage_id(spark) -> int:
     """High-water stage id — the eviction-safe interval marker (stage
     ids are monotonic, so 'stages run since' = ids above the mark)."""
-    return max((sid for sid, _w, _r in _stage_rows(spark)), default=-1)
+    rows = _stage_rows(spark)
+    return max((sid for sid, _w, _r in rows or []), default=-1)
 
 
-def shuffle_since(spark, after_stage_id: int) -> tuple[int, int]:
+def shuffle_since(spark, after_stage_id: int) -> tuple[int | None, int | None]:
     """(write_bytes, read_bytes) summed over stages with id >
-    ``after_stage_id``. Id-based rather than a whole-app before/after
-    sum: in a long-lived session (the bench's, after the 150+-query
-    headline pass) the status store is saturated and every new stage
-    EVICTS an old one, so a sum delta under-counts or goes negative;
-    new-id stages are always retained long enough to read here because
-    nothing else runs between a probe query and its snapshot."""
+    ``after_stage_id``; (None, None) when the status store is
+    unreachable (the probe still reports wall seconds). Id-based rather
+    than a whole-app before/after sum: in a long-lived session (the
+    bench's, after the 150+-query headline pass) the status store is
+    saturated and every new stage EVICTS an old one, so a sum delta
+    under-counts or goes negative; new-id stages are always retained
+    long enough to read here because nothing else runs between a probe
+    query and its snapshot."""
+    rows = _stage_rows(spark)
+    if rows is None:
+        return None, None
     w = r = 0
-    for sid, sw, sr in _stage_rows(spark):
+    for sid, sw, sr in rows:
         if sid > after_stage_id:
             w += sw
             r += sr
@@ -125,8 +138,8 @@ def run_probe(spark, n_docs: int = N_DOCS_SF1) -> dict:
                 w, r = shuffle_since(spark, mark)
                 out["queries"][name] = {
                     "sec": round(sec, 3),
-                    "shuffle_write_bytes": int(w),
-                    "shuffle_read_bytes": int(r),
+                    "shuffle_write_bytes": None if w is None else int(w),
+                    "shuffle_read_bytes": None if r is None else int(r),
                 }
             except Exception as exc:  # noqa: BLE001 - isolate per query
                 out["queries"][name] = {
@@ -137,11 +150,136 @@ def run_probe(spark, n_docs: int = N_DOCS_SF1) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# ANN family probe (round 15, VERDICT r14 #4): the IVF-PQ family is the
+# most expensive headline set and its 100 TB story previously rested on
+# plan pins at the 5k-vector fixture. Probe the materialized-index
+# lifecycle — codebook-train + build, search, retrain — at 10× and 40×
+# vectors, recording shuffle bytes AND the search's partition-prune
+# file counts (executed-plan ``numFiles`` vs the index's total files):
+# build/retrain bytes should grow ~linearly with the corpus, search
+# files-read should track nprobe/n_cells of the index, not all of it.
+# --------------------------------------------------------------------------
+ANN_SCALES = (50_000, 200_000)  # 10× / 40× the sf0.1 fixture's 5k vectors
+
+
+def _files_read(df) -> int:
+    """Executed-plan scan metric (same device as
+    tests/test_dedup_index._num_files_read): files the query actually
+    listed-and-read — partition pruning happens at listing, so a pruned
+    scan reads fewer files than exist."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    n = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            n += m.apply("numFiles").value()
+    return n
+
+
+def _parquet_files_under(root: str) -> int:
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def run_ann_probe(spark, scales: tuple[int, ...] = ANN_SCALES) -> dict:
+    """IVF-PQ lifecycle at each vector scale: ``build`` (codebook train
+    + index build — one unit, matching the gate queries' replay shape),
+    ``search`` (fixed 5-probe batch, nprobe=2 of 8 cells — wall secs,
+    shuffle bytes, files read vs index total), ``retrain`` (O(corpus)
+    by design — the linearity claim under test)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        retrain_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _K_CELLS,
+        _NPROBE,
+        _PQ_SUB,
+        N_QUERY_VECS,
+        TOP_K,
+        _emb,
+        _km_demo_init,
+        _pq_train_codebooks,
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import scale_audit
+
+    out: dict = {"scales": {}}
+    for n_vecs in scales:
+        d = tempfile.mkdtemp(prefix=f"ann_probe_{n_vecs}_")
+        steps: dict = {}
+        out["scales"][str(n_vecs)] = steps
+        try:
+            # docs/events are side tables here — keep them tiny
+            scale_audit.gen(d, n_events=2_000, n_docs=200, n_vecs=n_vecs)
+            path = os.path.join(d, "ivfpq", "index")
+            e = _emb(spark, d).select("vec_id", "emb")
+
+            mark = max_stage_id(spark)
+            t0 = time.perf_counter()
+            cb0, cb1 = _pq_train_codebooks(e)
+            coarse = _km_demo_init(e, _K_CELLS)
+            build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
+            w, r = shuffle_since(spark, mark)
+            steps["build"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "shuffle_write_bytes": None if w is None else int(w),
+                "shuffle_read_bytes": None if r is None else int(r),
+            }
+
+            probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+                F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+            )
+            mark = max_stage_id(spark)
+            t0 = time.perf_counter()
+            res = search_ivfpq_index(
+                spark, path, probes, nprobe=_NPROBE, k=TOP_K
+            )
+            files_read = _files_read(res)  # collects + reads plan metrics
+            w, r = shuffle_since(spark, mark)
+            steps["search"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "shuffle_write_bytes": None if w is None else int(w),
+                "shuffle_read_bytes": None if r is None else int(r),
+                "files_read": int(files_read),
+                "index_files_total": _parquet_files_under(path),
+            }
+
+            mark = max_stage_id(spark)
+            t0 = time.perf_counter()
+            retrain_ivfpq_index(spark, path, e)
+            w, r = shuffle_since(spark, mark)
+            steps["retrain"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "shuffle_write_bytes": None if w is None else int(w),
+                "shuffle_read_bytes": None if r is None else int(r),
+            }
+        except Exception as exc:  # noqa: BLE001 - isolate per scale
+            steps["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from data_pipeline_with_big_data_stack_spark.session import get_spark
 
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_SF1
     spark = get_spark(app_name="scale-probe")
+    if len(sys.argv) > 1 and sys.argv[1] == "ann":
+        scales = tuple(int(a) for a in sys.argv[2:]) or ANN_SCALES
+        print(json.dumps(run_ann_probe(spark, scales), indent=1))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_SF1
     print(json.dumps(run_probe(spark, n_docs), indent=1))
 
 
