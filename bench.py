@@ -244,8 +244,12 @@ def serve_only_probes(spark, sf_dir: str) -> dict:
             comp["plan_build_sec"] = round(bp, 3)
             comp["execute_sec"] = round(be, 3)
             out["ivfpq_serve_components"] = comp
-        except Exception:  # noqa: BLE001 - breakdown must not cost the metric
-            pass
+        except Exception as exc:  # noqa: BLE001 - breakdown must not
+            # cost the metric, but its absence must be attributable
+            # (same pattern as fold_carry_error)
+            out["ivfpq_serve_components_error"] = (
+                f"{type(exc).__name__}: {exc}"[:200]
+            )
 
         # --- rollup store: build once (untimed), dashboard serve best-of-3 ---
         store = base + "/rollup"

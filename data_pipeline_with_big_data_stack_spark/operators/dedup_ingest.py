@@ -413,11 +413,26 @@ def _guard_and_publish_watermark(
     or below the fold frontier) sees only watermark rows with
     ``batch_id < eid`` — after a fold that set is empty, so the replay
     passes vacuously, exactly mirroring the prior-state view its data
-    reads get."""
+    reads get.
+
+    A REFUSED epoch leaves its (empty) ``hwm/batch_id=<eid>`` dir
+    behind — on a checkpoint-less store a later compaction counts it
+    committed and the fold frontier then burns that id (retry must use
+    a fresh one). Accepted trade-off: the refusal is loud at both
+    points and nothing is ingested; folding the zero-row partition is
+    a no-op for every reader.
+
+    Stores created BEFORE the hwm sink existed have no ``hwm`` dir:
+    the guard treats that as 'no committed watermark' (enforcement
+    begins with this epoch's write, which creates the sink; the next
+    fold seeds it into the layout like any sink)."""
     spark = batch.sparkSession
-    prior_wm = _prior(spark, path, eid, fs=store.fs).agg(
-        F.max("max_doc_id").alias("_wm")
-    )
+    if store.fs.exists(path):
+        prior_wm = _prior(spark, path, eid, fs=store.fs).agg(
+            F.max("max_doc_id").alias("_wm")
+        )
+    else:
+        prior_wm = spark.sql("SELECT CAST(NULL AS BIGINT) AS _wm")
     err = F.concat(
         F.lit(
             f"{store._KIND} at {store.base}: out-of-order ingest — "

@@ -36,7 +36,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _certified(est, lo, hi, what: str, dtype: str = "double"):
+# below this many rows per group the percentile/quantile certification
+# is VACUOUS, not violated: the sketches return actual data points
+# (rank semantics) while the exact reference interpolates, and on a
+# tiny or gappy group the nearest data point can sit far outside any
+# interpolated-value window even though the sketch is exactly right —
+# so small groups pass through unguarded instead of crashing a
+# statistically valid answer (code-review r15)
+_CERT_MIN_N = 100
+
+
+def _certified(est, lo, hi, what: str, dtype: str = "double", enforce=None):
     """In-plan sketch self-certification (VERDICT r14 #3): the estimate
     column materializes only through a ``when`` whose else branch
     raises, so EXECUTING the query asserts the sketch's documented
@@ -45,19 +55,29 @@ def _certified(est, lo, hi, what: str, dtype: str = "double"):
     thereby certifies semantics, not just row counts. The exact lane is
     fixture-affordable validation (the same bounds
     tests/test_sketches.py pins at sf0.1); production serving would
-    drop it, the sketch lane's plan shape is unchanged."""
+    drop it, the sketch lane's plan shape is unchanged. ``enforce``
+    (boolean Column, default always-on) gates the check — the
+    value-window certifications pass small groups through, see
+    ``_CERT_MIN_N``."""
+    def s(c):
+        return F.coalesce(c.cast("string"), F.lit("NULL"))
+
     err = F.concat(
         F.lit(f"{what}: sketch estimate violated its documented bound: est="),
-        est.cast("string"),
+        s(est),
         F.lit(" outside ["),
-        lo.cast("string"),
+        s(lo),
         F.lit(", "),
-        hi.cast("string"),
+        s(hi),
         F.lit("]"),
     )
-    return F.when(est.between(lo, hi), est).otherwise(
-        F.raise_error(err).cast(dtype)
-    )
+    # a NULL estimate (e.g. an all-NULL value group) is the sketch's
+    # CORRECT answer, not a bound violation — pass it through, exactly
+    # as the unguarded query did (code-review r15)
+    ok = est.isNull() | est.between(lo, hi)
+    if enforce is not None:
+        ok = ~F.coalesce(enforce, F.lit(True)) | ok
+    return F.when(ok, est).otherwise(F.raise_error(err).cast(dtype))
 
 
 @query("q_approx_distinct_users", oracle=None)
@@ -123,24 +143,33 @@ def q_approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (not one array column — array cells break row-hash
     canonicalization downstream); one aggregation pass computes the
     shared sketch, Catalyst dedups the three percentile_approx calls.
-    Self-certified in-plan: approx_p50 within ±5% of the exact p50 and
-    the p50 ≤ p95 ≤ p99 ordering — the sf0.1 bounds from
-    tests/test_sketches.py, asserted by execution itself."""
+    Self-certified in-plan: approx_p50 inside the exact ±6% RANK window
+    (percentile_approx guarantees rank accuracy, never value accuracy —
+    a gappy/bimodal group makes any value window crash a rank-correct
+    answer, code-review r15) and the p50 ≤ p95 ≤ p99 ordering —
+    asserted by execution itself; groups below _CERT_MIN_N pass
+    through (discreteness makes interpolated windows vacuous)."""
     e = _t(spark, sf_dir, "events")
+    eps = 0.06
     agg = e.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
         F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"),
+        F.percentile("value", F.lit(0.5 - eps)).alias("_p50_lo"),
+        F.percentile("value", F.lit(0.5 + eps)).alias("_p50_hi"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    tol = 0.05 * F.abs(F.col("exact_p50")) + F.lit(1e-9)
+    big = F.col("_n") >= _CERT_MIN_N
+    slack = F.lit(1e-9)
     return agg.select(
         "event_type",
         _certified(
             F.col("approx_p50"),
-            F.col("exact_p50") - tol,
-            F.col("exact_p50") + tol,
-            "q_approx_percentiles_value p50",
+            F.col("_p50_lo") - slack,
+            F.col("_p50_hi") + slack,
+            "q_approx_percentiles_value p50 rank window",
+            enforce=big,
         ).alias("approx_p50"),
         _certified(
             F.col("approx_p95"),
@@ -391,6 +420,9 @@ def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.5 + eps)).alias("_p50_hi"),
         F.percentile("value", F.lit(0.95 - eps)).alias("_p95_lo"),
         F.max("value").alias("_p95_hi"),  # percentile(1.0) == max
+        # the sketch ingests only non-NULL values — its n certifies
+        # against count(value), not count(*) (code-review r15)
+        F.count("value").alias("_nv"),
     ]
     per = e.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value").alias("sk"),
@@ -400,11 +432,12 @@ def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def certified(src, what):
         slack = F.lit(1e-9)
+        big = F.col("n_events") >= _CERT_MIN_N
         return [
             _certified(
                 F.kll_sketch_get_n_double(src),
-                F.col("n_events"),
-                F.col("n_events"),
+                F.col("_nv"),
+                F.col("_nv"),
                 f"{what} sketch_n",
                 "long",
             ).alias("sketch_n"),
@@ -413,12 +446,14 @@ def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_p50_lo") - slack,
                 F.col("_p50_hi") + slack,
                 f"{what} p50 rank window",
+                enforce=big,
             ).alias("kll_p50"),
             _certified(
                 F.kll_sketch_get_quantile_double(src, F.lit(0.95)),
                 F.col("_p95_lo") - slack,
                 F.col("_p95_hi") + slack,
                 f"{what} p95 rank window",
+                enforce=big,
             ).alias("kll_p95"),
         ]
 

@@ -1064,9 +1064,17 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, exact cosine on ONLY the shortlist rows, final top-k by true
     similarity. The shortlist is collected to the driver ONCE — a
     BOUNDED set by construction (≤ N_QUERY_VECS × _RERANK_M rows, the
-    per-probe-batch serving working set) — so the exact stage's
-    embeddings scan carries a pushed ``In(vec_id, ...)`` filter and the
-    shortlist/probe joins are broadcasts: no corpus rescan, no shuffle."""
+    per-probe-batch serving working set). Up to _RERANK_IN_MAX distinct
+    ids the exact stage's embeddings scan carries a pushed
+    ``In(vec_id, ...)`` filter (row-group stats prune; no corpus rows
+    surface) and the shortlist/probe joins are broadcasts — no shuffle.
+    Above the threshold the In predicate's O(ids)-per-row-group cost
+    and plan-size blowup dominate, so the stage switches to a broadcast
+    LeftSemi join: the scan walks the full (columnar, two-column)
+    embeddings table but each row pays one O(1) hash probe, rows
+    surfacing from the scan are still shortlist-only, and there is
+    still no shuffle — the trade is a sequential columnar read for
+    bounded predicate/plan cost."""
 
     from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
         build_ivfpq_index,
@@ -1101,10 +1109,11 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself is O(ids) per row-group evaluation and bloats the plan at
     # production m·k (thousands of probes per batch). Above the
     # threshold the scan filters via LeftSemi against the broadcast
-    # shortlist instead — same rows read per partition-pruned file,
-    # O(1) hash probe per row, no plan-size blowup. The gate fixture
-    # (100 ids) exercises the In branch; the semi branch carries the
-    # same result contract (tests/test_ann_index.py pins equality).
+    # shortlist instead — a full columnar scan of (vec_id, emb) with an
+    # O(1) hash probe per row and no plan-size blowup; only shortlist
+    # rows surface, no shuffle either way. The gate fixture (100 ids)
+    # exercises the In branch; the semi branch carries the same result
+    # contract (tests/test_ann_index.py pins equality).
     if len(ids) <= _RERANK_IN_MAX:
         scanned = e.filter(F.col("vec_id").isin(ids))  # pushed In filter
     else:

@@ -191,10 +191,17 @@ def test_pair_count_tiers():
     assert n_pairs_for(HEAVY_AB_SEC + 1) == 1
 
 
-def test_registry_change_detection_no_git_is_false():
-    """registry_changed degrades to False (unknown) when git diff
-    fails; with a real sha it reports __init__.py changes only. Here we
-    only pin the no-crash path against a bogus sha."""
-    from tools.bench_ab import registry_changed
+def test_registry_change_detection_degrades_to_unknown():
+    """registry_changed is TRI-STATE: None (unknown) when git diff
+    fails — 'could not determine' must stay distinguishable from
+    'determined nothing changed'. With a real sha it reports
+    __init__.py changes only (a boolean)."""
+    import subprocess
 
-    assert registry_changed("not-a-sha") is False
+    from tools.bench_ab import REPO, registry_changed
+
+    assert registry_changed("not-a-sha") is None
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    assert registry_changed(head) in (True, False)

@@ -547,3 +547,27 @@ def test_in_plan_certification_red_path(spark):
         spark.range(1).select(
             _certified(F.lit(7), F.lit(9), F.lit(9), "t", "long").alias("v")
         ).collect()
+
+
+def test_certification_enforce_gate_passes_small_groups(spark):
+    """The value-window certifications are vacuous below _CERT_MIN_N
+    rows (the sketch returns a data point, the exact reference
+    interpolates — on a tiny group the nearest data point can sit far
+    outside any interpolated window while being exactly right), so an
+    enforce=False gate must pass the estimate through unguarded."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_big_data_stack_spark.queries.sketches import _certified
+
+    out = spark.range(1).select(
+        _certified(
+            F.lit(10.0), F.lit(4.75), F.lit(5.25), "t", enforce=F.lit(False)
+        ).alias("v")
+    )
+    assert out.collect()[0].v == 10.0
+    with pytest.raises(Exception, match="violated its documented bound"):
+        spark.range(1).select(
+            _certified(
+                F.lit(10.0), F.lit(4.75), F.lit(5.25), "t", enforce=F.lit(True)
+            ).alias("v")
+        ).collect()

@@ -472,3 +472,28 @@ def test_watermark_crash_replay_equals_single_run(spark, tmp_path):
         for s in ("decisions", "windows_idx", "hwm")
     }
     assert got == ref
+
+
+def test_pre_watermark_store_without_hwm_dir_still_ingests(spark, tmp_path):
+    """Migration path (code-review r15): a store created before the
+    hwm sink existed has no hwm directory — the guard must treat that
+    as 'no committed watermark' and START enforcement with this
+    epoch's write rather than crash the batch."""
+    import shutil
+
+    store = SI.init_substring_store(spark, str(tmp_path / "st"), n_bkt=4)
+    hwm_dir = os.path.join(store.base, store.current_generation(), "hwm")
+    shutil.rmtree(hwm_dir)
+    docs = spark.createDataFrame(
+        [(10, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    SI.substring_ingest_batch(docs, 0, store)  # must not raise
+    assert store.read(spark, "hwm").agg(F.max("max_doc_id")).head()[0] == 10
+    # and enforcement is live from here on
+    with pytest.raises(Exception, match="out-of-order ingest"):
+        SI.substring_ingest_batch(
+            spark.createDataFrame([(4, "z x c v b n m k j")],
+                                  "doc_id long, text string"),
+            1,
+            store,
+        )

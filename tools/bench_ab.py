@@ -129,7 +129,7 @@ def _reference_closure(changed_files: set[str]) -> set[str]:
         changed = grown
 
 
-def registry_changed(sha: str) -> bool:
+def registry_changed(sha: str) -> bool | None:
     """True when a package ``__init__.py`` changed since ``sha`` —
     registry-level files (the ``@query`` decorator and re-export hubs in
     ``queries/__init__.py``) are deliberately EXCLUDED from the import
@@ -137,7 +137,10 @@ def registry_changed(sha: str) -> bool:
     would mark every query), which means a registry change used to
     yield a silently empty touched set (ADVICE r14). The flag is
     recorded in the ab block instead: "every query is potentially
-    touched this round"."""
+    touched this round". TRI-STATE: None when git itself failed —
+    'could not determine' must stay distinguishable from 'determined
+    nothing changed', or the degraded path recreates the silent
+    misread the flag exists to prevent (code-review r15)."""
     try:
         diff = subprocess.run(
             ["git", "diff", "--name-only", sha, "--", _PKG],
@@ -146,8 +149,8 @@ def registry_changed(sha: str) -> bool:
             text=True,
             check=True,
         ).stdout.split()
-    except Exception:  # noqa: BLE001 - no git → unknown, report False
-        return False
+    except Exception:  # noqa: BLE001 - no git → unknown
+        return None
     return any(f.endswith("__init__.py") for f in diff)
 
 

@@ -75,17 +75,26 @@ def _stage_rows(spark) -> list[tuple[int, int, int]] | None:
         return None
 
 
-def max_stage_id(spark) -> int:
+def max_stage_id(spark) -> int | None:
     """High-water stage id — the eviction-safe interval marker (stage
-    ids are monotonic, so 'stages run since' = ids above the mark)."""
+    ids are monotonic, so 'stages run since' = ids above the mark).
+    None when the status store is unreachable — the mark must stay
+    distinguishable from -1 ('no stages yet'), or a failed mark
+    followed by a successful snapshot would sum the WHOLE session's
+    stages into one step's delta (code-review r15)."""
     rows = _stage_rows(spark)
-    return max((sid for sid, _w, _r in rows or []), default=-1)
+    if rows is None:
+        return None
+    return max((sid for sid, _w, _r in rows), default=-1)
 
 
-def shuffle_since(spark, after_stage_id: int) -> tuple[int | None, int | None]:
+def shuffle_since(
+    spark, after_stage_id: int | None
+) -> tuple[int | None, int | None]:
     """(write_bytes, read_bytes) summed over stages with id >
     ``after_stage_id``; (None, None) when the status store is
-    unreachable (the probe still reports wall seconds). Id-based rather
+    unreachable NOW or was at mark time (``after_stage_id`` None) —
+    the probe still reports wall seconds. Id-based rather
     than a whole-app before/after sum: in a long-lived session (the
     bench's, after the 150+-query headline pass) the status store is
     saturated and every new stage EVICTS an old one, so a sum delta
@@ -93,7 +102,7 @@ def shuffle_since(spark, after_stage_id: int) -> tuple[int | None, int | None]:
     long enough to read here because nothing else runs between a probe
     query and its snapshot."""
     rows = _stage_rows(spark)
-    if rows is None:
+    if rows is None or after_stage_id is None:
         return None, None
     w = r = 0
     for sid, sw, sr in rows:
@@ -101,6 +110,17 @@ def shuffle_since(spark, after_stage_id: int) -> tuple[int | None, int | None]:
             w += sw
             r += sr
     return w, r
+
+
+def _snap(sec: float, w: int | None, r: int | None, **extra) -> dict:
+    """One probe step's metrics row — the single place the None-guarded
+    degradation shape lives (four call sites; code-review r15)."""
+    return {
+        "sec": round(sec, 3),
+        "shuffle_write_bytes": None if w is None else int(w),
+        "shuffle_read_bytes": None if r is None else int(r),
+        **extra,
+    }
 
 
 def gen_corpus(n_docs: int) -> str:
@@ -136,11 +156,7 @@ def run_probe(spark, n_docs: int = N_DOCS_SF1) -> dict:
                 ).save()
                 sec = time.perf_counter() - t0
                 w, r = shuffle_since(spark, mark)
-                out["queries"][name] = {
-                    "sec": round(sec, 3),
-                    "shuffle_write_bytes": None if w is None else int(w),
-                    "shuffle_read_bytes": None if r is None else int(r),
-                }
+                out["queries"][name] = _snap(sec, w, r)
             except Exception as exc:  # noqa: BLE001 - isolate per query
                 out["queries"][name] = {
                     "error": f"{type(exc).__name__}: {exc}"[:200]
@@ -211,7 +227,9 @@ def run_ann_probe(spark, scales: tuple[int, ...] = ANN_SCALES) -> dict:
         _pq_train_codebooks,
     )
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    if tools_dir not in sys.path:  # idempotent — repeated probes must
+        sys.path.insert(0, tools_dir)  # not stack path entries
     import scale_audit
 
     out: dict = {"scales": {}}
@@ -231,11 +249,7 @@ def run_ann_probe(spark, scales: tuple[int, ...] = ANN_SCALES) -> dict:
             coarse = _km_demo_init(e, _K_CELLS)
             build_ivfpq_index(e, path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
             w, r = shuffle_since(spark, mark)
-            steps["build"] = {
-                "sec": round(time.perf_counter() - t0, 3),
-                "shuffle_write_bytes": None if w is None else int(w),
-                "shuffle_read_bytes": None if r is None else int(r),
-            }
+            steps["build"] = _snap(time.perf_counter() - t0, w, r)
 
             probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
                 F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
@@ -247,23 +261,19 @@ def run_ann_probe(spark, scales: tuple[int, ...] = ANN_SCALES) -> dict:
             )
             files_read = _files_read(res)  # collects + reads plan metrics
             w, r = shuffle_since(spark, mark)
-            steps["search"] = {
-                "sec": round(time.perf_counter() - t0, 3),
-                "shuffle_write_bytes": None if w is None else int(w),
-                "shuffle_read_bytes": None if r is None else int(r),
-                "files_read": int(files_read),
-                "index_files_total": _parquet_files_under(path),
-            }
+            steps["search"] = _snap(
+                time.perf_counter() - t0,
+                w,
+                r,
+                files_read=int(files_read),
+                index_files_total=_parquet_files_under(path),
+            )
 
             mark = max_stage_id(spark)
             t0 = time.perf_counter()
             retrain_ivfpq_index(spark, path, e)
             w, r = shuffle_since(spark, mark)
-            steps["retrain"] = {
-                "sec": round(time.perf_counter() - t0, 3),
-                "shuffle_write_bytes": None if w is None else int(w),
-                "shuffle_read_bytes": None if r is None else int(r),
-            }
+            steps["retrain"] = _snap(time.perf_counter() - t0, w, r)
         except Exception as exc:  # noqa: BLE001 - isolate per scale
             steps["error"] = f"{type(exc).__name__}: {exc}"[:200]
         finally:
