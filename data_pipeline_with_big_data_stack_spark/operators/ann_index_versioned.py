@@ -383,16 +383,22 @@ def retrain_ivfpq_versioned(
     try:
         cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
         cur_index = _gen_index(root, cur)
-        pq_tbl = segman.read_table(spark, fs, cur_index + "_pq_codebook")
-        n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
-        sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
+        # ONE bounded collect for all geometry/K stats (metadata-scale
+        # sidecar; the lazy version paid 2-4 separate scan jobs — r15)
+        pq_rows = segman.read_table(spark, fs, cur_index + "_pq_codebook").collect()
+        n_sub = max(int(r["m"]) for r in pq_rows) + 1
+        sub_dim = len(pq_rows[0]["c_emb"])
         if k_pq is None:
-            k_pq = pq_tbl.filter(F.col("m") == 0).count()
+            k_pq = sum(1 for r in pq_rows if int(r["m"]) == 0)
         if k_coarse is None:
             k_coarse = segman.read_table(spark, fs, cur_index + "_codebook").count()
         ids = segman.read_table(spark, fs, cur_index).select(F.col(id_col))
-        vecs = source_vecs.select(F.col(id_col), "emb").join(
-            ids, id_col, "left_semi"
+        # materialized ONCE — see retrain_ivfpq_index: the seed/lloyd/
+        # build passes below otherwise re-run the scan + semi-join ~10×
+        from data_pipeline_with_big_data_stack_spark.session import materialize
+
+        vecs = materialize(
+            source_vecs.select(F.col(id_col), "emb").join(ids, id_col, "left_semi")
         )
         coarse_cb, pq_cbs = train_ivfpq_codebooks(
             vecs, k_coarse, k_pq, sub_dim, n_sub, iters=iters, id_col=id_col

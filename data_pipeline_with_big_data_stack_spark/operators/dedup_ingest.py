@@ -305,8 +305,19 @@ def _init_epoch_store(
     fs.write_text_atomic(meta, json.dumps({"n_bkt": int(n_bkt)}))
     gen = G.next_gen(base, fs=fs)
     gen_dir = os.path.join(base, gen)
-    for sink in cls._SINKS:
-        _seed_sink(spark, gen_dir, sink, cls)
+    # seed the sinks CONCURRENTLY (guide §2.6): each seed is a tiny
+    # independent 0-row write whose cost is pure job/commit latency, and
+    # the sequential loop paid it once per sink (r15 measured the 5-sink
+    # init at ~5 write jobs of pure overhead). Spark schedules the jobs
+    # from a small driver pool; publish still happens after ALL seeds.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(cls._SINKS)) as pool:
+        list(
+            pool.map(
+                lambda sink: _seed_sink(spark, gen_dir, sink, cls), cls._SINKS
+            )
+        )
     G.publish(base, gen, fs=fs)
     st = cls(base, fs=fs)
     st._n_bkt = int(n_bkt)
@@ -1059,8 +1070,15 @@ def _compact_into_new_generation(
         if since_full_b >= base_b or n_parts >= _FULL_FOLD_MAX_PARTS:
             full, lo = True, -1
     marker = lo
-    out: dict[str, int] = {}
-    for sink in store._SINKS:
+
+    def _fold_sink(sink: str) -> tuple[int, int | None]:
+        """Fold one sink into the new generation; returns (hi committed
+        epoch, logical file count or None). Independent across sinks —
+        the caller overlaps them on a small driver thread pool (guide
+        §2.6: each sink's fold is a short job + metadata writes whose
+        latency otherwise serializes; r15). Thread-safe: touches only
+        sink-local paths, its own DataFrames, and the shared read-only
+        fold parameters (lo/hi bounds derive from per-sink listings)."""
         src = os.path.join(store.base, cur, sink)
         entries = segman.resolve_all(fs, src)
         on_disk = [_eid(d) for d in entries if d.startswith("batch_id=")]
@@ -1111,9 +1129,9 @@ def _compact_into_new_generation(
             for e in on_disk
             if (-1 < e <= lo) or e > hi
         }
-        marker = max(marker, hi)
         if refs:
             segman.write_manifest(fs, dst, refs, merge="shadow", reuse_from=src)
+        n_files = None
         if report:
             # LOGICAL file count — physical partitions plus carried
             # references (a physical-only listing would under-report a
@@ -1141,7 +1159,18 @@ def _compact_into_new_generation(
                     if f.endswith(".parquet")
                     and any(f"/{lg}/" in f for lg in logicals)
                 )
-            out[sink] = n_files
+        return hi, n_files
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    out: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=len(store._SINKS)) as pool:
+        for sink, (hi, n_files) in zip(
+            store._SINKS, pool.map(_fold_sink, store._SINKS)
+        ):
+            marker = max(marker, hi)
+            if n_files is not None:
+                out[sink] = n_files
     new_full_mark = marker if full else full_mark
     G.atomic_write(
         os.path.join(gen_dir, _FOLD_MARKER), f"{marker} {new_full_mark}\n", fs=fs
@@ -1160,19 +1189,37 @@ def stage_ordered_chunks(
     batch oracle's full-corpus replay assumes). Returns (base, src)."""
     from data_pipeline_with_big_data_stack_spark.session import scratch_dir
 
+    import glob
+
     base = scratch_dir("dedup_ingest_")
     src = os.path.join(base, "src")
     os.makedirs(src)
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()
     span = max(1, (hi - lo + 1))
+    # ONE write job for all chunks (was: one filtered coalesce(1) write
+    # per chunk — n_chunks full scans of the corpus; r15, guide §1.2).
+    # The chunk boundaries are the identical driver-side integer ranges;
+    # repartition BY the chunk id lands each chunk in exactly one task,
+    # so partitionBy emits exactly one file per non-empty chunk. An
+    # empty chunk writes no dir — equivalent to the empty micro-batch
+    # the per-chunk writer produced (isEmpty early-return either way).
+    bounds = [lo + span * i // n_chunks for i in range(1, n_chunks + 1)]
+    chunk = F.when(F.col("doc_id") < bounds[0], 0)
+    for i in range(1, n_chunks):
+        chunk = chunk.when(F.col("doc_id") < bounds[i], i)
+    tmp = os.path.join(base, "tmp_chunks")
+    (
+        docs.withColumn("__chunk", chunk)
+        .repartition(n_chunks, F.col("__chunk"))
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(tmp)
+    )
     for i in range(n_chunks):
-        a = lo + span * i // n_chunks
-        b = lo + span * (i + 1) // n_chunks
-        chunk = docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b))
-        tmp = os.path.join(base, f"tmp_{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        parts = glob.glob(os.path.join(tmp, f"__chunk={i}", "*.parquet"))
+        if not parts:  # empty chunk → no micro-batch file
+            continue
         dst = os.path.join(src, f"chunk_{i}.parquet")
-        os.rename(os.path.join(tmp, part), dst)
+        os.rename(parts[0], dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     return base, src

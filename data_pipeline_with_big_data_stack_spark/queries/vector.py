@@ -581,6 +581,10 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
+    # single-action query: ReuseExchange dedupes the two broadcast
+    # consumers of the trained-codebook subtree within the one noop/
+    # collect action, so no eager materialization here (r15 measured
+    # it cost a job without removing one)
     assigned, cb = lloyd_kmeans(e, _km_demo_init(e), iters=_KM_ITERS)
     sizes = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
@@ -674,11 +678,25 @@ _PQ_ORACLE = f"""
 """
 
 
-def _pq_train_codebooks(e: DataFrame) -> list[DataFrame]:
+def _pq_train_codebooks(e: DataFrame, eager: bool = True) -> list[DataFrame]:
     """Train the two subspace codebooks (the lloyd loop shuffles only
     K×dim partial-aggregate rows per round; its assignment output is
     unused) — shared by the PQ coding and IVF-PQ search queries so
-    their oracles replay one trajectory."""
+    their oracles replay one trajectory.
+
+    ``eager=True`` (default) MATERIALIZES each trained codebook (1 row,
+    K×dim doubles) before returning it — the r15 optimization pass
+    measured every *action* that broadcasts the lazy codebook
+    re-executing the full O(corpus) lloyd chain (an index build alone
+    runs 3 write actions; per-query jobs for the store family dropped
+    73→51 … 108→90 with training shuffle bytes halved). Same device as
+    ``operators/ann_index.train_ivfpq_codebooks``; the checkpointed
+    VALUES are bit-identical, so every oracle replay is unchanged
+    (guide §1.2: remove redundant passes first). The single-action
+    inline queries (q_embed_pq_codes, q_ann_ivfpq_topk) pass
+    ``eager=False``: within ONE action Spark's ReuseExchange already
+    dedupes the identical broadcast subtrees, so eager checkpointing
+    only adds jobs there (measured 26→29)."""
     from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
 
     codebooks = []
@@ -688,7 +706,8 @@ def _pq_train_codebooks(e: DataFrame) -> list[DataFrame]:
         )
         init = _km_demo_init(sub, _PQ_K)
         _assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
-        codebooks.append(cb.withColumnRenamed("cb", f"cb{m}"))
+        cb = cb.withColumnRenamed("cb", f"cb{m}")
+        codebooks.append(materialize(cb) if eager else cb)
     return codebooks
 
 
@@ -697,7 +716,7 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_big_data_stack_spark.operators.kmeans import _sqdist
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
-    codebooks = _pq_train_codebooks(e)
+    codebooks = _pq_train_codebooks(e, eager=False)  # single action
 
     # single map-side pass: both trained codebooks ride along as two
     # broadcast 1-row arrays; codes + reconstruction error come from one
@@ -902,7 +921,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_big_data_stack_spark.operators.kmeans import _sqdist
 
     e = _emb(spark, sf_dir).select("vec_id", "emb")
-    cb0, cb1 = _pq_train_codebooks(e)
+    cb0, cb1 = _pq_train_codebooks(e, eager=False)  # single action
     cbi = _km_demo_init(e, _K_CELLS).withColumnRenamed("cb", "cbi")
 
     def ranked_cells(vec_col):
@@ -1215,7 +1234,15 @@ def q_stream_ann_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stream
     build_ivfpq_index(e.limit(0), path, coarse, [cb0, cb1], sub_dim=_PQ_SUB)
     src = base + "/src"
-    e.write.mode("overwrite").parquet(src)
+    # 4 source files → 4 micro-batches: the multi-batch property the
+    # query exists to exercise, at a BOUNDED epoch count. The previous
+    # unconstrained write emitted one file per scan task (32 on the
+    # bench session), and each of the 32 resulting epochs paid the full
+    # append protocol (lock, recovery scans, sidecar reads, commit) —
+    # 453 stages measured at sf0.1 (r15). Codes are a per-vector pure
+    # function of the broadcast codebooks, so the drained index is
+    # batch-boundary independent by construction (docstring above).
+    e.coalesce(4).write.mode("overwrite").parquet(src)
     st = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)  # several micro-batches, not one
