@@ -235,13 +235,12 @@ def build_ivfpq_index(
         coded = _coded_projection(
             vecs, coarse_codebook, pq_codebooks, sub_dim, id_col
         )
-        coded.write.mode("overwrite").partitionBy("cell_id").parquet(path)
         coarse = coarse_codebook.select(
             F.col(coarse_codebook.columns[0]).alias("__cb")
         )
-        coarse.select(F.explode("__cb").alias("c")).select(
+        coarse_rows = coarse.select(F.explode("__cb").alias("c")).select(
             F.col("c.cell_id").alias("cell_id"), F.col("c.c_emb").alias("c_emb")
-        ).write.mode("overwrite").parquet(path + "_codebook")
+        )
         pq_rows = None
         for m, cbm in enumerate(pq_codebooks):
             rows = (
@@ -253,7 +252,26 @@ def build_ivfpq_index(
                 )
             )
             pq_rows = rows if pq_rows is None else pq_rows.unionByName(rows)
-        pq_rows.write.mode("overwrite").parquet(path + "_pq_codebook")
+        # the three component writes are independent (codes + two tiny
+        # sidecars): overlap them on a driver thread pool (guide §2.6,
+        # r15) — the sidecar jobs back-fill the codes write's tail. A
+        # crash mid-build leaves the same partial-component state as the
+        # sequential writes did; build is re-runnable either way.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: coded.write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(path),
+            lambda: coarse_rows.write.mode("overwrite").parquet(
+                path + "_codebook"
+            ),
+            lambda: pq_rows.write.mode("overwrite").parquet(
+                path + "_pq_codebook"
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(lambda w: w(), writes))
     finally:
         lease.release()
 
@@ -308,18 +326,23 @@ def train_ivfpq_codebooks(
 
     # each codebook is materialized (1-row, K×dim values): a build runs
     # several write actions (codes + two sidecars) and every one would
-    # otherwise re-execute the full O(corpus) lloyd training chain
+    # otherwise re-execute the full O(corpus) lloyd training chain.
+    # The 1 + n_sub trainings are independent jobs — materialized
+    # CONCURRENTLY (guide §2.6, r15) so the wall cost is one chain
     v = vecs.select(F.col(id_col).alias("vec_id"), "emb")
     _assigned, coarse_cb = lloyd_kmeans(v, _seed_codebook(v, k_coarse), iters=iters)
-    coarse_cb = materialize(coarse_cb)
-    pq_cbs = []
+    lazy = [coarse_cb]
     for m in range(n_sub):
         sub = v.select(
             "vec_id", F.slice("emb", m * sub_dim + 1, sub_dim).alias("emb")
         )
         _a, cbm = lloyd_kmeans(sub, _seed_codebook(sub, k_pq), iters=iters)
-        pq_cbs.append(materialize(cbm.withColumnRenamed("cb", f"cb{m}")))
-    return coarse_cb, pq_cbs
+        lazy.append(cbm.withColumnRenamed("cb", f"cb{m}"))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(lazy)) as pool:
+        done = list(pool.map(materialize, lazy))
+    return done[0], done[1:]
 
 
 def _retrain_components(path: str) -> list[tuple[str, str]]:

@@ -706,9 +706,15 @@ def _pq_train_codebooks(e: DataFrame, eager: bool = True) -> list[DataFrame]:
         )
         init = _km_demo_init(sub, _PQ_K)
         _assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
-        cb = cb.withColumnRenamed("cb", f"cb{m}")
-        codebooks.append(materialize(cb) if eager else cb)
-    return codebooks
+        codebooks.append(cb.withColumnRenamed("cb", f"cb{m}"))
+    if not eager:
+        return codebooks
+    # the two subspace trainings are independent jobs — materialize them
+    # CONCURRENTLY (guide §2.6) so the wall cost is one chain, not two
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        return list(pool.map(materialize, codebooks))
 
 
 @query("q_embed_pq_codes", oracle=_PQ_ORACLE)
