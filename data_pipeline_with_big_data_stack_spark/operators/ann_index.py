@@ -517,31 +517,22 @@ def _sidecar_codebooks(
     """Read the coarse + PQ codebooks back from an index's sidecars in
     the 1-row array-of-struct shape ``_coded_projection`` expects.
     Returns (coarse, [pq_m...], sub_dim). Manifest-aware: a versioned
-    generation's sidecars may be segment references.
-
-    Each sidecar is collected ONCE (bounded: codebooks are
-    metadata-scale by construction — they are broadcast to every
-    executor regardless) and re-served as local 1-row relations: the
-    lazy aggregate shape re-scanned the parquet sidecar at every
-    broadcast site (n_sub + 3 scan jobs per append), r15 measurement."""
-    cb_rows = [
-        (int(r["cell_id"]), list(r["c_emb"]))
-        for r in _read_table(spark, path + "_codebook", fs=fs).collect()
-    ]
-    coarse = spark.createDataFrame(
-        [(cb_rows,)],
-        "cb array<struct<cell_id: bigint, c_emb: array<double>>>",
+    generation's sidecars may be segment references. (r15 note: an
+    eager collected-rows variant of this helper was tried and REVERTED —
+    the extra driver actions cost more wall time than the lazy
+    aggregates' nested broadcast-subtree re-execution on a fast host.)"""
+    coarse = (
+        _read_table(spark, path + "_codebook", fs=fs)
+        .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     )
-    pq_rows = [
-        (int(r["m"]), int(r["code"]), list(r["c_emb"]))
-        for r in _read_table(spark, path + "_pq_codebook", fs=fs).collect()
-    ]
-    n_sub = max(m for m, _c, _e in pq_rows) + 1
-    sub_dim = len(pq_rows[0][2])
+    pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
+    n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
+    sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     pq_codebooks = [
-        spark.createDataFrame(
-            [([(code, emb) for mm, code, emb in pq_rows if mm == m],)],
-            f"cb{m} array<struct<cell_id: bigint, c_emb: array<double>>>",
+        pq_tbl.filter(F.col("m") == m).agg(
+            F.collect_list(
+                F.struct(F.col("code").alias("cell_id"), F.col("c_emb"))
+            ).alias(f"cb{m}")
         )
         for m in range(n_sub)
     ]
@@ -812,30 +803,9 @@ def search_ivfpq_index(
     the K_PQ-row PQ codebook centroids their codes point at. Identical
     top-k to the inline ``q_ann_ivfpq_topk`` given the same codebooks
     (equality-pinned in tests/test_ann_index.py)."""
-    from data_pipeline_with_big_data_stack_spark.session import materialize
-
     fs = fsio.Fs(spark, path)  # ONE handle for all three component reads
-    # Both codebook sidecars are METADATA-scale by construction (they
-    # are broadcast to every executor below regardless), so read each
-    # ONCE with a bounded collect and re-serve the rows as local
-    # relations. The r15 optimization pass measured the lazy sidecar
-    # aggregates re-scanning their parquet dirs at every broadcast site
-    # (coarse: probe ranking + its re-execution in the final plan; PQ:
-    # one scan per subspace) — 4-5 sidecar scan jobs per search on the
-    # serve path the <1 s bar watches (guide §2.4: share one pass).
-    cb_rows = [
-        (int(r["cell_id"]), list(r["c_emb"]))
-        for r in _read_table(spark, path + "_codebook", fs=fs).collect()
-    ]
-    cb = spark.createDataFrame(
-        [(cb_rows,)],
-        "cb array<struct<cell_id: bigint, c_emb: array<double>>>",
-    )
-    pq_rows = [
-        (int(r["m"]), int(r["code"]), list(r["c_emb"]))
-        for r in _read_table(spark, path + "_pq_codebook", fs=fs).collect()
-    ]
-    sub_dim = len(pq_rows[0][2])
+    cb_tbl = _read_table(spark, path + "_codebook", fs=fs)
+    cb = cb_tbl.agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     ranked = F.array_sort(
         F.transform(
             F.col("cb"),
@@ -845,9 +815,7 @@ def search_ivfpq_index(
             ),
         )
     )
-    # materialized ONCE: the probe-side subtree otherwise executes twice
-    # (the pruning-cells collect below and the final plan's broadcast)
-    probe_cells = materialize(
+    probe_cells = (
         probes.join(F.broadcast(cb))
         .select(
             "q_id",
@@ -865,6 +833,8 @@ def search_ivfpq_index(
         spark, path, fs=fs, logicals={f"cell_id={c}" for c in cells}
     ).filter(F.col("cell_id").isin(cells))
     n_sub = len([c for c in index.columns if c.startswith("code_")])
+    pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
+    sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     cand = index.join(F.broadcast(probe_cells), "cell_id").filter(
         F.col(id_col) != F.col("q_id")
     )
@@ -877,9 +847,8 @@ def search_ivfpq_index(
     adc = F.lit(0.0)
     for m in range(n_sub):
         cname = f"__pqcb{m}"
-        cbm = spark.createDataFrame(
-            [([(code, emb) for mm, code, emb in pq_rows if mm == m],)],
-            f"{cname} array<struct<code: bigint, c_emb: array<double>>>",
+        cbm = pq_tbl.filter(F.col("m") == m).agg(
+            F.collect_list(F.struct("code", "c_emb")).alias(cname)
         )
         cand = cand.join(F.broadcast(cbm))
         adc = adc + _sqdist(
