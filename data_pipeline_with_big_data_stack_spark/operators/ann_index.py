@@ -321,28 +321,61 @@ def train_ivfpq_codebooks(
     (decimal-mean updates, id tie-breaks). Scale shape per codebook: the
     lloyd loop shuffles only K×dim partial-aggregate rows per round; the
     corpus is only map-scanned."""
-    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import (
+        lloyd_kmeans_multi,
+    )
     from data_pipeline_with_big_data_stack_spark.session import materialize
 
-    # each codebook is materialized (1-row, K×dim values): a build runs
-    # several write actions (codes + two sidecars) and every one would
-    # otherwise re-execute the full O(corpus) lloyd training chain.
-    # The 1 + n_sub trainings are independent jobs — materialized
-    # CONCURRENTLY (guide §2.6, r15) so the wall cost is one chain
+    # FUSED since r15 (guide §1.2/§2.4): the 1 + n_sub trainings share
+    # one md5 seed ranking (the per-codebook hash order is identical —
+    # md5 over the same ids, so each codebook's seed set is a prefix of
+    # one sorted sample) and train in one lloyd_kmeans_multi chain —
+    # each round is a single corpus scan + a single partial-agg shuffle
+    # for every codebook, materialized with ONE checkpoint action (the
+    # r15 first pass overlapped 1 + n_sub separate chains on a thread
+    # pool; fusing removes the extra chains and seed jobs outright).
+    # Values are bit-identical per codebook to the separate
+    # _seed_codebook + lloyd_kmeans chains (tests/test_kmeans_fused.py),
+    # so every oracle replay is unchanged. A build still runs several
+    # write actions — the materialization keeps training paid once.
     v = vecs.select(F.col(id_col).alias("vec_id"), "emb")
-    _assigned, coarse_cb = lloyd_kmeans(v, _seed_codebook(v, k_coarse), iters=iters)
-    lazy = [coarse_cb]
-    for m in range(n_sub):
-        sub = v.select(
-            "vec_id", F.slice("emb", m * sub_dim + 1, sub_dim).alias("emb")
+    slices = [(None, None)] + [
+        (m * sub_dim + 1, sub_dim) for m in range(n_sub)
+    ]
+    ks = [k_coarse] + [k_pq] * n_sub
+    seeds = (
+        v.select(
+            F.md5(F.col("vec_id").cast("string")).alias("__h"), F.col("emb")
         )
-        _a, cbm = lloyd_kmeans(sub, _seed_codebook(sub, k_pq), iters=iters)
-        lazy.append(cbm.withColumnRenamed("cb", f"cb{m}"))
-    from concurrent.futures import ThreadPoolExecutor
+        .orderBy("__h")
+        .limit(max(ks))
+    )
+    seeded = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("__h", "emb"))).alias("s")
+    )
 
-    with ThreadPoolExecutor(max_workers=len(lazy)) as pool:
-        done = list(pool.map(materialize, lazy))
-    return done[0], done[1:]
+    def _seed_cb(k: int, off, ln):
+        def entry(x, i):
+            sub = x["emb"] if off is None else F.slice(x["emb"], off, ln)
+            return F.struct(
+                i.cast("long").alias("cell_id"), sub.alias("c_emb")
+            )
+
+        return F.transform(F.slice(F.col("s"), 1, k), entry)
+
+    init = seeded.select(
+        *[
+            _seed_cb(ks[i], off, ln).alias(f"cb_{i}")
+            for i, (off, ln) in enumerate(slices)
+        ]
+    )
+    combined = materialize(lloyd_kmeans_multi(v, init, slices, iters=iters))
+    coarse = combined.select(F.col("cb_0").alias("cb"))
+    pq = [
+        combined.select(F.col(f"cb_{m + 1}").alias(f"cb{m}"))
+        for m in range(n_sub)
+    ]
+    return coarse, pq
 
 
 def _retrain_components(path: str) -> list[tuple[str, str]]:
@@ -464,15 +497,28 @@ def retrain_ivfpq_index(
         recover_compaction(path, fs=fs)
         _recover_expire(path, fs)
         _recover_retrain(path, fs)
-        # ONE bounded collect for all geometry/K stats (the sidecar is
-        # metadata-scale): the lazy version paid 2-4 separate scan jobs
-        pq_rows = spark.read.parquet(path + "_pq_codebook").collect()
-        n_sub = max(int(r["m"]) for r in pq_rows) + 1
-        sub_dim = len(pq_rows[0]["c_emb"])
-        if k_pq is None:
-            k_pq = sum(1 for r in pq_rows if int(r["m"]) == 0)
+        # ONE bounded 1-row collect for all geometry/K stats (the
+        # sidecars are metadata-scale): a single aggregate covers
+        # n_sub/sub_dim/k_pq, and the coarse K rides along via a 1-row
+        # cross join instead of a second count job (r15)
+        geo = spark.read.parquet(path + "_pq_codebook").agg(
+            F.max("m").alias("mm"),
+            F.max(F.size("c_emb")).alias("sd"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("k0"),
+        )
         if k_coarse is None:
-            k_coarse = spark.read.parquet(path + "_codebook").count()
+            geo = geo.crossJoin(
+                spark.read.parquet(path + "_codebook").agg(
+                    F.count(F.lit(1)).alias("kc")
+                )
+            )
+        r = geo.head()
+        n_sub = int(r["mm"]) + 1
+        sub_dim = int(r["sd"])
+        if k_pq is None:
+            k_pq = int(r["k0"])
+        if k_coarse is None:
+            k_coarse = int(r["kc"])
         ids = spark.read.parquet(path).select(F.col(id_col))
         # materialize the semi-joined training corpus ONCE: the passes
         # below (3 seed rankings, 3 lloyd chains, the coded-projection
@@ -526,8 +572,14 @@ def _sidecar_codebooks(
         .agg(F.collect_list(F.struct("cell_id", "c_emb")).alias("cb"))
     )
     pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
-    n_sub = pq_tbl.agg(F.max("m")).head()[0] + 1
-    sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
+    # ONE geometry job instead of two (r15): max(m) and the (uniform)
+    # sub-vector length come from a single aggregate over the
+    # metadata-scale sidecar
+    geo = pq_tbl.agg(
+        F.max("m").alias("mm"), F.max(F.size("c_emb")).alias("sd")
+    ).head()
+    n_sub = int(geo["mm"]) + 1
+    sub_dim = int(geo["sd"])
     pq_codebooks = [
         pq_tbl.filter(F.col("m") == m).agg(
             F.collect_list(
@@ -825,16 +877,29 @@ def search_ivfpq_index(
         .select("q_id", "q_emb", F.col("cell")["cell_id"].alias("cell_id"))
     )
     # metadata-scale collect: nprobe cells per probe → partition-pruning
-    # predicate for the codes scan
-    cells = sorted(
-        {r.cell_id for r in probe_cells.select("cell_id").distinct().collect()}
+    # predicate for the codes scan. The PQ sub_dim rides along in the
+    # SAME driver action (a 1-row broadcast cross join) instead of a
+    # separate head() job — on the serve path driver action COUNT is
+    # the scarce resource (r15 measured the sidecar-collect rewrite
+    # regressing for exactly this reason)
+    pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
+    meta = (
+        probe_cells.select("cell_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(pq_tbl.limit(1).select(F.size("c_emb").alias("__sd")))
+        )
+        .collect()
     )
+    cells = sorted({r.cell_id for r in meta})
+    if meta:
+        sub_dim = int(meta[0]["__sd"])
+    else:  # degenerate empty-probe call: fall back to the direct read
+        sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     index = _read_table(
         spark, path, fs=fs, logicals={f"cell_id={c}" for c in cells}
     ).filter(F.col("cell_id").isin(cells))
     n_sub = len([c for c in index.columns if c.startswith("code_")])
-    pq_tbl = _read_table(spark, path + "_pq_codebook", fs=fs)
-    sub_dim = len(pq_tbl.select("c_emb").head()["c_emb"])
     cand = index.join(F.broadcast(probe_cells), "cell_id").filter(
         F.col(id_col) != F.col("q_id")
     )

@@ -383,15 +383,28 @@ def retrain_ivfpq_versioned(
     try:
         cur = G.read_current(root, init_hint="build_ivfpq_versioned", fs=fs)
         cur_index = _gen_index(root, cur)
-        # ONE bounded collect for all geometry/K stats (metadata-scale
-        # sidecar; the lazy version paid 2-4 separate scan jobs — r15)
-        pq_rows = segman.read_table(spark, fs, cur_index + "_pq_codebook").collect()
-        n_sub = max(int(r["m"]) for r in pq_rows) + 1
-        sub_dim = len(pq_rows[0]["c_emb"])
-        if k_pq is None:
-            k_pq = sum(1 for r in pq_rows if int(r["m"]) == 0)
+        # ONE bounded 1-row collect for all geometry/K stats
+        # (metadata-scale sidecars): a single aggregate covers
+        # n_sub/sub_dim/k_pq, and the coarse K rides along via a 1-row
+        # cross join instead of a second count job (r15)
+        geo = segman.read_table(spark, fs, cur_index + "_pq_codebook").agg(
+            F.max("m").alias("mm"),
+            F.max(F.size("c_emb")).alias("sd"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("k0"),
+        )
         if k_coarse is None:
-            k_coarse = segman.read_table(spark, fs, cur_index + "_codebook").count()
+            geo = geo.crossJoin(
+                segman.read_table(spark, fs, cur_index + "_codebook").agg(
+                    F.count(F.lit(1)).alias("kc")
+                )
+            )
+        r = geo.head()
+        n_sub = int(r["mm"]) + 1
+        sub_dim = int(r["sd"])
+        if k_pq is None:
+            k_pq = int(r["k0"])
+        if k_coarse is None:
+            k_coarse = int(r["kc"])
         ids = segman.read_table(spark, fs, cur_index).select(F.col(id_col))
         # materialized ONCE — see retrain_ivfpq_index: the seed/lloyd/
         # build passes below otherwise re-run the scan + semi-join ~10×

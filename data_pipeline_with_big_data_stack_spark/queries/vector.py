@@ -679,42 +679,51 @@ _PQ_ORACLE = f"""
 
 
 def _pq_train_codebooks(e: DataFrame, eager: bool = True) -> list[DataFrame]:
-    """Train the two subspace codebooks (the lloyd loop shuffles only
-    K×dim partial-aggregate rows per round; its assignment output is
-    unused) — shared by the PQ coding and IVF-PQ search queries so
-    their oracles replay one trajectory.
+    """Train the two subspace codebooks — shared by the PQ coding and
+    IVF-PQ search queries so their oracles replay one trajectory.
 
-    ``eager=True`` (default) MATERIALIZES each trained codebook (1 row,
-    K×dim doubles) before returning it — the r15 optimization pass
-    measured every *action* that broadcasts the lazy codebook
-    re-executing the full O(corpus) lloyd chain (an index build alone
-    runs 3 write actions; per-query jobs for the store family dropped
-    73→51 … 108→90 with training shuffle bytes halved). Same device as
-    ``operators/ann_index.train_ivfpq_codebooks``; the checkpointed
-    VALUES are bit-identical, so every oracle replay is unchanged
-    (guide §1.2: remove redundant passes first). The single-action
-    inline queries (q_embed_pq_codes, q_ann_ivfpq_topk) pass
-    ``eager=False``: within ONE action Spark's ReuseExchange already
-    dedupes the identical broadcast subtrees, so eager checkpointing
-    only adds jobs there (measured 26→29)."""
-    from data_pipeline_with_big_data_stack_spark.operators.kmeans import lloyd_kmeans
+    FUSED since the r15 optimization pass (guide §1.2/§2.4): both
+    subspaces train in one ``lloyd_kmeans_multi`` chain — each round is
+    a single corpus scan + a single (cbk, cluster_id, pos) partial-agg
+    shuffle instead of one chain per subspace (the r15 first pass
+    overlapped the two chains on a thread pool; fusing removes the
+    second chain outright — half the training scans at any scale). The
+    trained VALUES are bit-identical to the per-slice chains
+    (tests/test_kmeans_fused.py), so every oracle replay is unchanged.
 
-    codebooks = []
-    for m in range(2):
-        sub = e.select(
-            "vec_id", F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB).alias("emb")
-        )
-        init = _km_demo_init(sub, _PQ_K)
-        _assigned, cb = lloyd_kmeans(sub, init, iters=_PQ_ITERS)
-        codebooks.append(cb.withColumnRenamed("cb", f"cb{m}"))
-    if not eager:
-        return codebooks
-    # the two subspace trainings are independent jobs — materialize them
-    # CONCURRENTLY (guide §2.6) so the wall cost is one chain, not two
-    from concurrent.futures import ThreadPoolExecutor
+    ``eager=True`` (default) MATERIALIZES the combined 1-row codebook
+    frame before returning — every *action* that broadcasts the lazy
+    codebooks (an index build alone runs 3 write actions) would
+    otherwise re-execute the full O(corpus) training chain; now ONE
+    checkpoint action covers both codebooks (previously two pooled
+    ones). The single-action inline queries (q_embed_pq_codes,
+    q_ann_ivfpq_topk) pass ``eager=False``: within ONE action Spark's
+    ReuseExchange already dedupes the shared training subtree, so eager
+    checkpointing only adds jobs there (measured 26→29 in r15)."""
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import (
+        lloyd_kmeans_multi,
+    )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        return list(pool.map(materialize, codebooks))
+    slices = [(m * _PQ_SUB + 1, _PQ_SUB) for m in range(2)]
+    # fused init: ONE filtered scan aggregates both subspace seed
+    # codebooks — identical values to _km_demo_init over each slice
+    init = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _PQ_K * 100)
+    ).agg(
+        *[
+            F.collect_list(
+                F.struct(
+                    (F.col("vec_id") / 100).cast("long").alias("cell_id"),
+                    F.slice("emb", off, ln).alias("c_emb"),
+                )
+            ).alias(f"cb_{m}")
+            for m, (off, ln) in enumerate(slices)
+        ]
+    )
+    combined = lloyd_kmeans_multi(e, init, slices, iters=_PQ_ITERS)
+    if eager:
+        combined = materialize(combined)
+    return [combined.select(F.col(f"cb_{m}").alias(f"cb{m}")) for m in range(2)]
 
 
 @query("q_embed_pq_codes", oracle=_PQ_ORACLE)
