@@ -190,6 +190,31 @@ def _fs(spark: SparkSession, path: str):
     return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
+# Written (atomically, BEFORE the first widened partition can publish)
+# the moment a store's dim set grows via on_new_columns="evolve".
+# Schema-merged reads are gated on it: mergeSchema launches a
+# distributed all-footers job on EVERY read — O(store files) per
+# maintenance call / dashboard serve — which a never-evolved store
+# (all footers identical) pays for nothing (guide §6, r15). Name starts
+# with "_" and carries no "=", so Spark's file index never sees it.
+_EVOLVED_MARKER = "_schema_evolved"
+
+
+def _read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read the rollup store, schema-merged ONLY when it has actually
+    evolved. An evolved store's pre-evolution partitions lack the
+    newest dimension, and single-footer inference could sample one of
+    them and hide the dim — so the evolve path persists
+    ``_EVOLVED_MARKER`` and every reader honors it. A crash between the
+    marker write and the widened publish leaves a marker on a uniform
+    store: the merged read is then merely redundant, never wrong."""
+    jvm, fs, root = _fs(spark, path)
+    r = spark.read
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(root, _EVOLVED_MARKER)):
+        r = r.option("mergeSchema", "true")
+    return r.parquet(path)
+
+
 def _visible_to_spark(name: str) -> bool:
     """Mirror Spark's file-index path filter: names starting with ``.``
     or ``_`` are hidden UNLESS they carry a partition ``=`` — so
@@ -644,14 +669,32 @@ def _apply_increment_locked(
     if exists:
         # merge keys come from the STORE's schema, not the default — a
         # store built with custom dims maintains itself with them.
-        # mergeSchema, because an evolved store's older partitions lack
-        # the newest dimension and schema inference must still see it.
-        prev_all = spark.read.option("mergeSchema", "true").parquet(path)
+        # Schema-merged only when the store has evolved (_read_store):
+        # an evolved store's older partitions lack the newest dimension
+        # and inference must still see it; a never-evolved store skips
+        # the O(files) footer job (r15, guide §6).
+        prev_all = _read_store(spark, path)
         sdims = store_dims(prev_all)
         dims = sdims if dims is None else _evolved_dims(sdims, tuple(dims), on_new_columns)
+        if tuple(dims) != tuple(sdims):
+            # the dim set is about to GROW: persist the evolution
+            # marker before any widened partition can publish, so a
+            # mixed-schema store is never readable without it
+            jvm0, fs0, root0 = _fs(spark, path)
+            out = fs0.create(
+                jvm0.org.apache.hadoop.fs.Path(root0, _EVOLVED_MARKER), True
+            )
+            out.close()
     else:
         prev_all = None
         dims = tuple(dims) if dims is not None else ROLLUP_DIMS
+    # NOTE (r15): do NOT cache/checkpoint `inc` to share it between the
+    # touched-day collect and the write — measured as a regression:
+    # column pruning reduces the collect to a cheap __date-only partial
+    # distinct, while a cache forces the FULL aggregate (HLL sketches
+    # included) to materialize in that first action
+    # (q_stream_rollup_maintenance 2.0 → 4.8 s). The two actions share
+    # only the batch scan, not the aggregate work.
     inc = rollup_aggregate(new_events, dims)
     touched = sorted(
         str(r["__date"]) for r in inc.select("__date").distinct().collect()
@@ -686,6 +729,12 @@ def _apply_increment_locked(
         )
     else:
         merged = inc
+    _publish_increment(spark, path, merged, touched, batch_id, jvm, fs, root)
+
+
+def _publish_increment(
+    spark: SparkSession, path: str, merged, touched, batch_id, jvm, fs, root
+) -> None:
     if batch_id is None:
         # legacy path: dynamic overwrite replaces exactly the touched
         # partitions; history partitions are neither read (partition-
@@ -701,6 +750,8 @@ def _apply_increment_locked(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         return
     # exactly-once path: stage (data + marker), then publish by rename
+    token = _batch_token(batch_id)
+    marker = _marker_name(token)
     staging = jvm.org.apache.hadoop.fs.Path(root, f".staging_batch_{token}")
     trash = jvm.org.apache.hadoop.fs.Path(root, f".trash_batch_{token}")
     fs.delete(staging, True)  # stale staging from a crashed attempt
@@ -750,10 +801,11 @@ def serve_rollup(
     tests/test_plans.py."""
     if grain not in SERVE_GRAINS:
         raise ValueError(f"grain {grain!r} not servable from an hourly rollup")
-    # mergeSchema: an evolved store's pre-evolution partitions lack the
-    # newest dimension — schema merging surfaces it (as NULL) instead of
-    # letting single-file inference hide it
-    r = spark.read.option("mergeSchema", "true").parquet(path)
+    # schema-merged ONLY when the store has evolved (_read_store): an
+    # evolved store's pre-evolution partitions lack the newest dimension
+    # and merging surfaces it (as NULL); a never-evolved store skips the
+    # O(files) all-footers job on every dashboard serve (r15, guide §6)
+    r = _read_store(spark, path)
     if since is not None:
         r = r.filter(F.col("__date") >= F.lit(str(since)).cast("date"))
     if until is not None:

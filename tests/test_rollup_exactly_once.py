@@ -208,6 +208,12 @@ def test_schema_evolution_backfills_null(spark, tmp_path):
         on_new_columns="evolve",
         batch_id=11,
     )
+    # the evolution marker is what re-enables schema-merged reads (a
+    # never-evolved store reads single-footer — r15); it must exist the
+    # moment the store can hold mixed-schema partitions
+    assert os.path.exists(os.path.join(path, RM._EVOLVED_MARKER)), (
+        "evolve path must persist the schema-evolution marker"
+    )
     served = RM.serve_rollup(
         spark, path, grain="day", dims=("event_type", "user_id")
     ).collect()
@@ -221,6 +227,27 @@ def test_schema_evolution_backfills_null(spark, tmp_path):
         (r.bucket, r.event_type): (r.n_events, round(r.sum_value, 4))
         for r in RM.serve_rollup(spark, str(_build_full(spark, tmp_path, e)), grain="hour").collect()
     }
+    # a LATER increment with dims=None must maintain the EVOLVED dim
+    # set: the marker-gated schema-merged read is what surfaces the new
+    # dimension when single-footer inference could sample a
+    # pre-evolution partition (r15 — never-evolved stores skip the
+    # all-footers mergeSchema job; this pins that evolved stores don't)
+    before = {
+        (r.bucket, r.event_type, r.user_id): r.n_events
+        for r in RM.serve_rollup(
+            spark, path, grain="day", dims=("event_type", "user_id")
+        ).collect()
+    }
+    late = e.filter(cut).limit(25)
+    RM.apply_increment(spark, path, late, batch_id=12)
+    after = {
+        (r.bucket, r.event_type, r.user_id): r.n_events
+        for r in RM.serve_rollup(
+            spark, path, grain="day", dims=("event_type", "user_id")
+        ).collect()
+    }
+    assert sum(after.values()) == sum(before.values()) + late.count()
+    assert any(k[2] is not None for k in after), "evolved dim still maintained"
 
 
 def _build_full(spark, tmp_path, e):
