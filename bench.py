@@ -671,6 +671,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": top,
+        # DISCLOSURE (VERDICT r15 #8): `queries` is the top-N slowest
+        # only — a query leaving this dict improved out of the top-N,
+        # it was NOT dropped from the bench; all per-query times are in
+        # BENCH_DETAIL.json (`queries_count` of them)
+        "queries_top_n_only": True,
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 3),
         "ingest_rows_per_sec": rows_s,

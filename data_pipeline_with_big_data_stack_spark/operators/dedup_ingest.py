@@ -166,7 +166,7 @@ class EpochStoreBase(MetaStoreBase):
     high-water mark that makes the monotone-ingest contract ENFORCED
     rather than documented (VERDICT r14 #1): keep-first decisions in
     both stores assume every batch's doc ids exceed all committed ones,
-    and :func:`_guard_and_publish_watermark` raises IN-PLAN when a
+    and :func:`_guarded_epoch_stats` raises IN-PLAN when a
     batch violates it. The fold collapses the sink to its running max
     (read-equivalent: every consumer only ever takes ``max``)."""
 
@@ -399,47 +399,93 @@ def _write_epoch(
     writer.parquet(os.path.join(path, f"batch_id={int(eid)}"))
 
 
-def _guard_and_publish_watermark(
-    batch: DataFrame, path: str, eid: int, store: EpochStoreBase
+def _publish_epoch_sinks(
+    writes: list[tuple[str, object]],
+    fail_after: str | None,
+    defer: set[str] = frozenset(),
 ) -> None:
-    """Enforce the monotone-ingest contract and publish this epoch's
-    doc-id high-water mark — the EPOCH'S FIRST ACTION, one 1×1-row job
-    (VERDICT r14 #1). Keep-first decisions in both epoch stores assume
-    every batch's doc ids exceed all committed ones (the crawl-shard
-    contract); a shard replayed out of order or an id reused across
-    crawls would silently flip which occurrence is "first", and the
-    hash gate cannot catch it because the oracle replays the same
-    ordered fixture. So the contract is checked IN-PLAN (the same loud
-    ``raise_error`` pattern as ``queries.curation._packed_pos``):
-    the batch's min doc_id joins the committed watermark — ``max`` over
-    the prior ``hwm`` sink, partition-pruned to ``batch_id < eid`` so a
-    crash-replayed epoch never sees its own attempt — and the epoch's
-    new watermark row only materializes through a ``when`` whose else
-    branch raises. A violation therefore aborts the epoch before ANY
-    other sink is written.
+    """Publish an epoch's data sinks CONCURRENTLY (r16, guide §2.6):
+    each publish is an independent job over already-cached frames (or
+    the batch itself) whose wall cost is dominated by fixed per-action
+    latency — write-job setup, commit protocol — so the sequential loop
+    paid ~the sum where the epoch only needs the max. Safe because the
+    sinks are order-independent by construction: every sink is an
+    idempotent per-epoch static-overwrite partition, no reader consults
+    a crashed epoch's partials (prior reads filter ``batch_id < eid``;
+    the compactor trusts the checkpoint commit log), and a replay
+    overwrites every sink from scratch — recovery holds from ANY subset
+    of completed publishes, not just sequential prefixes (pinned in
+    tests/test_dedup_index.py::test_replay_from_arbitrary_sink_subset).
 
-    Replay safety falls out of the epoch machinery: the write is the
-    standard per-epoch static-overwrite partition, and a deliberate
-    rebuild-from-source replay (``allow_refolded_replay=True``, eid at
-    or below the fold frontier) sees only watermark rows with
-    ``batch_id < eid`` — after a fold that set is empty, so the replay
-    passes vacuously, exactly mirroring the prior-state view its data
-    reads get.
+    ``fail_after=<sink>`` (the crash-injection hook) SUBMITS only the
+    canonical prefix through that sink, awaits it, then raises — the
+    injected on-disk states are byte-identical to the pre-r16
+    sequential writer's, so the crash-replay tests pin the same states
+    through the same code path. ``defer`` names sinks whose target
+    directory another sink's plan reads at action time (listing a dir
+    while a sibling publish commits into it is the one cross-job
+    hazard); they publish after the concurrent wave completes."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    A REFUSED epoch leaves its (empty) ``hwm/batch_id=<eid>`` dir
-    behind — on a checkpoint-less store a later compaction counts it
-    committed and the fold frontier then burns that id (retry must use
-    a fresh one). Accepted trade-off: the refusal is loud at both
-    points and nothing is ingested; folding the zero-row partition is
-    a no-op for every reader.
+    cut = next(
+        (i for i, (nm, _fn) in enumerate(writes) if nm == fail_after), None
+    )
+    selected = writes if cut is None else writes[: cut + 1]
+    wave = [(nm, fn) for nm, fn in selected if nm not in defer]
+    tail = [(nm, fn) for nm, fn in selected if nm in defer]
+    if wave:
+        with ThreadPoolExecutor(max_workers=len(wave)) as pool:
+            for f in [pool.submit(fn) for _nm, fn in wave]:
+                f.result()
+    for _nm, fn in tail:
+        fn()
+    if cut is not None:
+        raise RuntimeError(f"injected crash after {fail_after} write")
+
+
+def _guarded_epoch_stats(
+    exploded: DataFrame,
+    bkt_col: str,
+    hwm_path: str,
+    eid: int,
+    store: EpochStoreBase,
+    ids: DataFrame | None = None,
+) -> tuple[list[int], int] | None:
+    """ONE driver action for the epoch's protocol preamble (r16, guide
+    §1.2 — previously three: ``isEmpty``, the guard's 1×1-row write,
+    and the touched-bucket collect, each a separate batch scan):
+    materializes the caller's persisted ``exploded`` frame and returns
+    ``(touched lookup buckets, guarded doc-id watermark)``, or ``None``
+    for an empty micro-batch (the documented empty-epoch contract —
+    the caller must then write NOTHING).
+
+    The monotone-ingest contract (VERDICT r14 #1) stays IN-PLAN: the
+    batch's min doc_id joins the committed watermark — ``max`` over the
+    prior ``hwm`` sink, partition-pruned to ``batch_id < eid`` so a
+    crash-replayed epoch never sees its own attempt — and the returned
+    watermark only materializes through a ``when`` whose else branch
+    ``raise_error``s. A violation therefore aborts the epoch during
+    this collect, before ANY sink is written (r15's shape wrote the
+    guarded row first, so a refusal left an empty ``hwm`` partition
+    behind and burned that epoch id on checkpoint-less stores; the
+    fused shape leaves nothing at all).
+
+    ``ids`` supplies the frame whose ``doc_id`` min/max define the
+    watermark when the exploded frame is NOT id-complete (the substring
+    store: sub-K docs legitimately explode to zero windows, and a
+    short max-id doc would silently lower the recorded watermark).
+    ``None`` aggregates ids off ``exploded`` itself — strictly one scan
+    — which is only sound when every batch doc yields at least one
+    exploded row (the MinHash store: one signature row per doc, a
+    3-element literal band array).
 
     Stores created BEFORE the hwm sink existed have no ``hwm`` dir:
-    the guard treats that as 'no committed watermark' (enforcement
-    begins with this epoch's write, which creates the sink; the next
-    fold seeds it into the layout like any sink)."""
-    spark = batch.sparkSession
-    if store.fs.exists(path):
-        prior_wm = _prior(spark, path, eid, fs=store.fs).agg(
+    treated as 'no committed watermark' (enforcement begins with this
+    epoch's write, which creates the sink; the next fold seeds it into
+    the layout like any sink)."""
+    spark = exploded.sparkSession
+    if store.fs.exists(hwm_path):
+        prior_wm = _prior(spark, hwm_path, eid, fs=store.fs).agg(
             F.max("max_doc_id").alias("_wm")
         )
     else:
@@ -460,21 +506,60 @@ def _guard_and_publish_watermark(
             "watermark, or rebuild the store from source in id order."
         ),
     )
-    guarded = (
-        batch.agg(
-            F.min("doc_id").alias("_mn"), F.max("doc_id").alias("max_doc_id")
+    if ids is None:
+        stats = exploded.agg(
+            F.collect_set(bkt_col).alias("_bkts"),
+            F.min("doc_id").alias("_mn"),
+            F.max("doc_id").alias("_mx"),
         )
-        .crossJoin(F.broadcast(prior_wm))
+    else:
+        stats = exploded.agg(F.collect_set(bkt_col).alias("_bkts")).crossJoin(
+            ids.agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        )
+    row = (
+        stats.crossJoin(F.broadcast(prior_wm))
         .select(
+            "_bkts",
+            "_mn",
             F.when(
-                F.col("_wm").isNull() | (F.col("_mn") > F.col("_wm")),
-                F.col("max_doc_id"),
+                # _mn NULL = empty batch: nothing to guard (the r15
+                # shape never reached the guard on an empty batch —
+                # the isEmpty early-return handled it)
+                F.col("_mn").isNull()
+                | F.col("_wm").isNull()
+                | (F.col("_mn") > F.col("_wm")),
+                F.col("_mx"),
             )
             .otherwise(F.raise_error(err).cast("long"))
-            .alias("max_doc_id")
+            .alias("max_doc_id"),
         )
+        .head()
     )
-    _write_epoch(guarded.coalesce(1), path, eid, None)
+    if row["_mn"] is None:
+        return None
+    return sorted(int(b) for b in row["_bkts"]), int(row["max_doc_id"])
+
+
+def _publish_watermark_row(
+    spark: SparkSession, hwm_path: str, eid: int, wm: int
+) -> None:
+    """Publish the epoch's guarded doc-id watermark — the value
+    :func:`_guarded_epoch_stats` already validated in-plan — as the
+    standard per-epoch static-overwrite partition. The write is a
+    1-row LocalTableScan job (no batch scan: the fused stats action
+    paid that once); replay safety falls out of the epoch machinery —
+    the value is a pure function of the batch, so a crash-replay
+    republishes the identical row, and a deliberate rebuild-from-source
+    replay (``allow_refolded_replay=True``) sees only watermark rows
+    with ``batch_id < eid``, which after a fold is empty, so it passes
+    vacuously — exactly mirroring the prior-state view its data reads
+    get."""
+    _write_epoch(
+        spark.createDataFrame([(int(wm),)], "max_doc_id long"),
+        hwm_path,
+        eid,
+        None,
+    )
 
 
 def dedup_ingest_batch(
@@ -620,24 +705,18 @@ def _dedup_ingest_batch_locked(
     # refusal checks and all seven sink accesses of the epoch land in
     # the same tree — a concurrent compactor can no longer publish/GC
     # the generation between check and writes (ADVICE r10 TOCTOU).
-    # Stream epochs defer resolution past the isEmpty early-return so
-    # an empty micro-batch costs zero pointer reads
-    gen_dir = None
+    # Since r16 stream epochs resolve BEFORE the fused protocol
+    # preamble (its guarded-stats action needs the hwm sink path): an
+    # empty stream micro-batch now costs one pointer read plus one
+    # empty-aggregate action where it cost one isEmpty action — same
+    # order of cost on the rare empty epoch, one action saved on every
+    # non-empty one (the hot path)
     if not _stream_epoch:
         gen_dir = _direct_epoch_checks(store, eid, allow_refolded_replay)
-    if batch.isEmpty():
-        return
-    n_bkt = store.n_bkt
-    if gen_dir is None:
+    else:
         gen_dir = os.path.join(store.base, store.current_generation())
+    n_bkt = store.n_bkt
     sink = {name: os.path.join(gen_dir, name) for name in store._SINKS}
-
-    # the epoch's FIRST action: enforce the monotone-ingest contract
-    # in-plan and publish this epoch's doc-id watermark — a violating
-    # batch aborts here, before any data sink is written
-    _guard_and_publish_watermark(batch, sink["hwm"], eid, store)
-    if fail_after == "hwm":
-        raise RuntimeError("injected crash after watermark publish")
 
     bands = minhash_signatures(batch).select(
         "doc_id",
@@ -651,12 +730,34 @@ def _dedup_ingest_batch_locked(
     )
     persisted = [new_ranked]
     try:
-        # the batch's touched lookup buckets — BOUNDED (≤ n_bkt ints)
-        # and collected once per batch; every prior-state read below
-        # partition-prunes to this set
-        touched = sorted(
-            r[0] for r in new_ranked.select("bkt").distinct().collect()
-        )
+        # the epoch's FIRST action (fused, r16): materialize new_ranked
+        # and return the batch's touched lookup buckets — BOUNDED
+        # (≤ n_bkt ints) — together with the in-plan-guarded watermark.
+        # A violating batch aborts here, before any sink is written.
+        # doc_id min/max ride the exploded frame: minhash_signatures
+        # emits exactly one row per doc (a select — NULL text
+        # coalesces, nothing filters) and the band array is a literal
+        # 3-tuple, so the exploded ids are id-complete for the batch
+        stats = _guarded_epoch_stats(new_ranked, "bkt", sink["hwm"], eid, store)
+        if stats is None:
+            return  # empty micro-batch: write NOTHING
+        touched, wm = stats
+        hwm_pub = ("hwm", lambda: _publish_watermark_row(s, sink["hwm"], eid, wm))
+        wave_head = []
+        if _stream_epoch:
+            # stream epochs publish the watermark row IN the concurrent
+            # wave below (r16): a crash-replayed epoch overwrites every
+            # sink from the same batch, so intra-epoch publish order is
+            # immaterial — only the in-plan guard above must precede
+            # everything, and it already ran
+            wave_head = [hwm_pub]
+        else:
+            # DIRECT epochs have no replay machinery: the watermark must
+            # commit BEFORE any data sink so a crashed epoch can never
+            # leave data rows whose ids a later epoch could legally reuse
+            hwm_pub[1]()
+            if fail_after == "hwm":
+                raise RuntimeError("injected crash after hwm write")
         # per-bucket prior occupancy from the SIDECAR (one row per
         # touched (bucket, epoch)) — the bands index itself is never
         # aggregated here, and the sidecar scan prunes to touched bkts
@@ -719,12 +820,6 @@ def _dedup_ingest_batch_locked(
                 "jaccard",
             )
         )
-        _write_epoch(rejected, sink["decisions"], eid, None)
-        if fail_after == "decisions":
-            raise RuntimeError("injected crash after decisions write")
-        _write_epoch(capped, sink["bands_idx"], eid, "bkt", n_bkt)
-        if fail_after == "bands_idx":
-            raise RuntimeError("injected crash after bands_idx write")
         # this epoch's sidecar rows: the new cumulative occupancy of
         # every bucket it touched (rk is already cumulative)
         epoch_counts = (
@@ -732,15 +827,23 @@ def _dedup_ingest_batch_locked(
             .agg(F.max("rk").alias("n"))
             .select("band", "band_key", "n", "bkt")
         )
-        _write_epoch(epoch_counts, sink["counts"], eid, "bkt", n_bkt)
-        if fail_after == "counts":
-            raise RuntimeError("injected crash after counts write")
         docs_out = batch.select("doc_id", "text").withColumn(
             "dbkt", _doc_bkt("doc_id", n_bkt)
         )
-        _write_epoch(docs_out, sink["docstore"], eid, "dbkt", n_bkt)
-        if fail_after == "docstore":
-            raise RuntimeError("injected crash after docstore write")
+        _publish_epoch_sinks(
+            wave_head
+            + [
+                ("decisions", lambda: _write_epoch(rejected, sink["decisions"], eid, None)),
+                ("bands_idx", lambda: _write_epoch(capped, sink["bands_idx"], eid, "bkt", n_bkt)),
+                ("counts", lambda: _write_epoch(epoch_counts, sink["counts"], eid, "bkt", n_bkt)),
+                ("docstore", lambda: _write_epoch(docs_out, sink["docstore"], eid, "dbkt", n_bkt)),
+            ],
+            fail_after,
+            # the decisions job's plan LISTS the docstore's prior
+            # partitions (`texts` is not cached), so the docstore
+            # publish must not mutate that directory concurrently
+            defer={"docstore"},
+        )
     finally:
         for df in persisted:
             df.unpersist()

@@ -207,7 +207,31 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame:
     them and hide the dim — so the evolve path persists
     ``_EVOLVED_MARKER`` and every reader honors it. A crash between the
     marker write and the widened publish leaves a marker on a uniform
-    store: the merged read is then merely redundant, never wrong."""
+    store: the merged read is then merely redundant, never wrong.
+
+    Two documented caveats (ADVICE r15), both bounded to a store's ONE
+    first-evolution event:
+
+    - **Reader race on first evolution.** The maintenance lock
+      serializes writers only; a concurrent lock-less reader that
+      passed this marker check just before the marker write can list
+      files after the widened partition publishes and infer a single
+      pre-evolution footer — a transiently narrowed schema (the evolved
+      dim invisible for that one read), the schema-shaped sibling of
+      the documented transient-FNF read. ``serve_rollup`` self-heals
+      the caller-visible case (a REQUESTED dim missing triggers a
+      merged re-read); dims=None readers in that window see the
+      pre-evolution dims once, exactly as a read a moment earlier
+      would have.
+
+    - **Stores evolved by PRE-marker code** (before r15) have mixed
+      footers but no marker. ``serve_rollup`` migrates them on first
+      touch of an evolved dim (merged re-read + marker write); an
+      ``apply_increment(dims=None)`` against such a store, however,
+      infers the shrunken dim set and re-aggregates its touched
+      partitions without the evolved dim — touch the marker file
+      (or serve the evolved dim once) BEFORE resuming maintenance on
+      a pre-marker evolved store."""
     jvm, fs, root = _fs(spark, path)
     r = spark.read
     if fs.exists(jvm.org.apache.hadoop.fs.Path(root, _EVOLVED_MARKER)):
@@ -676,17 +700,10 @@ def _apply_increment_locked(
         prev_all = _read_store(spark, path)
         sdims = store_dims(prev_all)
         dims = sdims if dims is None else _evolved_dims(sdims, tuple(dims), on_new_columns)
-        if tuple(dims) != tuple(sdims):
-            # the dim set is about to GROW: persist the evolution
-            # marker before any widened partition can publish, so a
-            # mixed-schema store is never readable without it
-            jvm0, fs0, root0 = _fs(spark, path)
-            out = fs0.create(
-                jvm0.org.apache.hadoop.fs.Path(root0, _EVOLVED_MARKER), True
-            )
-            out.close()
+        evolving = tuple(dims) != tuple(sdims)
     else:
         prev_all = None
+        evolving = False
         dims = tuple(dims) if dims is not None else ROLLUP_DIMS
     # NOTE (r15): do NOT cache/checkpoint `inc` to share it between the
     # touched-day collect and the write — measured as a regression:
@@ -729,6 +746,21 @@ def _apply_increment_locked(
         )
     else:
         merged = inc
+    if evolving:
+        # the dim set is GROWING: persist the evolution marker before
+        # any widened partition can publish, so a mixed-schema store is
+        # never readable without it. Written HERE — after the touched/
+        # already-published early-returns above (ADVICE r15) — so an
+        # evolve attempt that touches zero days (or is a full retry of
+        # a published batch) cannot strand a marker on a store that
+        # never actually widened, permanently re-enabling the O(files)
+        # merged read the marker exists to avoid. Crash between this
+        # write and the publish leaves a marker on a uniform store:
+        # the merged read is then merely redundant, never wrong.
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(root, _EVOLVED_MARKER), True
+        )
+        out.close()
     _publish_increment(spark, path, merged, touched, batch_id, jvm, fs, root)
 
 
@@ -806,14 +838,34 @@ def serve_rollup(
     # and merging surfaces it (as NULL); a never-evolved store skips the
     # O(files) all-footers job on every dashboard serve (r15, guide §6)
     r = _read_store(spark, path)
+    rollup_dims = set(store_dims(r))
+    extra = set(dims) - rollup_dims
+    if extra:
+        # Pre-marker migration / self-heal (ADVICE r15): a store whose
+        # dim set was evolved by pre-marker code has mixed-schema
+        # partitions but no _EVOLVED_MARKER, so the unmerged read above
+        # can sample a pre-evolution footer and hide the evolved dim.
+        # Before refusing, re-read schema-merged ONCE (the O(files)
+        # footer job — paid only on this would-fail path); if the
+        # "missing" dims exist in the merged schema, persist the marker
+        # so every future read merges, and serve from the merged frame.
+        jvm, hfs, root = _fs(spark, path)
+        if not hfs.exists(jvm.org.apache.hadoop.fs.Path(root, _EVOLVED_MARKER)):
+            merged_r = spark.read.option("mergeSchema", "true").parquet(path)
+            if not (set(dims) - set(store_dims(merged_r))):
+                out = hfs.create(
+                    jvm.org.apache.hadoop.fs.Path(root, _EVOLVED_MARKER), True
+                )
+                out.close()
+                r = merged_r
+                rollup_dims = set(store_dims(r))
+                extra = set(dims) - rollup_dims
+    if extra:
+        raise ValueError(f"dims {sorted(extra)} not in the rollup (has {sorted(rollup_dims)})")
     if since is not None:
         r = r.filter(F.col("__date") >= F.lit(str(since)).cast("date"))
     if until is not None:
         r = r.filter(F.col("__date") < F.lit(str(until)).cast("date"))
-    rollup_dims = set(store_dims(r))
-    extra = set(dims) - rollup_dims
-    if extra:
-        raise ValueError(f"dims {sorted(extra)} not in the rollup (has {sorted(rollup_dims)})")
     aggs = [
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("sum_value_micros").alias("_m"),

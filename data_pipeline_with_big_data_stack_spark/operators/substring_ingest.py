@@ -36,7 +36,8 @@ only on already-arrived data. Monotonicity is ENFORCED, not assumed
 doc id against the store's persisted per-epoch doc-id watermark (the
 shared ``hwm`` sink) and raises in-plan on violation — an out-of-order
 crawl shard aborts loudly instead of silently flipping keep-first
-decisions (`dedup_ingest._guard_and_publish_watermark`). The drained decisions therefore equal the
+decisions (`dedup_ingest._guarded_epoch_stats`, fused since r16 with
+the touched-bucket collect into one action). The drained decisions therefore equal the
 batch operator's full-corpus result for ANY chunking of the stream, and
 the registry twin (``q_stream_exact_substring_dedup``) gates against
 the SAME full-corpus DuckDB replay
@@ -92,9 +93,11 @@ from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
     EpochStoreBase,
     _compact_into_new_generation,
     _direct_epoch_checks,
-    _guard_and_publish_watermark,
+    _guarded_epoch_stats,
     _init_epoch_store,
     _prior,
+    _publish_epoch_sinks,
+    _publish_watermark_row,
     _refuse_direct_driven,
     _write_epoch,
 )
@@ -203,42 +206,54 @@ def _substring_ingest_batch_locked(
     # the generation is resolved ONCE (under the writer lock the caller
     # holds), so the prior reads and both epoch publishes land in the
     # same tree even if a pointer flip happened just before the batch.
-    # Stream epochs defer resolution past the isEmpty early-return so
-    # an empty micro-batch costs zero pointer reads
-    gen_dir = None
+    # Since r16 stream epochs resolve BEFORE the fused protocol
+    # preamble (see `dedup_ingest._dedup_ingest_batch_locked`)
     if not _stream_epoch:
         gen_dir = _direct_epoch_checks(store, eid, allow_refolded_replay)
-    if batch.isEmpty():
-        return
-    n_bkt = store.n_bkt
-    if gen_dir is None:
+    else:
         gen_dir = os.path.join(store.base, store.current_generation())
+    n_bkt = store.n_bkt
     sink = {name: os.path.join(gen_dir, name) for name in store._SINKS}
-    # the epoch's FIRST action: enforce the monotone-ingest contract
-    # in-plan and publish this epoch's doc-id watermark — a violating
-    # batch aborts here, before any data sink is written
-    # (`dedup_ingest._guard_and_publish_watermark`, VERDICT r14 #1)
-    _guard_and_publish_watermark(batch, sink["hwm"], eid, store)
-    if fail_after == "hwm":
-        raise RuntimeError("injected crash after watermark publish")
     base, c = substring_windows(batch.select("doc_id", "text"), k)
     # PERSIST the exploded/fingerprinted windows and the index-joined
-    # firsts: the epoch runs three separate actions (touched-bucket
-    # collect, decisions write, index write) and without caching each
-    # would re-run the explode + double-xxhash64 over the whole batch
-    # and re-scan/re-join the prior index — the per-epoch hot path this
+    # firsts: the epoch runs three separate actions (fused preamble,
+    # decisions write, index write) and without caching each would
+    # re-run the explode + double-xxhash64 over the whole batch and
+    # re-scan/re-join the prior index — the per-epoch hot path this
     # module exists for (same pattern as dedup_ingest_batch)
     c = c.withColumn(
         "bkt", F.pmod(F.hash("w1"), F.lit(int(n_bkt))).cast("int")
     ).persist()
     persisted = [c]
     try:
-        # bounded driver collect: <= n_bkt values, the partition-prune
-        # key set for the prior index read (same contract as
-        # dedup_ingest)
-        touched = [
-            int(r["bkt"]) for r in c.select("bkt").distinct().collect()
-        ]
+        # the epoch's FIRST action (fused, r16): materialize the
+        # windows and return the touched-bucket prune set (<= n_bkt
+        # ints) together with the in-plan-guarded doc-id watermark
+        # (VERDICT r14 #1) — a violating batch aborts here, before any
+        # sink is written. The watermark ids aggregate over the RAW
+        # batch (``ids=``): sub-K docs legitimately explode to zero
+        # windows, so a short max-id doc would otherwise silently
+        # lower the recorded watermark
+        stats = _guarded_epoch_stats(
+            c, "bkt", sink["hwm"], eid, store, ids=batch
+        )
+        if stats is None:
+            return  # empty micro-batch: write NOTHING
+        touched, wm = stats
+        hwm_pub = (
+            "hwm",
+            lambda: _publish_watermark_row(spark, sink["hwm"], eid, wm),
+        )
+        wave_head = []
+        if _stream_epoch:
+            # stream epochs publish the watermark row IN the concurrent
+            # wave below; DIRECT epochs (no replay machinery) commit it
+            # before any data sink — see dedup_ingest's twin for why
+            wave_head = [hwm_pub]
+        else:
+            hwm_pub[1]()
+            if fail_after == "hwm":
+                raise RuntimeError("injected crash after hwm write")
         prior = _prior(
             spark, sink["windows_idx"], eid, "bkt", touched, fs=store.fs
         )
@@ -256,13 +271,25 @@ def _substring_ingest_batch_locked(
             F.col("seen").isNotNull() | (F.col("pos") != F.col("first_pos"))
         ).select("doc_id", "s", (F.col("s") + F.lit(k - 1)).alias("e_pos"))
         decisions = substring_span_accounting(base, c, dup, k)
-        _write_epoch(decisions, sink["decisions"], eid, None)
-        if fail_after == "decisions":
-            raise RuntimeError("injected crash after decisions publish")
         new_wins = firsts.filter(F.col("seen").isNull()).select(
             "w1", "w2", "bkt"
         )
-        _write_epoch(new_wins, sink["windows_idx"], eid, "bkt", n_bkt)
+        # both publishes race to materialize the shared persisted
+        # `firsts` (Spark serializes the cache compute per partition);
+        # the index publish is NOT deferred — its plan's only uncached
+        # prior read (inside `firsts`) lists its own target dir, which
+        # is safe within one action (the file index snapshots before
+        # write tasks start) and under a concurrent reader (committed
+        # part files appear by atomic rename; _temporary is
+        # path-filtered out of every listing)
+        _publish_epoch_sinks(
+            wave_head
+            + [
+                ("decisions", lambda: _write_epoch(decisions, sink["decisions"], eid, None)),
+                ("windows_idx", lambda: _write_epoch(new_wins, sink["windows_idx"], eid, "bkt", n_bkt)),
+            ],
+            fail_after,
+        )
     finally:
         for df in persisted:
             df.unpersist()

@@ -1148,6 +1148,19 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows surface, no shuffle either way. The gate fixture (100 ids)
     # exercises the In branch; the semi branch carries the same result
     # contract (tests/test_ann_index.py pins equality).
+    return _rerank_exact_stage(e, short, probes, ids, k=TOP_K)
+
+
+def _rerank_exact_stage(
+    e: DataFrame, short: DataFrame, probes: DataFrame, ids: list[int], k: int
+) -> DataFrame:
+    """The exact-cosine re-rank stage over a driver-held shortlist —
+    the In-list vs broadcast-LeftSemi switchover lives HERE so the
+    above-threshold branch is drivable at real shortlist sizes
+    (tests/test_ann_index.py runs it with >_RERANK_IN_MAX distinct ids
+    against a DuckDB replay of the oracle's re-rank stage — VERDICT
+    r15 #5); ``q_ann_ivfpq_rerank_topk`` calls it with the gate-scale
+    shortlist, so the extraction changes no plan."""
     if len(ids) <= _RERANK_IN_MAX:
         scanned = e.filter(F.col("vec_id").isin(ids))  # pushed In filter
     else:
@@ -1168,7 +1181,7 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine")
     )
 

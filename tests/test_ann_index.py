@@ -979,3 +979,150 @@ def test_rerank_semi_join_branch_equals_in_list_branch(spark, monkeypatch):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert sorted(map(tuple, df.collect())) == base
+
+
+def test_serve_sidecar_cache_warm_equals_cold_and_invalidates(spark, tmp_path):
+    """The r16 serve-path sidecar cache (VERDICT r15 #2): a repeat
+    search of an UNCHANGED index version serves the codebook sidecars
+    from process-local LocalRelations — the rows harvested by the first
+    search's own collect — and must return the IDENTICAL frame. Any
+    sidecar rewrite (here: an in-place retrain's tri-dir swap) must
+    miss the cache, so a warm search never serves stale codebooks."""
+    from data_pipeline_with_big_data_stack_spark.operators import ann_index as AI
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        retrain_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _K_CELLS,
+        _NPROBE,
+        _PQ_SUB,
+        N_QUERY_VECS,
+        TOP_K,
+        _pq_train_codebooks,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "emb")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        e, path, _codebook(e, k=_K_CELLS), list(_pq_train_codebooks(e)),
+        sub_dim=_PQ_SUB,
+    )
+    probes = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    key = (spark.sparkContext.applicationId, path.rstrip("/"))
+    AI._SERVE_CACHE.pop(key, None)
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in search_ivfpq_index(
+                spark, path, probes, nprobe=_NPROBE, k=TOP_K
+            ).collect()
+        )
+
+    cold = run()  # miss: lazy sidecar reads + harvest
+    assert key in AI._SERVE_CACHE, "first search must populate the cache"
+    warm = run()  # hit: LocalRelation sidecars
+    assert AI._SERVE_CACHE[key]["cb_df"] is not None, (
+        "second search must have taken the cached-local path"
+    )
+    assert warm == cold, "cached sidecars changed the search result"
+
+    # sidecar rewrite ⇒ token mismatch ⇒ the cache must NOT serve stale
+    # codebooks: post-retrain results equal a cache-free search
+    retrain_ivfpq_index(spark, path, e)
+    got = run()
+    AI._SERVE_CACHE.pop(key, None)
+    fresh = run()
+    assert got == fresh, "stale cached sidecars served after a retrain"
+
+
+def test_rerank_semi_branch_above_threshold_against_duckdb(spark, tmp_path):
+    """r16 (VERDICT r15 #5): execute the re-rank In→LeftSemi switchover
+    branch FOR REAL — a shortlist with more than _RERANK_IN_MAX
+    distinct ids, no threshold monkeypatching — and value-check it
+    against a DuckDB replay of the oracle's exact-re-rank stage over
+    the same shortlist. Also pins the 100 TB plan shape: broadcast
+    LeftSemi feeding the scan, no In-list in PushedFilters, no shuffle
+    join anywhere in the exact stage."""
+    import duckdb
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries import vector as V
+
+    sf = "/root/testdata/sf0.1"  # 2,000 vectors — enough distinct ids
+    e = V._emb(spark, sf).select("vec_id", "emb")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        e, path, V._km_demo_init(e, V._K_CELLS),
+        list(V._pq_train_codebooks(e)), sub_dim=V._PQ_SUB,
+    )
+    probes = e.filter(F.col("vec_id") < 800).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    short_rows = (
+        search_ivfpq_index(spark, path, probes, nprobe=V._NPROBE, k=V._RERANK_M)
+        .select("q_id", "vec_id")
+        .collect()
+    )
+    ids = sorted({int(r.vec_id) for r in short_rows})
+    assert len(ids) > V._RERANK_IN_MAX, (
+        f"fixture must exceed the switchover threshold for real: "
+        f"{len(ids)} <= {V._RERANK_IN_MAX}"
+    )
+    short = spark.createDataFrame(
+        [(int(r.q_id), int(r.vec_id)) for r in short_rows],
+        "q_id long, vec_id long",
+    )
+    df = V._rerank_exact_stage(e, short, probes, ids, k=V.TOP_K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    assert "In(vec_id" not in plan, "In-list leaked above the threshold"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    got = sorted(
+        (int(r.q_id), int(r.vec_id), float(r.cosine)) for r in df.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE short(q_id BIGINT, vec_id BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO short VALUES (?, ?)",
+        [(int(r.q_id), int(r.vec_id)) for r in short_rows],
+    )
+    want = sorted(
+        (int(q), int(v), float(c))
+        for q, v, c in con.execute(
+            f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM read_parquet('{sf}/embeddings.parquet')),
+            rer AS (
+              SELECT s.q_id, s.vec_id,
+                     round(list_dot_product(q.emb, c.emb)
+                           / nullif(sqrt(list_dot_product(q.emb, q.emb))
+                              * sqrt(list_dot_product(c.emb, c.emb)), 0), 6)
+                       AS cosine
+              FROM short s
+              JOIN e q ON q.vec_id = s.q_id
+              JOIN e c ON c.vec_id = s.vec_id)
+            SELECT q_id, vec_id, cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, vec_id) AS rn FROM rer)
+            WHERE rn <= {V.TOP_K}
+            """
+        ).fetchall()
+    )
+    assert got == want, (
+        f"semi-branch re-rank diverged from the DuckDB oracle stage: "
+        f"{len(got)} vs {len(want)} rows; first diff "
+        f"{next((a, b) for a, b in zip(got, want) if a != b) if got and want else None}"
+    )

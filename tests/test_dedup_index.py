@@ -849,3 +849,41 @@ def test_monotone_ingest_watermark_enforced_on_dedup_store(spark, tmp_path):
     assert (
         spark.read.parquet(store.hwm).agg(_F.max("max_doc_id")).head()[0] == 10
     )
+
+
+def test_replay_from_arbitrary_sink_subset(spark, monkeypatch):
+    """r16: the epoch's data-sink publishes run CONCURRENTLY in
+    production (`_publish_epoch_sinks`), so a real crash can leave ANY
+    subset of sinks written — not just the sequential prefixes the
+    `fail_after` hook injects. Exactly-once must hold regardless: a
+    replayed epoch overwrites every sink and reads prior state
+    partition-pruned to batch_id < eid, so restart-from-any-subset
+    equals a crash-free single run. Simulate a non-prefix crash (counts
+    + docstore written, decisions/bands_idx NOT) by filtering which
+    publishes run at epoch 1, then restart clean."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs = _small_docs(spark)
+    ref = _snapshot(spark, _drain(spark, docs))
+
+    base, src = DI.stage_ordered_chunks(spark, docs, n_chunks=4)
+    store = DI.init_dedup_ingest_store(spark, base)
+    orig = DI._publish_epoch_sinks
+    state = {"epoch": -1}
+
+    def torn(writes, fail_after, defer=frozenset()):
+        state["epoch"] += 1
+        if state["epoch"] == 1:  # epoch 1: only the NON-prefix subset
+            orig([w for w in writes if w[0] in ("counts", "docstore")], None)
+            raise RuntimeError("simulated mid-wave crash")
+        return orig(writes, fail_after, defer)
+
+    monkeypatch.setattr(DI, "_publish_epoch_sinks", torn)
+    try:
+        DI.run_dedup_ingest_stream(spark, src, store)
+        raise AssertionError("simulated crash did not fire")
+    except StreamingQueryException:
+        pass
+    monkeypatch.setattr(DI, "_publish_epoch_sinks", orig)
+    DI.run_dedup_ingest_stream(spark, src, store)
+    assert _snapshot(spark, store) == ref, "diverged after non-prefix crash"
