@@ -242,7 +242,25 @@ class Fs:
         return [p for p, _n in self.file_sizes_recursive(path)]
 
     def file_sizes_recursive(self, path: str) -> list[tuple[str, int]]:
-        """(full path, byte length) of every file under ``path``."""
+        """(full path, byte length) of every file under ``path``.
+        Local filesystems walk natively (r16): the Hadoop
+        ``listFiles`` iterator costs two py4j round trips PER FILE —
+        ~2 s for a few-hundred-file index on the driver hot path
+        (measured dominating the versioned compaction's no-op check) —
+        where ``os.walk`` is microseconds. Paths render in the same
+        fully-qualified ``file:`` form the Hadoop iterator returns, so
+        consumers see identical strings on either path."""
+        if self.is_local:
+            root = self.local_path(path)
+            out_l: list[tuple[str, int]] = []
+            for d, _dirs, files in os.walk(root):
+                for name in files:
+                    p = os.path.join(d, name)
+                    try:
+                        out_l.append((f"file:{p}", os.path.getsize(p)))
+                    except OSError:  # raced deletion: match listFiles' skip
+                        continue
+            return out_l
         out: list[tuple[str, int]] = []
         try:
             it = self._fs.listFiles(self._p(path), True)
