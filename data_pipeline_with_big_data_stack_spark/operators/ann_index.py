@@ -914,13 +914,20 @@ def search_ivfpq_index(
     if hit is not None and hit["token"] != token:
         hit = None
     if hit is not None:
-        if hit["cb_df"] is None:  # first hit: build the local relations once
+        if hit["cb_df"] is None:
+            # first hit: build the session-local frames once per index
+            # version. localCheckpoint (eager) matters: a bare
+            # createDataFrame(list) is an RDD of PYTHON rows, so every
+            # broadcast build would re-run a Python-worker conversion
+            # stage per action (measured SLOWER than re-scanning the
+            # parquet sidecars); checkpointing converts once and every
+            # later scan reads JVM-local blocks
             hit["cb_df"] = spark.createDataFrame(
                 hit["cb_rows"], hit["cb_schema"]
-            )
+            ).localCheckpoint(eager=True)
             hit["pq_df"] = spark.createDataFrame(
                 hit["pq_rows"], hit["pq_schema"]
-            )
+            ).localCheckpoint(eager=True)
         cb_tbl, pq_tbl = hit["cb_df"], hit["pq_df"]
     else:
         cb_tbl = _read_table(spark, path + "_codebook", fs=fs)
