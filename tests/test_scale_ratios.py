@@ -26,6 +26,11 @@ sys.path.insert(
 
 import scale_audit  # noqa: E402
 
+# SLOW TIER (r16, VERDICT r15 #7): multi-scale / planted-corpus
+# sweeps — excluded from the default run so the driver's verify
+# window fits; run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 FACTOR = 4
 MAX_RATIO = 8.0
 # one representative per heavy family: window/session, LSH dedup,

@@ -281,6 +281,224 @@ def run_ann_probe(spark, scales: tuple[int, ...] = ANN_SCALES) -> dict:
     return out
 
 
+TRAINER_SCALES = (20_000, 80_000)  # 10x / 40x the sf0.1 fixture's 2k vectors
+
+
+def run_trainer_probe(spark, scales: tuple[int, ...] = TRAINER_SCALES) -> dict:
+    """Fused multi-codebook trainer vs the pre-fusion per-slice chains
+    at order-of-magnitude vector scales (VERDICT r15 #3): wall secs,
+    shuffle bytes and stage counts per decade for BOTH shapes. The r15
+    claim — each fused-away chain is one fewer full-corpus pass per
+    lloyd round — must show as the legacy shape's byte/stage curve
+    sitting a constant factor ABOVE the fused one at every scale, not
+    as an sf0.1 job count. Values: the two shapes are bit-identical per
+    codebook (tests/test_kmeans_fused.py), so this measures shape only."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_big_data_stack_spark.operators.ann_index import (
+        _seed_codebook,
+        train_ivfpq_codebooks,
+    )
+    from data_pipeline_with_big_data_stack_spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.vector import (
+        _K_CELLS,
+        _PQ_K,
+        _PQ_SUB,
+        _emb,
+    )
+    from data_pipeline_with_big_data_stack_spark.session import materialize
+
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import scale_audit
+
+    n_sub = 2
+    out: dict = {"scales": {}}
+    for n_vecs in scales:
+        d = tempfile.mkdtemp(prefix=f"trainer_probe_{n_vecs}_")
+        steps: dict = {}
+        out["scales"][str(n_vecs)] = steps
+        try:
+            scale_audit.gen(d, n_events=2_000, n_docs=200, n_vecs=n_vecs)
+            e = _emb(spark, d).select("vec_id", "emb")
+
+            mark = max_stage_id(spark)
+            t0 = time.perf_counter()
+            train_ivfpq_codebooks(e, _K_CELLS, _PQ_K, _PQ_SUB, n_sub)
+            w, r = shuffle_since(spark, mark)
+            rows = _stage_rows(spark)
+            n_st = (
+                None
+                if (rows is None or mark is None)
+                else sum(1 for sid, _w, _r in rows if sid > mark)
+            )
+            steps["fused"] = _snap(time.perf_counter() - t0, w, r, stages=n_st)
+
+            # the pre-fusion shape: one md5 seed ranking + one lloyd
+            # chain + one materialization PER codebook (the r14 tree's
+            # train_ivfpq_codebooks, reconstructed from the same
+            # primitives — _seed_codebook and lloyd_kmeans still back
+            # the equivalence tests)
+            mark = max_stage_id(spark)
+            t0 = time.perf_counter()
+            slices = [(None, None)] + [
+                (m * _PQ_SUB + 1, _PQ_SUB) for m in range(n_sub)
+            ]
+            ks = [_K_CELLS] + [_PQ_K] * n_sub
+            for k, (off, ln) in zip(ks, slices):
+                v = (
+                    e
+                    if off is None
+                    else e.select(
+                        "vec_id", F.slice("emb", off, ln).alias("emb")
+                    )
+                )
+                _assigned, cb = lloyd_kmeans(v, _seed_codebook(v, k), iters=2)
+                materialize(cb)
+            w, r = shuffle_since(spark, mark)
+            rows = _stage_rows(spark)
+            n_st = (
+                None
+                if (rows is None or mark is None)
+                else sum(1 for sid, _w, _r in rows if sid > mark)
+            )
+            steps["per_slice_legacy"] = _snap(
+                time.perf_counter() - t0, w, r, stages=n_st
+            )
+        except Exception as exc:  # noqa: BLE001 - isolate per scale
+            steps["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+DRAIN_SCALES = (5_000, 50_000)  # 1x (sf0.1) / 10x docs; pass 200000 for 40x
+
+
+def run_drain_probe(spark, scales: tuple[int, ...] = DRAIN_SCALES) -> dict:
+    """Both streaming dedup drains at order-of-magnitude doc scales
+    (VERDICT r15 #3): per decade — drain wall secs, shuffle bytes,
+    stage count, and the bytes of ONE incremental fold after one more
+    trickle epoch (the sub-linear maintenance claim: an incremental
+    fold rewrites O(data since the last fold), so its bytes must stay
+    ~flat while the store grows 10x/40x; carried partitions move by
+    manifest reference — fsio.BYTES_CLONED pins the zero-copy side)."""
+    import shutil
+
+    import glob
+
+    from data_pipeline_with_big_data_stack_spark.operators import fsio
+    from data_pipeline_with_big_data_stack_spark.operators.dedup_ingest import (
+        compact_dedup_ingest_store,
+        init_dedup_ingest_store,
+        run_dedup_ingest_stream,
+        stage_ordered_chunks,
+    )
+    from data_pipeline_with_big_data_stack_spark.operators.substring_ingest import (
+        compact_substring_ingest_store,
+        init_substring_store,
+        run_substring_ingest_stream,
+    )
+    from data_pipeline_with_big_data_stack_spark.queries.textops import (
+        _LSH_MAX_BUCKET,
+    )
+
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import scale_audit
+
+    out: dict = {"scales": {}}
+    for n_docs in scales:
+        d = tempfile.mkdtemp(prefix=f"drain_probe_{n_docs}_")
+        steps: dict = {}
+        out["scales"][str(n_docs)] = steps
+        try:
+            scale_audit.gen(d, n_events=2_000, n_docs=n_docs, n_vecs=200)
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet")).select(
+                "doc_id", "text"
+            )
+            hi = docs.agg({"doc_id": "max"}).head()[0]
+            trickle = spark.createDataFrame(
+                [(int(hi) + 1 + j, f"probe doc tail {j} alpha beta gamma delta epsilon zeta eta theta") for j in range(4)],
+                "doc_id long, text string",
+            )
+            for fam, init, run, compact in (
+                (
+                    "minhash_drain",
+                    lambda b: init_dedup_ingest_store(spark, b),
+                    lambda src, st, ce: run_dedup_ingest_stream(
+                        spark, src, st, max_bucket=_LSH_MAX_BUCKET,
+                        compact_every=ce,
+                    ),
+                    lambda st: compact_dedup_ingest_store(
+                        spark, st, full=False
+                    ),
+                ),
+                (
+                    "substring_drain",
+                    lambda b: init_substring_store(spark, b),
+                    lambda src, st, ce: run_substring_ingest_stream(
+                        spark, src, st, compact_every=ce
+                    ),
+                    lambda st: compact_substring_ingest_store(
+                        spark, st, full=False
+                    ),
+                ),
+            ):
+                base, src = stage_ordered_chunks(spark, docs, n_chunks=4)
+                store = init(os.path.join(base, "store"))
+                mark = max_stage_id(spark)
+                t0 = time.perf_counter()
+                run(src, store, 2)
+                w, r = shuffle_since(spark, mark)
+                rows = _stage_rows(spark)
+                n_st = (
+                    None
+                    if (rows is None or mark is None)
+                    else sum(1 for sid, _w, _r in rows if sid > mark)
+                )
+                entry = _snap(time.perf_counter() - t0, w, r, stages=n_st)
+                # fold through the whole drained corpus (untimed), then
+                # one more trickle epoch THROUGH THE STREAM (a 5th
+                # source file with a later mtime; the resumed drain
+                # processes exactly it — direct calls on a stream-driven
+                # store correctly refuse), then the MEASURED incremental
+                # fold, which covers ONLY the fixed 4-doc trickle — its
+                # bytes must stay ~flat while the store grows 10x/40x
+                compact(store)
+                tdir = os.path.join(base, "trickle_tmp")
+                trickle.coalesce(1).write.mode("overwrite").parquet(tdir)
+                part = glob.glob(os.path.join(tdir, "*.parquet"))[0]
+                dst = os.path.join(src, "chunk_trickle.parquet")
+                os.rename(part, dst)
+                os.utime(dst, (1_700_000_100, 1_700_000_100))
+                run(src, store, None)
+                cloned0 = fsio.BYTES_CLONED
+                mark = max_stage_id(spark)
+                t0 = time.perf_counter()
+                compact(store)
+                w, r = shuffle_since(spark, mark)
+                entry["incr_fold"] = _snap(
+                    time.perf_counter() - t0,
+                    w,
+                    r,
+                    carry_bytes_cloned=fsio.BYTES_CLONED - cloned0,
+                )
+                steps[fam] = entry
+                shutil.rmtree(base, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 - isolate per scale
+            steps["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from data_pipeline_with_big_data_stack_spark.session import get_spark
 
@@ -288,6 +506,14 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ann":
         scales = tuple(int(a) for a in sys.argv[2:]) or ANN_SCALES
         print(json.dumps(run_ann_probe(spark, scales), indent=1))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "trainer":
+        scales = tuple(int(a) for a in sys.argv[2:]) or TRAINER_SCALES
+        print(json.dumps(run_trainer_probe(spark, scales), indent=1))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "drains":
+        scales = tuple(int(a) for a in sys.argv[2:]) or DRAIN_SCALES
+        print(json.dumps(run_drain_probe(spark, scales), indent=1))
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_SF1
     print(json.dumps(run_probe(spark, n_docs), indent=1))
